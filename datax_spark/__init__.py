@@ -1,0 +1,23 @@
+"""datax_spark — a brand-new PySpark-native CDC / incremental-ingest engine.
+
+Reimagines the reader/writer plugin model of an offline data-sync tool
+(reference: tbs005/DataX @ v1 — /root/reference/README.md:1-3, an empty
+pre-release snapshot; capability surface reconstructed in SURVEY.md) as:
+
+* a Structured-Streaming-style **change-event tail source** (binlog/WAL
+  semantics: monotone LSN per key, replayable offset ranges),
+* an **exactly-once Iceberg-modeled MERGE sink** (idempotent snapshot
+  commits keyed on ``(checkpoint_epoch, partition_id)``, additive schema
+  evolution, time travel),
+* vectorized pandas/Arrow UDF transforms (deterministic HTML→text
+  extraction with a frozen byte contract),
+* and a library of large-scale training-data operators (dedup families,
+  similarity search, text analysis, multimodal plumbing).
+
+Everything is DataFrame/SQL-first: Catalyst handles pushdown, pruning and
+join strategy; the only Python on the hot path is Arrow-vectorized.
+"""
+
+__version__ = "0.1.0"
+
+from datax_spark.session import get_spark  # noqa: F401

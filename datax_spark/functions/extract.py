@@ -1,0 +1,235 @@
+"""Deterministic HTML → text extraction. **FROZEN BYTE CONTRACT.**
+
+The north rule (BASELINE.json:6,15) requires a "trafilatura-style
+deterministic extractor guaranteeing byte-identical extracted text per
+url". trafilatura/lxml are not installed in this environment, so the
+extractor is pure stdlib (``html.parser``) with a fixed, documented spec.
+Once golden hashes are frozen (tests/fixtures/golden_extract.jsonl) this
+module is APPEND-ONLY: any change to the functions below breaks the
+byte-identity contract and replay equivalence.
+
+Spec (v1, frozen 2026-08-16):
+
+1. **Charset detection order** (for ``bytes`` input): UTF-8/UTF-16/UTF-32
+   BOM → ``<meta charset=...>`` / ``<meta http-equiv=Content-Type>`` in
+   the first 2048 bytes → strict UTF-8 → Latin-1 (never fails).
+2. **DOM handling** (``html.parser.HTMLParser``, ``convert_charrefs=True``
+   so entities and numeric character references decode to text): content
+   inside SKIP_TAGS (script/style/head/nav/…) is dropped, tracked with a
+   per-tag depth counter so malformed nesting degrades deterministically.
+3. **Block structure**: BLOCK_TAGS open/close and <br>/<hr> emit a line
+   break; everything else (including raw newlines in source text) is
+   inline whitespace.
+4. **Whitespace canonicalization**: within each block-delimited line,
+   runs of Unicode whitespace (incl. source newlines) collapse to a
+   single ASCII space and the line is stripped; empty lines are dropped;
+   lines join with a single "\\n".
+5. **Unicode normalization**: NFC over the final string.
+
+All of this is vectorized for the hot path via an Arrow pandas UDF
+(Iterator[Series] → Iterator[Series] form, so per-batch Python overhead
+amortizes) — no per-row Python UDF anywhere (BASELINE.json:15).
+"""
+
+from __future__ import annotations
+
+import codecs
+import re
+import unicodedata
+from collections.abc import Iterator
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EXTRACTOR_SPEC_VERSION = 1
+
+# Content inside these tags is never text (trafilatura-style boilerplate
+# removal: chrome, scripts, embedded data).
+SKIP_TAGS = frozenset(
+    {
+        "script",
+        "style",
+        "noscript",
+        "template",
+        "head",
+        "nav",
+        "header",
+        "footer",
+        "aside",
+        "form",
+        "iframe",
+        "svg",
+        "select",
+        "option",
+        "button",
+        "object",
+        "embed",
+        "applet",
+        "canvas",
+        "audio",
+        "video",
+        "map",
+        "figcaption",
+    }
+)
+
+# Opening or closing one of these forces a line break.
+BLOCK_TAGS = frozenset(
+    {
+        "address",
+        "article",
+        "blockquote",
+        "body",
+        "caption",
+        "dd",
+        "div",
+        "dl",
+        "dt",
+        "fieldset",
+        "figure",
+        "h1",
+        "h2",
+        "h3",
+        "h4",
+        "h5",
+        "h6",
+        "html",
+        "legend",
+        "li",
+        "main",
+        "ol",
+        "p",
+        "pre",
+        "section",
+        "summary",
+        "table",
+        "tbody",
+        "td",
+        "tfoot",
+        "th",
+        "thead",
+        "tr",
+        "ul",
+    }
+)
+
+_LINE_BREAK_VOID = frozenset({"br", "hr"})
+
+_META_CHARSET_RE = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?\s*([A-Za-z0-9_.:\-]+)""", re.IGNORECASE
+)
+
+# Block-boundary sentinel: a code point that cannot survive handle_data
+# whitespace collapse and is vanishingly unlikely in real text.
+_BLOCK_BREAK = "\x00"
+
+
+def decode_html(raw: bytes | str) -> str:
+    """Decode html bytes to str with the frozen charset-detection order."""
+    if isinstance(raw, str):
+        return raw
+    if raw.startswith(codecs.BOM_UTF8):
+        return raw[len(codecs.BOM_UTF8) :].decode("utf-8", errors="replace")
+    for bom, enc in (
+        (codecs.BOM_UTF32_LE, "utf-32-le"),
+        (codecs.BOM_UTF32_BE, "utf-32-be"),
+        (codecs.BOM_UTF16_LE, "utf-16-le"),
+        (codecs.BOM_UTF16_BE, "utf-16-be"),
+    ):
+        if raw.startswith(bom):
+            return raw[len(bom) :].decode(enc, errors="replace")
+    m = _META_CHARSET_RE.search(raw[:2048])
+    if m:
+        name = m.group(1).decode("ascii", errors="ignore")
+        try:
+            codec = codecs.lookup(name)
+            return raw.decode(codec.name, errors="strict")
+        except (LookupError, UnicodeDecodeError):
+            pass
+    try:
+        return raw.decode("utf-8", errors="strict")
+    except UnicodeDecodeError:
+        return raw.decode("latin-1")
+
+
+class _TextExtractor(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._skip_depth = 0
+        self._parts: list[str] = []
+        self._title_parts: list[str] = []
+        self._in_title = 0
+
+    def handle_starttag(self, tag: str, attrs) -> None:  # noqa: ANN001
+        if tag == "title":
+            self._in_title += 1
+        if tag in SKIP_TAGS:
+            self._skip_depth += 1
+        elif tag in BLOCK_TAGS or tag in _LINE_BREAK_VOID:
+            self._parts.append(_BLOCK_BREAK)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:  # noqa: ANN001
+        if tag in BLOCK_TAGS or tag in _LINE_BREAK_VOID:
+            self._parts.append(_BLOCK_BREAK)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "title" and self._in_title > 0:
+            self._in_title -= 1
+        if tag in SKIP_TAGS:
+            if self._skip_depth > 0:
+                self._skip_depth -= 1
+        elif tag in BLOCK_TAGS:
+            self._parts.append(_BLOCK_BREAK)
+
+    def handle_data(self, data: str) -> None:
+        if self._in_title:
+            self._title_parts.append(data)
+        if self._skip_depth == 0 and data:
+            self._parts.append(data)
+
+    def text(self) -> str:
+        lines: list[str] = []
+        for rawline in "".join(self._parts).split(_BLOCK_BREAK):
+            collapsed = " ".join(rawline.split())
+            if collapsed:
+                lines.append(collapsed)
+        return unicodedata.normalize("NFC", "\n".join(lines))
+
+    def title(self) -> str | None:
+        t = " ".join("".join(self._title_parts).split())
+        return unicodedata.normalize("NFC", t) if t else None
+
+
+def _parse(raw: bytes | str | None) -> _TextExtractor:
+    p = _TextExtractor()
+    if raw is not None:
+        p.feed(decode_html(raw))
+        p.close()
+    return p
+
+
+def extract_text(raw: bytes | str | None) -> str | None:
+    """Pure-python core; the pandas UDF and the golden oracle share it."""
+    if raw is None:
+        return None
+    return _parse(raw).text()
+
+
+def extract_title(raw: bytes | str | None) -> str | None:
+    if raw is None:
+        return None
+    return _parse(raw).title()
+
+
+@F.pandas_udf(T.StringType())
+def extract_text_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    for s in batches:
+        yield s.map(extract_text)
+
+
+@F.pandas_udf(T.StringType())
+def extract_title_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    for s in batches:
+        yield s.map(extract_title)

@@ -1,0 +1,39 @@
+"""Key partitioning + skew salting (SURVEY.md §2.2 P4, §2.7 T8).
+
+The engine's physical layout is **url-hash partitioning**: a row lands in
+partition ``pmod(xxhash64(url), num_partitions)``. xxhash64 is JVM-side,
+codegen'd and stable across Spark versions — deterministic partitioning is
+what makes replay produce identical file layouts (BASELINE.json:6).
+
+Hot-domain skew (zipf-distributed domains) is handled with **explicit
+salting**: a salt derived from a second, independent hash of a
+high-cardinality column (``lsn``) splits one hot key across
+``salt_factor`` reducers. Salting is applied only where a full shuffle on
+the raw key would bottleneck on one reducer (the LWW pre-combine, the
+extraction repartition); the salt never reaches storage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def url_partition(key: Column | str, num_partitions: int) -> Column:
+    """Stable storage partition id for a key: pmod(xxhash64(key), P)."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.pmod(F.xxhash64(c), F.lit(num_partitions)).cast("int")
+
+
+def salted_key(key: Column | str, salt_from: Column | str, salt_factor: int) -> Column:
+    """Composite shuffle key (key, salt) that splits hot keys.
+
+    ``salt_from`` must be high-cardinality (e.g. lsn) so the salt is
+    deterministic — replay partitions identically (no rand()).
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    s = F.col(salt_from) if isinstance(salt_from, str) else salt_from
+    return F.struct(
+        k.alias("k"),
+        F.pmod(F.xxhash64(s), F.lit(salt_factor)).cast("int").alias("salt"),
+    )

@@ -1,0 +1,101 @@
+"""Text-analysis operators for training-data pipelines — all built-in
+`pyspark.sql.functions` expressions (JVM-side, whole-stage codegen; no
+Python on the hot path). Each returns Column(s) usable over the
+`documents` table or any string column.
+
+Design notes for 100 TB: every function here is a narrow projection over
+one string column — scans prune to (doc_id, text) at the parquet footer,
+and the expressions pipeline inside one codegen stage (no shuffle at all
+until the caller aggregates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# word-marker tables for the n-gram-heuristic language identifier.
+# Deliberately tiny and frozen — deterministic, explainable, and easily
+# mirrored in the DuckDB oracle. Real pipelines swap in fastText etc.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "los", "las", "es", "y"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+STOPWORDS_EN = ("the", "and", "of", "to", "a", "in", "is", "it", "for", "on")
+
+# BPE-ish token pattern: letter runs, digit runs, single other glyphs
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def _count_marker(text: Column, marker: str) -> Column:
+    """Occurrences of ``marker`` as a token: length-difference trick —
+    pure string arithmetic, no regex engine, vectorizes in codegen."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    needle = f" {marker} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("int")
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {
+        lang: sum(_count_marker(text, m) for m in markers).alias(f"score_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over marker scores; ties break by language-code order
+    (deterministic). 'und' when no marker hits at all."""
+    scores = lang_scores(text)
+    langs = sorted(scores)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    result = F.lit("und")
+    for lang in reversed(langs):  # earlier langs override on ties
+        result = F.when(scores[lang] == best, F.lit(lang)).otherwise(result)
+    return F.when(best > 0, result).otherwise(F.lit("und"))
+
+
+def ws_token_count(text: Column) -> Column:
+    """Whitespace tokens, empty tokens excluded."""
+    return F.size(F.filter(F.split(text, " "), lambda t: t != ""))
+
+
+def regex_token_count(text: Column) -> Column:
+    """BPE-ish token count via TOKEN_REGEX."""
+    return F.regexp_count(text, F.lit(TOKEN_REGEX))
+
+
+def punct_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit("[^A-Za-z0-9\\s]"))
+
+
+def stopword_count(text: Column) -> Column:
+    return sum(_count_marker(F.lower(text), s) for s in STOPWORDS_EN).cast("int")
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic [0,1] quality heuristic: length band, reasonable
+    mean word length, some stopwords, low punctuation density."""
+    n_tok = ws_token_count(text)
+    n_char = F.length(text)
+    mean_wl = F.when(n_tok > 0, n_char / n_tok).otherwise(F.lit(0.0))
+    len_ok = F.when((n_char >= 100) & (n_char <= 20000), 1.0).otherwise(0.3)
+    wl_ok = F.when((mean_wl >= 3.0) & (mean_wl <= 12.0), 1.0).otherwise(0.4)
+    stop_ratio = F.when(n_tok > 0, stopword_count(text) / n_tok).otherwise(F.lit(0.0))
+    stop_ok = F.when(stop_ratio >= 0.05, 1.0).otherwise(0.5)
+    punct_ratio = F.when(n_char > 0, punct_count(text) / n_char).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio <= 0.2, 1.0).otherwise(0.2)
+    return F.round((len_ok * 0.3 + wl_ok * 0.3 + stop_ok * 0.2 + punct_ok * 0.2), 4)
+
+
+def normalized_fingerprint(text: Column) -> Column:
+    """Document fingerprint over canonicalized content: lowercase +
+    whitespace-collapse, then md5. Stable under formatting-only edits."""
+    canon = F.trim(F.regexp_replace(F.lower(text), "\\s+", " "))
+    return F.md5(canon)

@@ -1,0 +1,382 @@
+"""Iceberg-modeled table format in pure PySpark + JSON metadata.
+
+The real ``iceberg-spark-runtime`` jar cannot be fetched in this offline
+sandbox (SURVEY.md §0.1), so the sink implements the same *model* —
+immutable parquet data files + versioned snapshot metadata + atomic
+optimistic commit — with an API shaped so the real Iceberg catalog can be
+swapped in on a cluster with one adapter.
+
+Layout::
+
+    <root>/data/pid=<P>/<file>.parquet     immutable data files
+    <root>/metadata/v<N>.metadata.json     snapshot N (full manifest)
+    <root>/metadata/version-hint.text      current version pointer
+    <root>/lineage/epoch=<E>/*.parquet     per-partition lineage metrics
+
+Key properties (all load-bearing for the north rule, BASELINE.json:6):
+
+* **Atomic commit, optimistic concurrency**: metadata is staged to a tmp
+  file then published with ``os.link`` (fails if the version already
+  exists → ``TableCommitConflict``), then the hint file is swapped via
+  rename. Readers resolve the hint, then the immutable snapshot.
+* **Idempotence ledger**: each snapshot carries the cumulative set of
+  applied ``(checkpoint_epoch, partition_id)`` keys; replaying a
+  committed epoch is a metadata no-op.
+* **Orphan tolerance**: data files not referenced by a committed snapshot
+  are ignored by readers (Iceberg's own rule), so a crash between data
+  write and metadata publish is harmless on replay.
+* **Schema evolution**: schemas are an append-only list with schema ids;
+  readers apply the current schema to old files (missing columns read as
+  null — parquet reader semantics), which is exactly additive evolution.
+* **Scan pruning**: the manifest stores per-file partition id, row count
+  and min/max url. Partition-level pruning + conservative min/max file
+  pruning keep MERGE from rewriting untouched files. At 100 TB this is
+  what bounds write amplification: an epoch touching K urls rewrites
+  O(files containing those urls), not the table.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import uuid
+from pathlib import Path
+from typing import Any
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+FORMAT_VERSION = 1
+
+
+class TableCommitConflict(RuntimeError):
+    """Another writer committed this version first (optimistic CAS lost)."""
+
+
+def _key_stats(meta: "pq.FileMetaData", key: str) -> tuple[str, str]:
+    """min/max of the key column from parquet footer statistics only —
+    no data pages are read (files are sorted by key, stats are exact)."""
+    idx = meta.schema.to_arrow_schema().get_field_index(key)
+    mins: list[str] = []
+    maxs: list[str] = []
+    for rg in range(meta.num_row_groups):
+        st = meta.row_group(rg).column(idx).statistics
+        if st is not None and st.has_min_max:
+            lo = st.min if isinstance(st.min, str) else st.min.decode("utf-8")
+            hi = st.max if isinstance(st.max, str) else st.max.decode("utf-8")
+            # stats may be length-truncated for long strings; a truncated
+            # min is already a conservative lower bound, a truncated max
+            # must be padded up to stay an upper bound.
+            if len(hi) >= 64:
+                hi += "￿"
+            mins.append(lo)
+            maxs.append(hi)
+    return (min(mins), max(maxs)) if mins else ("", "￿")
+
+
+def _schema_to_json(schema: T.StructType) -> dict:
+    return json.loads(schema.json())
+
+
+def _schema_from_json(j: dict) -> T.StructType:
+    return T.StructType.fromJson(j)
+
+
+class IceTable:
+    def __init__(self, spark: SparkSession, root: str | Path):
+        self.spark = spark
+        self.root = Path(root)
+        self.meta_dir = self.root / "metadata"
+        self.data_dir = self.root / "data"
+        self.lineage_dir = self.root / "lineage"
+
+    # ------------------------------------------------------------------ #
+    # lifecycle
+    # ------------------------------------------------------------------ #
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str | Path,
+        schema: T.StructType,
+        num_partitions: int = 16,
+        key_column: str = "url",
+    ) -> "IceTable":
+        t = cls(spark, root)
+        if (t.meta_dir / "version-hint.text").exists():
+            raise FileExistsError(f"table already exists at {root}")
+        t.meta_dir.mkdir(parents=True, exist_ok=True)
+        t.data_dir.mkdir(parents=True, exist_ok=True)
+        t.lineage_dir.mkdir(parents=True, exist_ok=True)
+        meta = {
+            "format_version": FORMAT_VERSION,
+            "table_uuid": str(uuid.uuid5(uuid.NAMESPACE_URL, str(root))),
+            "version": 0,
+            "parent_version": None,
+            "schema_id": 0,
+            "schemas": [{"schema_id": 0, "schema": _schema_to_json(schema)}],
+            "partition_spec": {"num_partitions": num_partitions, "key": key_column},
+            "manifest": [],
+            "commits": {},
+            "summary": {"total_rows": 0},
+        }
+        t._publish(meta)
+        return t
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str | Path) -> "IceTable":
+        t = cls(spark, root)
+        t.current_version()  # raises if absent
+        return t
+
+    # ------------------------------------------------------------------ #
+    # metadata
+    # ------------------------------------------------------------------ #
+    def current_version(self) -> int:
+        return int((self.meta_dir / "version-hint.text").read_text().strip())
+
+    def metadata(self, version: int | None = None) -> dict[str, Any]:
+        v = self.current_version() if version is None else version
+        return json.loads((self.meta_dir / f"v{v}.metadata.json").read_text())
+
+    def schema(self, version: int | None = None) -> T.StructType:
+        meta = self.metadata(version)
+        sid = meta["schema_id"]
+        for s in meta["schemas"]:
+            if s["schema_id"] == sid:
+                return _schema_from_json(s["schema"])
+        raise KeyError(f"schema_id {sid} not in metadata")
+
+    @property
+    def num_partitions(self) -> int:
+        return self.metadata()["partition_spec"]["num_partitions"]
+
+    @property
+    def key_column(self) -> str:
+        return self.metadata()["partition_spec"]["key"]
+
+    def is_committed(self, epoch: int, partition_id: int, version: int | None = None) -> bool:
+        return f"{epoch}:{partition_id}" in self.metadata(version)["commits"]
+
+    def committed_epochs(self, version: int | None = None) -> set[int]:
+        return {int(k.split(":")[0]) for k in self.metadata(version)["commits"]}
+
+    # ------------------------------------------------------------------ #
+    # read path
+    # ------------------------------------------------------------------ #
+    def read(self, version: int | None = None, with_lsn: bool = False) -> DataFrame:
+        return self._read_files(self.metadata(version)["manifest"], version, with_lsn)
+
+    def read_partitions(
+        self,
+        partition_ids: set[int],
+        version: int | None = None,
+        with_lsn: bool = False,
+        pid_url_ranges: dict[int, tuple[str, str]] | None = None,
+    ) -> tuple[DataFrame, list[dict]]:
+        """Pruned scan: only files in ``partition_ids``, and — when the
+        per-partition batch url envelope is supplied — only files whose
+        [min_url, max_url] overlaps their partition's envelope
+        (conservative: a skipped file provably contains no batch url).
+        Returns the DataFrame and the pruned-in file entries (the MERGE
+        rewrite set).
+        """
+        files = []
+        for f in self.metadata(version)["manifest"]:
+            pid = f["partition_id"]
+            if pid not in partition_ids:
+                continue
+            if pid_url_ranges is not None and pid in pid_url_ranges:
+                lo, hi = pid_url_ranges[pid]
+                if f["max_url"] < lo or f["min_url"] > hi:
+                    continue
+            files.append(f)
+        return self._read_files(files, version, with_lsn), files
+
+    def _read_files(self, files: list[dict], version: int | None, with_lsn: bool) -> DataFrame:
+        schema = self.schema(version)
+        if with_lsn:
+            schema = T.StructType(schema.fields + [T.StructField("_lsn", T.LongType(), True)])
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        paths = [str(self.root / f["path"]) for f in files]
+        # explicit schema → old files lacking evolved columns yield nulls
+        # (additive schema evolution on read, ST4) and the scan prunes
+        # unrequested columns at the parquet footer level.
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def read_lineage(self) -> DataFrame:
+        if not self.lineage_dir.exists() or not any(self.lineage_dir.iterdir()):
+            return self.spark.createDataFrame([], LINEAGE_SCHEMA)
+        return self.spark.read.schema(LINEAGE_SCHEMA).parquet(str(self.lineage_dir / "*" / "*.parquet"))
+
+    # ------------------------------------------------------------------ #
+    # write path
+    # ------------------------------------------------------------------ #
+    def stage_data_files(self, df: DataFrame, epoch: int, pid_column: str = "_pid") -> list[dict]:
+        """Write ``df`` (sorted within partitions by key) as immutable data
+        files under data/, one directory per partition id; returns manifest
+        entries. Files become visible only when a snapshot referencing
+        them commits — until then they are ignorable orphans.
+        """
+        staging = self.root / f"_staging-e{epoch:05d}-{uuid.uuid4().hex[:8]}"
+        key = self.key_column
+        (
+            df.repartition(pid_column)
+            .sortWithinPartitions(pid_column, key)
+            .write.partitionBy(pid_column)
+            .mode("overwrite")
+            .parquet(str(staging))
+        )
+        entries: list[dict] = []
+        for pid_dir in sorted(staging.glob(f"{pid_column}=*")):
+            pid = int(pid_dir.name.split("=")[1])
+            seq = 0
+            for part in sorted(pid_dir.glob("*.parquet")):
+                meta = pq.read_metadata(part)
+                if meta.num_rows == 0:
+                    continue
+                name = f"e{epoch:05d}-{seq:03d}-{uuid.uuid4().hex[:8]}.parquet"
+                dest_dir = self.data_dir / f"pid={pid}"
+                dest_dir.mkdir(parents=True, exist_ok=True)
+                dest = dest_dir / name
+                os.replace(part, dest)
+                min_url, max_url = _key_stats(meta, key)
+                entries.append(
+                    {
+                        "path": str(dest.relative_to(self.root)),
+                        "partition_id": pid,
+                        "rows": meta.num_rows,
+                        "min_url": min_url,
+                        "max_url": max_url,
+                        "added_epoch": epoch,
+                    }
+                )
+                seq += 1
+        shutil.rmtree(staging, ignore_errors=True)
+        return entries
+
+    def commit(
+        self,
+        epoch: int,
+        partition_ids: set[int],
+        added_files: list[dict],
+        removed_paths: set[str],
+        new_schema: T.StructType | None = None,
+        summary_extra: dict | None = None,
+    ) -> int:
+        """Publish a new snapshot: manifest = old − removed + added;
+        idempotence keys ``(epoch, pid)`` recorded; atomic CAS publish."""
+        meta = self.metadata()
+        new_version = meta["version"] + 1
+        manifest = [f for f in meta["manifest"] if f["path"] not in removed_paths] + added_files
+        commits = dict(meta["commits"])
+        commit_id = hashlib.sha256(
+            json.dumps(
+                [epoch, sorted(f["path"] for f in added_files), sorted(removed_paths)]
+            ).encode()
+        ).hexdigest()[:16]
+        for pid in partition_ids:
+            commits[f"{epoch}:{pid}"] = commit_id
+        schemas = meta["schemas"]
+        schema_id = meta["schema_id"]
+        if new_schema is not None and _schema_to_json(new_schema) != schemas[schema_id]["schema"]:
+            schema_id = len(schemas)
+            schemas = schemas + [{"schema_id": schema_id, "schema": _schema_to_json(new_schema)}]
+        new_meta = {
+            **meta,
+            "version": new_version,
+            "parent_version": meta["version"],
+            "schema_id": schema_id,
+            "schemas": schemas,
+            "manifest": manifest,
+            "commits": commits,
+            "summary": {
+                "total_rows": sum(f["rows"] for f in manifest),
+                "last_epoch": epoch,
+                "commit_id": commit_id,
+                **(summary_extra or {}),
+            },
+        }
+        self._publish(new_meta)
+        return new_version
+
+    def _publish(self, meta: dict) -> None:
+        v = meta["version"]
+        final = self.meta_dir / f"v{v}.metadata.json"
+        tmp = self.meta_dir / f".tmp-{uuid.uuid4().hex}.json"
+        tmp.write_text(json.dumps(meta, indent=1, sort_keys=True))
+        try:
+            os.link(tmp, final)  # atomic create-if-absent: the CAS
+        except FileExistsError as e:
+            raise TableCommitConflict(f"version {v} already committed") from e
+        finally:
+            tmp.unlink(missing_ok=True)
+        hint_tmp = self.meta_dir / f".hint-{uuid.uuid4().hex}"
+        hint_tmp.write_text(str(v))
+        os.replace(hint_tmp, self.meta_dir / "version-hint.text")
+
+    def write_lineage(self, epoch: int, rows: list[dict]) -> None:
+        """Append per-partition lineage metrics for an epoch (idempotent:
+        an existing epoch directory is left untouched on replay)."""
+        import pyarrow as pa
+
+        dest = self.lineage_dir / f"epoch={epoch}"
+        if dest.exists():
+            return
+        tmp = self.lineage_dir / f".tmp-{uuid.uuid4().hex}"
+        tmp.mkdir(parents=True)
+        arrays = {
+            f.name: pa.array([r.get(f.name) for r in rows], type=_PA_TYPES[f.name])
+            for f in LINEAGE_SCHEMA.fields
+        }
+        pq.write_table(pa.table(arrays), tmp / "lineage.parquet")
+        try:
+            os.rename(tmp, dest)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("checkpoint_epoch", T.LongType()),
+        T.StructField("partition_id", T.IntegerType()),
+        T.StructField("start_offset", T.LongType()),
+        T.StructField("end_offset", T.LongType()),
+        T.StructField("lsn_watermark", T.LongType()),
+        T.StructField("rows_in", T.LongType()),
+        T.StructField("rows_upserted", T.LongType()),
+        T.StructField("rows_deleted", T.LongType()),
+        T.StructField("rows_dirty", T.LongType()),
+        T.StructField("commit_id", T.StringType()),
+        T.StructField("wall_ms", T.LongType()),
+    ]
+)
+
+_PA_TYPES: dict[str, Any] = {}
+
+
+def _init_pa_types() -> None:
+    import pyarrow as pa
+
+    _PA_TYPES.update(
+        {
+            "checkpoint_epoch": pa.int64(),
+            "partition_id": pa.int32(),
+            "start_offset": pa.int64(),
+            "end_offset": pa.int64(),
+            "lsn_watermark": pa.int64(),
+            "rows_in": pa.int64(),
+            "rows_upserted": pa.int64(),
+            "rows_deleted": pa.int64(),
+            "rows_dirty": pa.int64(),
+            "commit_id": pa.string(),
+            "wall_ms": pa.int64(),
+        }
+    )
+
+
+_init_pa_types()

@@ -1,0 +1,246 @@
+"""Deduplication operator family for web-scale corpora.
+
+Exact, MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine
+near-dup — each as a pure DataFrame composition (no Python UDF) so the
+plan stays in whole-stage codegen end to end and every shuffle is an
+explicit, keyed exchange.
+
+Portability note: hashes are md5 hex strings (identical in Spark SQL and
+DuckDB), so the driver's oracle comparison checks these operators
+value-for-value, not just row counts. md5 is uniform enough for MinHash
+and the bit extraction used by SimHash; xxhash64 would be faster but is
+Spark-only.
+
+Scale notes (100 TB corpus):
+* exact/normalized dedup — one hash-aggregate, map-side combined.
+* MinHash signatures are one explode + one groupBy(doc) agg; the LSH
+  band join is an equi-join on (band, bucket) — shuffle keyed on bucket,
+  hot buckets split by AQE skew handling; candidate verification joins
+  only within buckets, never all-pairs.
+* n-gram Jaccard restricts pair generation to shared-shingle docs —
+  still the classic quadratic blowup on common shingles, so callers
+  bound it with ``max_shingle_freq`` (drop shingles occurring in more
+  than N docs — a stopword-shingle filter that keeps the join sparse).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, token) pairs, whitespace-split, empties dropped, distinct."""
+    return (
+        df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: (text_md5, n_docs, keep_id)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def normalized_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Dedup after lowercase + whitespace canonicalization."""
+    canon = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
+    return (
+        df.groupBy(F.md5(canon).alias("canon_md5"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def minhash_signatures(
+    tok: DataFrame, k: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """k-row MinHash signature per doc: min over tokens of
+    md5(seed || ':' || token) for each seed — one aggregate, k columns."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("tok")))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return tok.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    jaccard_threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact-Jaccard verify.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded 4dp.
+    """
+    rows_per_band = k // bands
+    tok = tokens(df, id_col, text_col)
+    sig = minhash_signatures(tok, k, id_col)
+    band_cols = [
+        F.md5(
+            F.concat_ws(",", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(id_col, *band_cols)
+    buckets = banded.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.concat(F.lit(f"{b}:"), F.col(f"band{b}")) for b in range(bands)
+            ])
+        ).alias("bucket"),
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return _verify_jaccard(cand, tok, id_col, jaccard_threshold)
+
+
+def _verify_jaccard(
+    cand: DataFrame, tok: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
+    ta = tok.withColumnRenamed(id_col, "id_a")
+    tb = tok.withColumnRenamed(id_col, "id_b")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_tok", "n_a")
+    sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_tok", "n_b")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash16(tok: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Portable 16-bit SimHash: bit b of a token = high bit of hex nibble
+    b of md5(token); per-doc bit = sign of Σ(±1). Returns (id, simhash)
+    as a 16-char bitstring."""
+    hexdig = F.md5(F.col("tok"))
+    contribs = [
+        F.when(
+            F.substring(hexdig, b + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1
+        )
+        .otherwise(-1)
+        .alias(f"c{b}")
+        for b in range(16)
+    ]
+    per_tok = tok.select(id_col, *contribs)
+    sums = per_tok.groupBy(id_col).agg(*[F.sum(f"c{b}").alias(f"s{b}") for b in range(16)])
+    bits = [F.when(F.col(f"s{b}") > 0, "1").otherwise("0") for b in range(16)]
+    return sums.select(id_col, F.concat(*bits).alias("simhash"))
+
+
+def simhash_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Docs sharing an identical 16-bit SimHash (near-dup classes):
+    (simhash, n_docs, keep_id)."""
+    sh = simhash16(tokens(df, id_col, text_col), id_col)
+    return sh.groupBy("simhash").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id")
+    )
+
+
+def word_shingles(
+    df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc via array slicing — no UDF."""
+    arr = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    df2 = df.select(id_col, arr.alias("toks"))
+    idx = F.explode(F.sequence(F.lit(1), F.greatest(F.size("toks") - (n - 1), F.lit(0)))).alias("i")
+    out = df2.select(id_col, "toks", idx)
+    shingle = F.concat_ws(" ", *[F.element_at("toks", F.col("i") + j) for j in range(n)])
+    return out.select(id_col, shingle.alias("shingle")).distinct()
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    jaccard_threshold: float = 0.5,
+    max_shingle_freq: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by word-n-gram Jaccard. Pair generation joins on
+    shared shingles, with ultra-common shingles dropped (frequency cap)
+    to keep the candidate join sparse at scale."""
+    sh = word_shingles(df, n, id_col, text_col)
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_freq"))
+        .filter(F.col("df_freq") <= max_shingle_freq)
+        .select("shingle")
+    )
+    sh_r = sh.join(rare, "shingle")
+    a = sh_r.alias("a")
+    b = sh_r.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    tok = sh.withColumnRenamed("shingle", "tok")
+    return _verify_jaccard(cand, tok, id_col, jaccard_threshold)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.99,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked on ``block_col`` so the
+    self-join is per-block instead of all-pairs (at scale the block key
+    is an LSH bucket or IVF cell; here the provided label)."""
+    a = df.alias("a")
+    b = df.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.col(f"{side}.{vec_col}"),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(dot / (norm("a") * norm("b")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

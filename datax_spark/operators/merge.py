@@ -1,0 +1,219 @@
+"""Exactly-once MERGE INTO apply — the engine's native sink operator.
+
+Reimagines DataX's Writer plugins (reference scope: README.md:2 names ten
+batch sinks) as an Iceberg-style copy-on-write MERGE with idempotent
+snapshot commits keyed on ``(checkpoint_epoch, partition_id)``
+(BASELINE.json:6,14 — normative).
+
+One epoch application, end to end::
+
+    raw events ──split_dirty──▶ clean ──LWW(max_by)──▶ resolved (1 row/url)
+        │                                   │ extract text/title (Arrow UDF)
+        └──▶ quarantine counts              ▼
+    target (pruned: affected pids ∩ file url-envelopes, via manifest)
+        ⟗ full_outer on url, lsn-guarded ──▶ merged partitions
+        ──▶ immutable data files ──▶ atomic snapshot commit + lineage
+
+Scale notes (the parts that matter at 10^10 events / 100 TB):
+
+* LWW runs BEFORE extraction, so the expensive UDF sees one row per key,
+  not one per event; LWW itself map-side-combines (see operators/lww.py).
+* The target scan is pruned twice from the manifest (partition ids, then
+  per-partition url envelopes) — an epoch touching K urls reads and
+  rewrites O(files containing them), never the table.
+* The resolved batch is persisted (memory+disk) because it feeds three
+  consumers (stats agg, merge join, lineage); without it the extraction
+  UDF would run per consumer.
+* The merge join broadcasts the batch side when small (Catalyst/AQE
+  decides; the batch stats give it fresh size info via the persist).
+* Driver-side collects are bounded by the partition count (≤ P rows),
+  never by data volume.
+* The cross-epoch lsn guard (``batch.lsn > target._lsn``) makes late or
+  replayed events per-row no-ops — exactly-once composes from idempotent
+  epoch commits + this guard.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
+
+from datax_spark.functions.extract import extract_text_udf
+from datax_spark.functions.hashing import url_partition
+from datax_spark.icetable.table import IceTable
+from datax_spark.operators.lww import lww_resolve
+from datax_spark.operators.quarantine import check_error_budget, split_dirty
+
+# columns that exist on the wire but never reach storage
+_WIRE_ONLY = ("op", "lsn")
+
+
+@dataclass
+class EpochStats:
+    epoch: int
+    version: int | None = None
+    skipped: bool = False
+    rows_in: int = 0
+    rows_dirty: int = 0
+    rows_upserted: int = 0
+    rows_deleted: int = 0
+    affected_partitions: int = 0
+    wall_ms: int = 0
+    evolved_columns: list[str] = field(default_factory=list)
+
+
+def apply_epoch(
+    table: IceTable,
+    events: DataFrame,
+    epoch: int,
+    start_offset: int = 0,
+    end_offset: int = 0,
+    lww_strategy: str = "max_by",
+    error_budget: float | None = None,
+    extract: bool = True,
+) -> EpochStats:
+    """Apply one change-event batch to the table, exactly once."""
+    t0 = time.monotonic()
+    stats = EpochStats(epoch=epoch)
+    key = table.key_column
+    num_p = table.num_partitions
+
+    if epoch in table.committed_epochs():
+        # replayed epoch: every (epoch, pid) key is already in the ledger
+        stats.skipped = True
+        return stats
+
+    clean, dirty = split_dirty(events)
+
+    resolved = lww_resolve(clean, key=key, order="lsn", strategy=lww_strategy)
+    if extract and "html" in resolved.columns:
+        resolved = resolved.withColumn(
+            "text",
+            F.when(F.col("op") != "D", extract_text_udf(F.col("html"))),
+        )
+    resolved = resolved.withColumn("_pid", url_partition(key, num_p))
+    resolved = resolved.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # ---- driver-side stats: bounded by P, not by data volume ----------- #
+    pid_rows = (
+        resolved.groupBy("_pid")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_del"),
+            F.max("lsn").alias("max_lsn"),
+            F.min(key).alias("min_url"),
+            F.max(key).alias("max_url"),
+        )
+        .collect()
+    )
+    in_rows = (
+        clean.groupBy(url_partition(key, num_p).alias("_pid"))
+        .agg(F.count(F.lit(1)).alias("rows_in"))
+        .collect()
+    )
+    rows_in_by_pid = {r["_pid"]: r["rows_in"] for r in in_rows}
+    stats.rows_in = sum(rows_in_by_pid.values())
+    stats.rows_dirty = dirty.count()
+    check_error_budget(stats.rows_in + stats.rows_dirty, stats.rows_dirty, error_budget)
+
+    affected = {r["_pid"] for r in pid_rows}
+    # partial-replay safety: pids of this epoch already in the ledger
+    # (crash after a commit that covered them) must not re-apply
+    already = {pid for pid in affected if table.is_committed(epoch, pid)}
+    if already:
+        affected -= already
+        resolved = resolved.filter(~F.col("_pid").isin(*[int(p) for p in already]))
+    if not affected:
+        resolved.unpersist()
+        stats.skipped = True
+        return stats
+    envelopes = {r["_pid"]: (r["min_url"], r["max_url"]) for r in pid_rows}
+
+    # ---- schema evolution (ST4): batch columns ∖ table columns --------- #
+    table_schema = table.schema()
+    table_cols = [f.name for f in table_schema.fields]
+    batch_only = [
+        f
+        for f in resolved.schema.fields
+        if f.name not in table_cols and f.name not in _WIRE_ONLY and f.name not in ("_pid",)
+    ]
+    out_fields = list(table_schema.fields) + [
+        T.StructField(f.name, f.dataType, True) for f in batch_only
+    ]
+    new_schema = T.StructType(out_fields)
+    out_cols = [f.name for f in new_schema.fields]
+    stats.evolved_columns = [f.name for f in batch_only]
+
+    # ---- pruned target scan + lsn-guarded full-outer MERGE ------------- #
+    target, rewrite_files = table.read_partitions(
+        affected, with_lsn=True, pid_url_ranges=envelopes
+    )
+    b = resolved.alias("b")
+    t = target.alias("t")
+    joined = t.join(b, F.col(f"t.{key}") == F.col(f"b.{key}"), "full_outer")
+    take_batch = F.col("b.op").isNotNull() & (
+        F.col("t._lsn").isNull() | (F.col("b.lsn") > F.col("t._lsn"))
+    )
+    is_delete = take_batch & (F.col("b.op") == "D")
+    merged = joined.filter(~is_delete).select(
+        *[
+            F.when(take_batch, F.col(f"b.{c}") if c in resolved.columns else F.lit(None))
+            .otherwise(F.col(f"t.{c}") if c in target.columns else F.lit(None))
+            .alias(c)
+            for c in out_cols
+        ],
+        F.when(take_batch, F.col("b.lsn")).otherwise(F.col("t._lsn")).alias("_lsn"),
+        F.when(take_batch, F.col("b._pid"))
+        .otherwise(url_partition(f"t.{key}", num_p))
+        .alias("_pid"),
+    )
+
+    new_files = table.stage_data_files(merged, epoch)
+
+    # ---- upsert/delete counts from resolved (1 row per key) ------------ #
+    by_pid = {r["_pid"]: r for r in pid_rows}
+    lineage_rows = []
+    commit_wall = int((time.monotonic() - t0) * 1000)
+    for pid in sorted(affected):
+        r = by_pid[pid]
+        stats.rows_upserted += r["n_keys"] - r["n_del"]
+        stats.rows_deleted += r["n_del"]
+        lineage_rows.append(
+            {
+                "checkpoint_epoch": epoch,
+                "partition_id": pid,
+                "start_offset": start_offset,
+                "end_offset": end_offset,
+                "lsn_watermark": r["max_lsn"],
+                "rows_in": rows_in_by_pid.get(pid, 0),
+                "rows_upserted": r["n_keys"] - r["n_del"],
+                "rows_deleted": r["n_del"],
+                "rows_dirty": stats.rows_dirty,
+                "commit_id": None,  # filled below
+                "wall_ms": commit_wall,
+            }
+        )
+
+    version = table.commit(
+        epoch,
+        affected,
+        new_files,
+        removed_paths={f["path"] for f in rewrite_files},
+        new_schema=new_schema if batch_only else None,
+        summary_extra={"epoch": epoch},
+    )
+    commit_id = table.metadata(version)["summary"]["commit_id"]
+    for row in lineage_rows:
+        row["commit_id"] = commit_id
+    table.write_lineage(epoch, lineage_rows)
+    resolved.unpersist()
+
+    stats.version = version
+    stats.affected_partitions = len(affected)
+    stats.wall_ms = int((time.monotonic() - t0) * 1000)
+    return stats

@@ -1,0 +1,125 @@
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datax_spark.icetable.table import IceTable, TableCommitConflict
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("val", T.LongType()),
+    ]
+)
+
+
+def _mk(spark, tmp_path, P=4):
+    return IceTable.create(spark, tmp_path / "t", SCHEMA, num_partitions=P)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(u, v, p, l) for (u, v, p, l) in rows], "url string, val long, _pid int, _lsn long"
+    )
+
+
+def test_create_load_roundtrip(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t2 = IceTable.load(spark, tmp_path / "t")
+    assert t2.current_version() == 0
+    assert t2.schema() == SCHEMA
+    assert t2.num_partitions == 4
+    assert t2.read().count() == 0
+
+
+def test_commit_and_read(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    files = t.stage_data_files(_df(spark, [("a", 1, 0, 10), ("b", 2, 1, 11)]), epoch=0)
+    v = t.commit(0, {0, 1}, files, set())
+    assert v == 1
+    got = {r["url"]: r["val"] for r in t.read().collect()}
+    assert got == {"a": 1, "b": 2}
+    # hidden _lsn readable on demand
+    assert {r["_lsn"] for r in t.read(with_lsn=True).collect()} == {10, 11}
+    assert t.is_committed(0, 0) and t.is_committed(0, 1) and not t.is_committed(1, 0)
+
+
+def test_time_travel_and_replace(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    f0 = t.stage_data_files(_df(spark, [("a", 1, 0, 1)]), epoch=0)
+    t.commit(0, {0}, f0, set())
+    f1 = t.stage_data_files(_df(spark, [("a", 99, 0, 2)]), epoch=1)
+    t.commit(1, {0}, f1, removed_paths={f0[0]["path"]})
+    assert t.read(version=1).collect()[0]["val"] == 1  # time travel
+    assert t.read().collect()[0]["val"] == 99
+
+
+def test_atomic_cas_conflict(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    f0 = t.stage_data_files(_df(spark, [("a", 1, 0, 1)]), epoch=0)
+    t.commit(0, {0}, f0, set())
+    # second writer with a stale view of version 0
+    stale = IceTable(spark, tmp_path / "t")
+    meta = stale.metadata(version=0)
+    with pytest.raises(TableCommitConflict):
+        stale._publish({**meta, "version": 1})
+
+
+def test_partition_and_file_pruning(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    rows = [(f"url{i:03d}", i, i % 4, i) for i in range(40)]
+    files = t.stage_data_files(_df(spark, rows), epoch=0)
+    t.commit(0, {0, 1, 2, 3}, files, set())
+    df, pruned = t.read_partitions({1}, pid_url_ranges=None)
+    assert {f["partition_id"] for f in pruned} == {1}
+    assert df.count() == 10
+    # envelope outside all urls of pid 1 → no files
+    _, none_files = t.read_partitions({1}, pid_url_ranges={1: ("zzz", "zzzz")})
+    assert none_files == []
+
+
+def test_schema_evolution_read_old_files(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    f0 = t.stage_data_files(_df(spark, [("a", 1, 0, 1)]), epoch=0)
+    t.commit(0, {0}, f0, set())
+    evolved = T.StructType(SCHEMA.fields + [T.StructField("title", T.StringType())])
+    df1 = spark.createDataFrame([("b", 2, "hi", 1, 2)], "url string, val long, title string, _pid int, _lsn long")
+    f1 = t.stage_data_files(df1, epoch=1)
+    v = t.commit(1, {1}, f1, set(), new_schema=evolved)
+    meta = t.metadata(v)
+    assert meta["schema_id"] == 1 and len(meta["schemas"]) == 2
+    got = {r["url"]: r["title"] for r in t.read().collect()}
+    assert got == {"a": None, "b": "hi"}  # old file null-fills new column
+
+
+def test_orphan_files_ignored(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    f0 = t.stage_data_files(_df(spark, [("a", 1, 0, 1)]), epoch=0)
+    t.commit(0, {0}, f0, set())
+    # staged but never committed (crash before commit)
+    t.stage_data_files(_df(spark, [("zz", 9, 0, 9)]), epoch=1)
+    assert t.read().count() == 1
+
+
+def test_lineage_write_idempotent(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    row = {
+        "checkpoint_epoch": 0, "partition_id": 0, "start_offset": 0, "end_offset": 1,
+        "lsn_watermark": 5, "rows_in": 3, "rows_upserted": 2, "rows_deleted": 1,
+        "rows_dirty": 0, "commit_id": "abc", "wall_ms": 12,
+    }
+    t.write_lineage(0, [row])
+    t.write_lineage(0, [{**row, "rows_in": 999}])  # replay: ignored
+    got = t.read_lineage().collect()
+    assert len(got) == 1 and got[0]["rows_in"] == 3
+
+
+def test_metadata_is_valid_json_chain(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    f0 = t.stage_data_files(_df(spark, [("a", 1, 0, 1)]), epoch=0)
+    t.commit(0, {0}, f0, set())
+    m1 = json.loads((t.meta_dir / "v1.metadata.json").read_text())
+    assert m1["parent_version"] == 0 and m1["summary"]["total_rows"] == 1
