@@ -1,0 +1,169 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Brute-force cosine top-k is the exact baseline; IVF (inverted-file)
+probing is the scale path. Both are pure DataFrame compositions —
+`zip_with`/`aggregate` keep the dot product JVM-side (no Python), and
+all ranking is deterministic (rounded score, id tie-break) so results
+are reproducible and oracle-comparable.
+
+Scale notes (10^9-vector corpus):
+* ``bruteforce_topk`` broadcasts the *query* side; cost is one full
+  corpus scan per batch of queries — right answer for recall
+  evaluation, wrong answer for serving.
+* ``ivf_topk`` restricts each query to its nearest coarse cell: search
+  cost ∝ |corpus| / n_cells × n_probe. The cell column here is the
+  pre-assigned ``label`` (stand-in for a k-means coarse quantizer);
+  centroids are computed from the data itself, so the operator works
+  for any cell assignment. The corpus-side join key (cell) is exactly
+  the storage partition key at scale — probing touches only the
+  partitions of the probed cells (partition pruning, no shuffle of the
+  corpus).
+* Floating-point: all math in double; ordering uses ``round(cs, 6)``
+  with id tie-break so rank boundaries don't flap on summation-order
+  ulps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _ranked_topk(
+    scored: DataFrame, k: int, partition_cols: list[str], extra_cols: list[str]
+) -> DataFrame:
+    w = Window.partitionBy(*partition_cols).orderBy(
+        F.round(F.col("cs"), 6).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            *partition_cols,
+            *extra_cols,
+            "neighbor_id",
+            F.round(F.col("cs"), 4).alias("cos_sim"),
+            "rank",
+        )
+    )
+
+
+def bruteforce_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cos_sim, rank).
+
+    The query set is broadcast (it's small by construction); the corpus
+    is scanned once — a map-only stage followed by a per-query top-k.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cs"))
+    )
+    out = _ranked_topk(scored, k, ["query_id"], [])
+    return out.select("query_id", "neighbor_id", "cos_sim", "rank")
+
+
+def cell_centroids(
+    corpus: DataFrame,
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Elementwise-mean centroid per cell: (cell, centroid array<double>).
+
+    posexplode → per-(cell, pos) avg → reassemble ordered by pos. One
+    shuffle keyed on (cell, pos); centroid count = n_cells, tiny.
+    """
+    comp = (
+        corpus.select(cell_col, F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x"))
+        .groupBy(cell_col, "pos")
+        .agg(F.avg("x").alias("avgv"))
+    )
+    return comp.groupBy(cell_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "avgv"))), lambda s: s.avgv
+        ).alias("centroid")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """IVF ANN: assign each query to its nearest centroid cell (n_probe=1),
+    then exact top-k within that cell only.
+
+    Returns (query_id, probe_cell, neighbor_id, cos_sim, rank).
+    """
+    cents = F.broadcast(
+        cell_centroids(corpus, cell_col, vec_col).select(
+            F.col(cell_col).alias("probe_cell"), "centroid"
+        )
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    aw = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("ccs"), 6).desc(), F.col("probe_cell").asc()
+    )
+    assign = (
+        q.crossJoin(cents)
+        .select(
+            "query_id", "qv", "probe_cell",
+            cosine(F.col("qv"), F.col("centroid")).alias("ccs"),
+        )
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "qv", "probe_cell")
+    )
+    c = corpus.select(
+        F.col(cell_col).alias("probe_cell"),
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    )
+    scored = (
+        F.broadcast(assign)
+        .join(c, "probe_cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "probe_cell", "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cs"),
+        )
+    )
+    out = _ranked_topk(scored, k, ["query_id"], ["probe_cell"])
+    return out.select("query_id", "probe_cell", "neighbor_id", "cos_sim", "rank")
