@@ -1,0 +1,152 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit": "sec", "queries": {...}, "sf": ...}.
+
+Two workload groups:
+
+* relational/dedup/similarity/text headline queries from the driver
+  contract (__spark_entry__.QUERIES), each executed to completion via the
+  noop sink (full execution, no driver-collect overhead);
+* the engine's native workload — the CDC ingest loop — on a generated
+  event log, reported both as wall seconds (in "queries" as cdc_ingest)
+  and as end-to-end applied change-events/sec ("cdc_events_per_sec",
+  the north-rule metric; scaling evidence in BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import __spark_entry__ as contract  # noqa: E402
+from datax_spark.session import get_spark  # noqa: E402
+
+# headline subset: every operator family, weighted toward the ones whose
+# plans matter at scale (shuffle-heavy aggs, merge join, LSH band join)
+HEADLINE = [
+    "pricing_summary",
+    "filter_project_pushdown",
+    "lww_latest_by_key",
+    "lineage_partition_agg",
+    "merge_upsert_fullouter",
+    "topk_per_group",
+    "schema_evolution_union",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_stats",
+    "lang_id_confusion",
+    "token_count_by_source",
+    "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "multimodal_meta",
+]
+
+CDC_EVENTS = int(os.environ.get("DATAX_BENCH_EVENTS", "500000"))
+
+
+def _cached_event_log(spec) -> Path:
+    """Deterministic log is a pure function of the spec — generate once
+    per spec, reuse across bench runs (incl. the two scaling runs)."""
+    from datax_spark.datagen.generator import generate_event_log
+
+    key = (
+        f"{spec.n_events}-{spec.n_urls}-{spec.n_domains}-{spec.n_epochs}-"
+        f"{spec.evolve_at_epoch}-{spec.seed}"
+    )
+    d = Path(tempfile.gettempdir()) / f"datax_benchlog_{key}"
+    done = d / "_DONE"
+    if not done.exists():
+        shutil.rmtree(d, ignore_errors=True)
+        generate_event_log(d, spec)
+        done.touch()
+    return d
+
+
+def run_cdc(spark, n_events: int) -> tuple[float, int]:
+    """Generate an event log and ingest it; returns (wall_sec, n_events)."""
+    from pyspark.sql import types as T
+
+    from datax_spark.datagen.generator import EventLogSpec
+    from datax_spark.icetable.table import IceTable
+    from datax_spark.streaming.driver import EpochDriver
+    from datax_spark.streaming.source import ChangeTailSource
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("html", T.BinaryType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    work = Path(tempfile.mkdtemp(prefix="datax_bench_"))
+    try:
+        spec = EventLogSpec(
+            n_events=n_events,
+            n_urls=max(n_events // 5, 100),
+            n_domains=100,
+            n_epochs=4,
+            evolve_at_epoch=3,
+            seed=42,
+        )
+        events_dir = _cached_event_log(spec)
+        table = IceTable.create(spark, work / "table", schema, num_partitions=32)
+        driver = EpochDriver(
+            spark, ChangeTailSource(spark, events_dir), table, work / "ckpt"
+        )
+        t0 = time.monotonic()
+        driver.run()
+        wall = time.monotonic() - t0
+        return wall, n_events
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+    spark = get_spark(
+        "datax_bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    queries = contract.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = queries[name](spark, sf_dir)
+        t0 = time.monotonic()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    cdc_wall, n_events = run_cdc(spark, CDC_EVENTS)
+    timings["cdc_ingest"] = round(cdc_wall, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_plus_cdc_ingest_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cdc_events": n_events,
+                "cdc_events_per_sec": round(n_events / cdc_wall, 1),
+                "cores": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

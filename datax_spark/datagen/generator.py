@@ -18,6 +18,8 @@ equal this fold bit-for-bit; it is the strongest correctness net
 
 from __future__ import annotations
 
+import bisect
+import itertools
 import random
 from dataclasses import dataclass, field
 from datetime import datetime, timedelta
@@ -96,11 +98,19 @@ class _Gen:
             for i in range(s.n_urls)
         ]
         self.weights = [1.0 / (1 + (i % s.n_domains)) ** s.zipf_a for i in range(s.n_urls)]
+        # replicate random.choices(cum_weights=...) internals with a
+        # precomputed cumulative array: byte-identical choice sequence,
+        # O(log n) per event instead of O(n) (choices() rebuilds the
+        # cumulative list on every call — the datagen hot spot at 10^6+)
+        self.cum = list(itertools.accumulate(self.weights))
+        self.total = self.cum[-1] + 0.0
         self.langs = {u: self.rng.choice(_LANGS) for u in self.urls}
 
     def event(self, lsn: int) -> dict:
         rng, s = self.rng, self.spec
-        url = rng.choices(self.urls, weights=self.weights, k=1)[0]
+        url = self.urls[
+            bisect.bisect(self.cum, rng.random() * self.total, 0, len(self.urls) - 1)
+        ]
         if url not in self.alive:
             op = "I"
             self.alive.add(url)

@@ -111,14 +111,22 @@ def apply_epoch(
         )
         .collect()
     )
+    # one pass over the raw batch yields clean-rows-per-pid AND the dirty
+    # count (vs. two separate jobs — per-epoch fixed cost matters when
+    # epochs are small)
+    from datax_spark.operators.quarantine import dirty_predicate
+
     in_rows = (
-        clean.groupBy(url_partition(key, num_p).alias("_pid"))
+        events.groupBy(
+            dirty_predicate().alias("_dirty"),
+            url_partition(key, num_p).alias("_pid"),
+        )
         .agg(F.count(F.lit(1)).alias("rows_in"))
         .collect()
     )
-    rows_in_by_pid = {r["_pid"]: r["rows_in"] for r in in_rows}
+    rows_in_by_pid = {r["_pid"]: r["rows_in"] for r in in_rows if not r["_dirty"]}
     stats.rows_in = sum(rows_in_by_pid.values())
-    stats.rows_dirty = dirty.count()
+    stats.rows_dirty = sum(r["rows_in"] for r in in_rows if r["_dirty"])
     check_error_budget(stats.rows_in + stats.rows_dirty, stats.rows_dirty, error_budget)
 
     affected = {r["_pid"] for r in pid_rows}
