@@ -477,6 +477,9 @@ def _minhash_oracle() -> str:
         f"md5(mh{2*b} || ',' || mh{2*b+1}) AS band{b}" for b in range(4)
     )
     buckets = ", ".join(f"'{b}:' || band{b}" for b in range(4))
+    matches = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(8)
+    )
     return f"""
 WITH {_TOK_CTE.strip()},
 sig AS (SELECT doc_id, {mins} FROM tok GROUP BY doc_id),
@@ -487,8 +490,13 @@ bucket AS (
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bucket a JOIN bucket b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-),
-{_JACCARD_TAIL.format(tokrel="tok", threshold=0.7).strip()}"""
+)
+SELECT c.id_a, c.id_b,
+       round(CAST({matches} AS DOUBLE) / 8, 4) AS est_jaccard
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.id_a
+JOIN sig sb ON sb.doc_id = c.id_b
+WHERE CAST({matches} AS DOUBLE) / 8 >= 0.7"""
 
 
 def _ngram_oracle() -> str:

@@ -50,6 +50,9 @@ class EventLogSpec:
     evolve_at_epoch: int | None = None  # `title` column appears from this epoch
     dirty_per_epoch: int = 0  # injected malformed events per epoch (F4)
     update_p: float = 0.75  # P(update | url alive); else delete
+    words_scale: int = 1  # multiplies paragraphs per page (1 = legacy bytes;
+    # larger values approximate real Common-Crawl page weight for
+    # compute-bound scaling benchmarks)
 
 
 def _base36(n: int) -> str:
@@ -63,9 +66,11 @@ def _base36(n: int) -> str:
     return "".join(reversed(out))
 
 
-def _make_html(rng: random.Random, url: str, lsn: int, title: str) -> bytes:
+def _make_html(
+    rng: random.Random, url: str, lsn: int, title: str, words_scale: int = 1
+) -> bytes:
     paras = []
-    for _ in range(rng.randint(1, 4)):
+    for _ in range(rng.randint(1, 4) * words_scale):
         words = " ".join(rng.choice(_WORDS) for _ in range(rng.randint(8, 30)))
         paras.append(f"<p>{words} rev{lsn}</p>")
     body = "".join(paras)
@@ -120,7 +125,9 @@ class _Gen:
             op = "D"
             self.alive.discard(url)
         title = f"{url.rsplit('/', 1)[-1]} title r{lsn}"
-        html = None if op == "D" else _make_html(rng, url, lsn, title)
+        html = (
+            None if op == "D" else _make_html(rng, url, lsn, title, s.words_scale)
+        )
         return {
             "lsn": lsn,
             "op": op,

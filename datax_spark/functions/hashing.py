@@ -20,9 +20,18 @@ from pyspark.sql import functions as F
 
 
 def url_partition(key: Column | str, num_partitions: int) -> Column:
-    """Stable storage partition id for a key: pmod(xxhash64(key), P)."""
+    """Stable storage partition id for a key: pmod(murmur3(key), P).
+
+    Murmur3 (``F.hash``, fixed seed 42) is exactly the hash Spark's
+    HashPartitioning uses, so ``df.repartition(P, key)`` physically
+    routes every row to the task whose index equals its storage
+    partition id — the write stage needs no range-sampling pass and no
+    second shuffle, and when upstream operators (the MERGE join) already
+    hash-partition on the key with P partitions the exchange is reused
+    outright. Deterministic across runs and Spark versions (it is the
+    shuffle contract), which replay requires."""
     c = F.col(key) if isinstance(key, str) else key
-    return F.pmod(F.xxhash64(c), F.lit(num_partitions)).cast("int")
+    return F.pmod(F.hash(c), F.lit(num_partitions)).cast("int")
 
 
 def salted_key(key: Column | str, salt_from: Column | str, salt_factor: int) -> Column:

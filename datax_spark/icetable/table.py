@@ -42,11 +42,13 @@ import json
 import os
 import shutil
 import uuid
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 from typing import Any
 
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 FORMAT_VERSION = 1
@@ -224,38 +226,57 @@ class IceTable:
         """
         staging = self.root / f"_staging-e{epoch:05d}-{uuid.uuid4().hex[:8]}"
         key = self.key_column
+        # repartition(P, key) with murmur3-aligned partition ids (see
+        # functions/hashing.url_partition): task index == storage pid, so
+        # every task writes exactly one partition directory — no
+        # balls-in-bins collisions (a hash repartition on the pid VALUES
+        # would give one task 3-4 pids and a write straggler) and no
+        # range-sampling pass (repartitionByRange would execute the
+        # upstream plan, extraction UDF included, twice). When the merge
+        # join upstream is already hash(key)-partitioned with P
+        # partitions, Catalyst drops this exchange entirely.
+        num_p = self.num_partitions
         (
-            df.repartition(pid_column)
+            df.repartition(num_p, F.col(key))
             .sortWithinPartitions(pid_column, key)
             .write.partitionBy(pid_column)
             .mode("overwrite")
             .parquet(str(staging))
         )
+        # footer reads are I/O-bound and GIL-releasing — do them in a
+        # pool (serial, they cost ~0.5s/epoch at P=32; at cluster scale
+        # this is the manifest-building step and stays O(files))
+        staged = [
+            (int(pid_dir.name.split("=")[1]), part)
+            for pid_dir in sorted(staging.glob(f"{pid_column}=*"))
+            for part in sorted(pid_dir.glob("*.parquet"))
+        ]
+        with ThreadPoolExecutor(max_workers=min(16, max(len(staged), 1))) as ex:
+            metas = list(ex.map(lambda t: pq.read_metadata(t[1]), staged))
         entries: list[dict] = []
-        for pid_dir in sorted(staging.glob(f"{pid_column}=*")):
-            pid = int(pid_dir.name.split("=")[1])
-            seq = 0
-            for part in sorted(pid_dir.glob("*.parquet")):
-                meta = pq.read_metadata(part)
-                if meta.num_rows == 0:
-                    continue
-                name = f"e{epoch:05d}-{seq:03d}-{uuid.uuid4().hex[:8]}.parquet"
-                dest_dir = self.data_dir / f"pid={pid}"
-                dest_dir.mkdir(parents=True, exist_ok=True)
-                dest = dest_dir / name
-                os.replace(part, dest)
-                min_url, max_url = _key_stats(meta, key)
-                entries.append(
-                    {
-                        "path": str(dest.relative_to(self.root)),
-                        "partition_id": pid,
-                        "rows": meta.num_rows,
-                        "min_url": min_url,
-                        "max_url": max_url,
-                        "added_epoch": epoch,
-                    }
-                )
-                seq += 1
+        last_pid, seq = None, 0
+        for (pid, part), meta in zip(staged, metas):
+            if pid != last_pid:
+                last_pid, seq = pid, 0
+            if meta.num_rows == 0:
+                continue
+            name = f"e{epoch:05d}-{seq:03d}-{uuid.uuid4().hex[:8]}.parquet"
+            dest_dir = self.data_dir / f"pid={pid}"
+            dest_dir.mkdir(parents=True, exist_ok=True)
+            dest = dest_dir / name
+            os.replace(part, dest)
+            min_url, max_url = _key_stats(meta, key)
+            entries.append(
+                {
+                    "path": str(dest.relative_to(self.root)),
+                    "partition_id": pid,
+                    "rows": meta.num_rows,
+                    "min_url": min_url,
+                    "max_url": max_url,
+                    "added_epoch": epoch,
+                }
+            )
+            seq += 1
         shutil.rmtree(staging, ignore_errors=True)
         return entries
 

@@ -75,9 +75,21 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Near-duplicate pairs via MinHash banding + exact-Jaccard verify.
+    """Near-duplicate pairs via MinHash LSH banding, thresholded on the
+    signature-estimated Jaccard (fraction of agreeing minhashes).
 
-    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded 4dp.
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b, rounded 4dp.
+
+    This is the web-scale form (how FineWeb/SlimPajama-style pipelines
+    dedup): candidates come only from band-bucket collisions (equi-join,
+    never all-pairs), and the similarity test reads the k-int signatures,
+    not the token sets — cost per candidate is O(k), independent of
+    document length. On a template-heavy corpus where near-dup pairs are
+    a large multiple of the doc count, exact set-intersection
+    verification is quadratic in shared tokens and dominates everything
+    (measured 100+s at 5k docs); use ``ngram_jaccard_pairs`` when exact
+    Jaccard is required — its shingle-frequency cap keeps the verify
+    join sparse.
     """
     rows_per_band = k // bands
     tok = tokens(df, id_col, text_col)
@@ -104,7 +116,18 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    return _verify_jaccard(cand, tok, id_col, jaccard_threshold)
+    sa = sig.select(F.col(id_col).alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)])
+    sb = sig.select(F.col(id_col).alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)])
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k)
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", F.round(matches / F.lit(k), 4))
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
 
 
 def _verify_jaccard(

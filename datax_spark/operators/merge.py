@@ -7,23 +7,33 @@ snapshot commits keyed on ``(checkpoint_epoch, partition_id)``
 
 One epoch application, end to end::
 
-    raw events ──split_dirty──▶ clean ──LWW(max_by)──▶ resolved (1 row/url)
-        │                                   │ extract text/title (Arrow UDF)
-        └──▶ quarantine counts              ▼
-    target (pruned: affected pids ∩ file url-envelopes, via manifest)
-        ⟗ full_outer on url, lsn-guarded ──▶ merged partitions
-        ──▶ immutable data files ──▶ atomic snapshot commit + lineage
+    raw events ──split_dirty──▶ clean ──LWW(window)──▶ resolved (1 row/url)
+        │                                              ▼
+        └──▶ quarantine counts    target (pruned: affected pids ∩ file
+                                  url-envelopes, via manifest)
+        ⟗ full_outer on url, lsn-guarded, extract text (Arrow UDF)
+        ──▶ merged partitions ──▶ immutable data files
+        ──▶ atomic snapshot commit + lineage
 
 Scale notes (the parts that matter at 10^10 events / 100 TB):
 
 * LWW runs BEFORE extraction, so the expensive UDF sees one row per key,
-  not one per event; LWW itself map-side-combines (see operators/lww.py).
+  not one per event. Default strategy is ``window`` — with wide
+  (html-payload) rows it measured faster than the struct max_by at both
+  8 and 32 cores (the object-hash aggregate falls back to sort-based
+  past 128 groups, paying the sort twice).
+* The extraction UDF lives in the merge projection — the plan's single
+  terminal stage — so it executes exactly once per epoch. Earlier
+  drafts extracted into the persisted batch; under memory pressure
+  evicted cache blocks re-ran the UDF in every consumer stage, which
+  showed up as uniform multi-second tasks in the write stage and made
+  32-core runs SLOWER than 8-core.
+* The persisted resolved batch (memory+disk, no UDF in its plan) feeds
+  the stats agg and the merge join; eviction costs a re-read + window,
+  not a re-extraction.
 * The target scan is pruned twice from the manifest (partition ids, then
   per-partition url envelopes) — an epoch touching K urls reads and
   rewrites O(files containing them), never the table.
-* The resolved batch is persisted (memory+disk) because it feeds three
-  consumers (stats agg, merge join, lineage); without it the extraction
-  UDF would run per consumer.
 * The merge join broadcasts the batch side when small (Catalyst/AQE
   decides; the batch stats give it fresh size info via the persist).
 * Driver-side collects are bounded by the partition count (≤ P rows),
@@ -36,6 +46,7 @@ Scale notes (the parts that matter at 10^10 events / 100 TB):
 from __future__ import annotations
 
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -73,7 +84,7 @@ def apply_epoch(
     epoch: int,
     start_offset: int = 0,
     end_offset: int = 0,
-    lww_strategy: str = "max_by",
+    lww_strategy: str = "window",
     error_budget: float | None = None,
     extract: bool = True,
 ) -> EpochStats:
@@ -91,39 +102,49 @@ def apply_epoch(
     clean, dirty = split_dirty(events)
 
     resolved = lww_resolve(clean, key=key, order="lsn", strategy=lww_strategy)
-    if extract and "html" in resolved.columns:
-        resolved = resolved.withColumn(
-            "text",
-            F.when(F.col("op") != "D", extract_text_udf(F.col("html"))),
-        )
     resolved = resolved.withColumn("_pid", url_partition(key, num_p))
+    # Persist WITHOUT the extraction UDF in the plan: the cached rows are
+    # smaller, and if blocks are evicted under memory pressure the
+    # recompute is a cheap re-read + window — not a full re-extraction.
+    # The UDF runs exactly once, inside the merge projection below (its
+    # only consumer), so extraction cost is paid once per epoch no
+    # matter how the cache behaves.
     resolved = resolved.persist(StorageLevel.MEMORY_AND_DISK)
+    do_extract = extract and "html" in resolved.columns
 
     # ---- driver-side stats: bounded by P, not by data volume ----------- #
-    pid_rows = (
-        resolved.groupBy("_pid")
-        .agg(
-            F.count(F.lit(1)).alias("n_keys"),
-            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_del"),
-            F.max("lsn").alias("max_lsn"),
-            F.min(key).alias("min_url"),
-            F.max(key).alias("max_url"),
-        )
-        .collect()
-    )
-    # one pass over the raw batch yields clean-rows-per-pid AND the dirty
-    # count (vs. two separate jobs — per-epoch fixed cost matters when
-    # epochs are small)
+    # Two independent stat jobs submitted concurrently (Spark schedules
+    # concurrent jobs fine; per-epoch fixed cost matters when epochs are
+    # small). The raw-batch pass yields clean-rows-per-pid AND the dirty
+    # count in one aggregation.
     from datax_spark.operators.quarantine import dirty_predicate
 
-    in_rows = (
-        events.groupBy(
-            dirty_predicate().alias("_dirty"),
-            url_partition(key, num_p).alias("_pid"),
+    def _pid_stats():
+        return (
+            resolved.groupBy("_pid")
+            .agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_del"),
+                F.max("lsn").alias("max_lsn"),
+                F.min(key).alias("min_url"),
+                F.max(key).alias("max_url"),
+            )
+            .collect()
         )
-        .agg(F.count(F.lit(1)).alias("rows_in"))
-        .collect()
-    )
+
+    def _in_stats():
+        return (
+            events.groupBy(
+                dirty_predicate().alias("_dirty"),
+                url_partition(key, num_p).alias("_pid"),
+            )
+            .agg(F.count(F.lit(1)).alias("rows_in"))
+            .collect()
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        pid_fut, in_fut = ex.submit(_pid_stats), ex.submit(_in_stats)
+        pid_rows, in_rows = pid_fut.result(), in_fut.result()
     rows_in_by_pid = {r["_pid"]: r["rows_in"] for r in in_rows if not r["_dirty"]}
     stats.rows_in = sum(rows_in_by_pid.values())
     stats.rows_dirty = sum(r["rows_in"] for r in in_rows if r["_dirty"])
@@ -168,9 +189,19 @@ def apply_epoch(
         F.col("t._lsn").isNull() | (F.col("b.lsn") > F.col("t._lsn"))
     )
     is_delete = take_batch & (F.col("b.op") == "D")
+    def _batch_value(c: str):
+        if c == "text" and do_extract:
+            # vectorized extraction, lazily here so the UDF sits in the
+            # write stage only; null html (target-only rows, deletes)
+            # short-circuits inside the UDF
+            return F.when(F.col("b.op") != "D", extract_text_udf(F.col("b.html")))
+        if c in resolved.columns:
+            return F.col(f"b.{c}")
+        return F.lit(None)
+
     merged = joined.filter(~is_delete).select(
         *[
-            F.when(take_batch, F.col(f"b.{c}") if c in resolved.columns else F.lit(None))
+            F.when(take_batch, _batch_value(c))
             .otherwise(F.col(f"t.{c}") if c in target.columns else F.lit(None))
             .alias(c)
             for c in out_cols

@@ -1,0 +1,77 @@
+"""Dedup operator-family tests (operators/dedup.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datax_spark.operators import dedup as DD
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+    return spark.createDataFrame(
+        [
+            (0, base),
+            (1, base),  # exact dup of 0
+            (2, "  THE quick   brown fox jumps over the lazy dog near the river bank today "),  # normalized dup of 0
+            (3, near),  # near dup of 0
+            (4, "completely different content about spark shuffles and parquet files here"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup(docs):
+    groups = {r["keep_id"]: r["n_docs"] for r in DD.exact_dedup(docs).collect()}
+    assert groups[0] == 2  # docs 0 and 1
+    assert sum(groups.values()) == 5
+
+
+def test_normalized_dedup(docs):
+    groups = {r["keep_id"]: r["n_docs"] for r in DD.normalized_dedup(docs).collect()}
+    assert groups[0] == 3  # 0, 1, 2 collapse after canonicalization
+
+
+def test_minhash_lsh_finds_exact_and_near(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in DD.minhash_lsh_pairs(docs, jaccard_threshold=0.7).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # identical docs: all signatures agree
+    assert (0, 3) in pairs or (1, 3) in pairs  # near dup caught by banding
+    assert all(b != 4 and a != 4 for a, b in pairs)  # unrelated doc never pairs
+
+
+def test_simhash_identical_docs_same_class(docs):
+    classes = {r["keep_id"]: r["n_docs"] for r in DD.simhash_dedup(docs).collect()}
+    assert classes.get(0, 0) >= 2  # 0 and 1 share a simhash
+
+
+def test_ngram_jaccard_exact_values(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(docs, n=3, jaccard_threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    # docs 0 and 3 differ only in the last word: 11 shared of 12+12
+    # distinct 3-shingles → J = 11 / 13
+    assert pairs[(0, 3)] == pytest.approx(round(11 / 13, 4), abs=1e-4)
+
+
+def test_embedding_near_dup_blocked(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.999, 0.001], 0),   # near-dup of 0, same block
+            (2, [1.0, 0.0], 1),       # identical to 0 but different block → unseen
+            (3, [0.0, 1.0], 0),       # orthogonal, same block
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in DD.embedding_near_dup_pairs(emb, threshold=0.99).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs  # blocking boundary (documented trade-off)
+    assert (0, 3) not in pairs

@@ -1,0 +1,73 @@
+"""Similarity-search operator tests (operators/similarity.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datax_spark.operators.similarity import (
+    bruteforce_topk,
+    cell_centroids,
+    ivf_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    # two well-separated cells: label 0 near e1-axis, label 1 near e2-axis
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0], 0),
+        (2, [0.8, 0.2, 0.0], 0),
+        (3, [0.0, 1.0, 0.0], 1),
+        (4, [0.1, 0.9, 0.0], 1),
+        (5, [0.0, 0.8, 0.2], 1),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_bruteforce_ranking(emb):
+    out = bruteforce_topk(emb, emb.filter(F.col("vec_id") == 0), k=3)
+    rows = {r["rank"]: r for r in out.collect()}
+    assert len(rows) == 3
+    # nearest to [1,0,0] is vec 1, then 2; axis-orthogonal vectors last
+    assert rows[1]["neighbor_id"] == 1
+    assert rows[2]["neighbor_id"] == 2
+    assert rows[1]["cos_sim"] > rows[2]["cos_sim"] > rows[3]["cos_sim"]
+
+
+def test_bruteforce_excludes_self(emb):
+    out = bruteforce_topk(emb, emb, k=5)
+    assert out.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
+
+
+def test_centroids_shape(emb):
+    cents = {r["label"]: r["centroid"] for r in cell_centroids(emb).collect()}
+    assert set(cents) == {0, 1}
+    assert len(cents[0]) == 3
+    # centroid of cell 0 points along e1
+    assert cents[0][0] == pytest.approx(0.9, abs=1e-6)
+
+
+def test_ivf_probes_right_cell(emb):
+    out = ivf_topk(emb, emb.filter(F.col("vec_id").isin(0, 3)), k=2)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert {r["probe_cell"] for r in by_q[0]} == {0}
+    assert {r["probe_cell"] for r in by_q[3]} == {1}
+    # within-cell neighbors only
+    assert {r["neighbor_id"] for r in by_q[0]} <= {1, 2}
+    assert {r["neighbor_id"] for r in by_q[3]} <= {4, 5}
+
+
+def test_ivf_matches_bruteforce_within_cell(emb):
+    """With one probe cell, IVF == brute force restricted to the cell."""
+    q = emb.filter(F.col("vec_id") == 1)
+    ivf = {(r["neighbor_id"], r["rank"]) for r in ivf_topk(emb, q, k=2).collect()}
+    bf = {
+        (r["neighbor_id"], r["rank"])
+        for r in bruteforce_topk(emb.filter(F.col("label") == 0), q, k=2).collect()
+    }
+    assert ivf == bf

@@ -1,0 +1,183 @@
+"""Scaling-efficiency benchmark: the same CDC ingest job at two
+parallelism levels (local[8] vs local[32] — 8 cores standing in for N
+executors, 32 for 4N, since no real cluster exists in this sandbox).
+
+Usage:
+  python tools/bench_scaling.py --cores 8          # one configuration
+  python tools/bench_scaling.py --all              # both + BENCH/BASELINE.md
+
+Protocol (BASELINE.md): identical input (cached deterministic log of
+Common-Crawl-weight pages), per-core-constant shuffle partitions, each
+configuration run cold twice and the better run reported. Epoch 0 is
+JVM/codegen warmup and excluded from the steady-state metric; the
+full-run number is reported alongside.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+N_EVENTS = int(os.environ.get("DATAX_SCALE_EVENTS", "6000000"))
+N_EPOCHS = 3
+WORDS_SCALE = 8  # ≈3-6 KB pages — extraction-compute-bound, like real CC
+
+
+def make_spec():
+    from datax_spark.datagen.generator import EventLogSpec
+
+    return EventLogSpec(
+        n_events=N_EVENTS,
+        n_urls=max(N_EVENTS // 5, 100),
+        n_domains=500,
+        n_epochs=N_EPOCHS,
+        evolve_at_epoch=2,
+        seed=42,
+        words_scale=WORDS_SCALE,
+    )
+
+
+def run_one(cores: int) -> dict:
+    from pyspark.sql import types as T
+
+    import bench
+    from datax_spark.icetable.table import IceTable
+    from datax_spark.session import get_spark
+    from datax_spark.streaming.driver import EpochDriver
+    from datax_spark.streaming.source import ChangeTailSource
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("html", T.BinaryType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    spec = make_spec()
+    events_dir = bench._cached_event_log(spec)
+    # shuffle partitions pinned to the TABLE's partition count, not the
+    # core count — on a real cluster the partitioning stays constant as
+    # executors scale, and with murmur3-aligned pids the write exchange
+    # is reused from the merge join at any parallelism
+    spark = get_spark(
+        f"scaling_{cores}", master=f"local[{cores}]", shuffle_partitions=32,
+        extra_conf={"spark.sql.files.maxPartitionBytes": "16m"},
+    )
+    work = Path(tempfile.mkdtemp(prefix=f"datax_scale{cores}_"))
+    try:
+        table = IceTable.create(spark, work / "table", schema, num_partitions=32)
+        driver = EpochDriver(
+            spark, ChangeTailSource(spark, events_dir), table, work / "ckpt"
+        )
+        t0 = time.monotonic()
+        stats = driver.run()
+        total_wall = time.monotonic() - t0
+        per_epoch = [s.wall_ms / 1000 for s in stats]
+        steady_wall = sum(per_epoch[1:])
+        steady_events = N_EVENTS * (N_EPOCHS - 1) // N_EPOCHS
+        return {
+            "cores": cores,
+            "events": N_EVENTS,
+            "epochs": N_EPOCHS,
+            "total_wall_sec": round(total_wall, 2),
+            "per_epoch_sec": [round(x, 2) for x in per_epoch],
+            "events_per_sec_full": round(N_EVENTS / total_wall, 1),
+            "steady_wall_sec": round(steady_wall, 2),
+            "events_per_sec_steady": round(steady_events / steady_wall, 1),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def run_config_subprocess(cores: int, repeats: int = 2) -> dict:
+    """Cold JVM per run: spawn a fresh process per measurement."""
+    best = None
+    for _ in range(repeats):
+        out = subprocess.run(
+            [sys.executable, __file__, "--cores", str(cores)],
+            capture_output=True,
+            text=True,
+            cwd=str(Path(__file__).resolve().parents[1]),
+            check=True,
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        r = json.loads(line)
+        if best is None or r["events_per_sec_steady"] > best["events_per_sec_steady"]:
+            best = r
+    return best
+
+
+def write_report(r8: dict, r32: dict) -> str:
+    eff_steady = (r32["events_per_sec_steady"] / r8["events_per_sec_steady"]) / 4
+    eff_full = (r32["events_per_sec_full"] / r8["events_per_sec_full"]) / 4
+    md = f"""# BENCH/BASELINE — CDC ingest throughput & scaling efficiency
+
+Measured {time.strftime('%Y-%m-%d')} on this sandbox (32-core single
+node; `local[8]` stands in for N executors and `local[32]` for 4N — no
+real cluster exists here, per the driver instruction). Input: one
+deterministic event log ({r8['events']:,} change events over
+{r8['epochs']} epochs, ~3-6 KB Common-Crawl-weight pages
+(words_scale={WORDS_SCALE}), zipf-hot domains, mid-stream schema
+evolution at epoch 2), generated once and shared by every run. Each
+configuration ran cold twice; better run reported. Epoch 0 carries
+JVM + codegen + Python-worker warmup and is excluded from the
+steady-state metric; full-run numbers are shown too.
+
+| config | steady events/sec | full-run events/sec | per-epoch sec |
+|---|---|---|---|
+| local[8] (N) | {r8['events_per_sec_steady']:,} | {r8['events_per_sec_full']:,} | {r8['per_epoch_sec']} |
+| local[32] (4N) | {r32['events_per_sec_steady']:,} | {r32['events_per_sec_full']:,} | {r32['per_epoch_sec']} |
+
+**Scaling efficiency (N→4N) = (throughput@32 / throughput@8) / 4 =
+{eff_steady:.2f} steady-state** ({eff_full:.2f} incl. warmup).
+Target (BASELINE.json): ≥ 0.8.
+
+Pipeline measured end to end per epoch: change-tail read → dirty split →
+murmur3 url-hash partitioning → Window-over-LSN LWW (window strategy) →
+Arrow pandas-UDF HTML extraction → manifest-pruned copy-on-write MERGE →
+atomic snapshot commit → lineage append.
+
+10^10-event design point: with per-epoch fixed cost amortized over
+10^8-event epochs and 1000 executors, the same plan shuffles each event
+once (LWW), extracts each surviving key once, and rewrites only
+manifest-affected files; nothing in the loop is driver-bound except the
+O(P) commit metadata.
+"""
+    return md
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int)
+    ap.add_argument("--all", action="store_true")
+    args = ap.parse_args()
+    if args.all:
+        # generate the cached log up front so no run pays generation
+        import bench
+
+        bench._cached_event_log(make_spec())
+        r8 = run_config_subprocess(8)
+        r32 = run_config_subprocess(32)
+        md = write_report(r8, r32)
+        out = Path(__file__).resolve().parents[1] / "BENCH" / "BASELINE.md"
+        out.parent.mkdir(exist_ok=True)
+        out.write_text(md)
+        print(md)
+        print(json.dumps({"local8": r8, "local32": r32}))
+    else:
+        print(json.dumps(run_one(args.cores)))
+
+
+if __name__ == "__main__":
+    main()
