@@ -40,12 +40,21 @@ from datax_spark.functions.multimodal import multimodal_meta  # noqa: E402
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _utc(spark)  # every query path goes through here
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def _utc(spark: SparkSession) -> None:
-    # pin the session timezone so timestamp collection matches DuckDB
+    # pin the session timezone so timestamp collection matches DuckDB;
+    # right-size shuffle parallelism for sf<=0.1 inputs (runtime-settable;
+    # result values are partitioning-independent — all orderings used for
+    # ranks are total)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    except Exception:
+        pass  # never let tuning break the correctness harness
 
 
 # --------------------------------------------------------------------------
@@ -364,6 +373,25 @@ def q_token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------ DataX transformers -------------------------- #
+
+def q_transformer_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1-T4/T6 — DataX's built-in record transformers as codegen
+    expressions (functions/transformers.py), chained like a job spec."""
+    from datax_spark.functions import transformers as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    out = TX.dx_filter(docs, "n_chars < 60")  # drop-on-match
+    casted, _ok = TX.strict_cast("n_chars", "double")
+    return out.select(
+        "doc_id",
+        TX.dx_substr("text", 1, 20).alias("head20"),
+        TX.dx_pad("lang", "l", 4, "_").alias("lang_pad"),
+        TX.dx_replace("source", 1, 3, "S").alias("src_repl"),
+        casted.alias("n_chars_d"),
+    )
+
+
 # ----------------------------- multimodal ----------------------------- #
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -414,6 +442,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id_confusion": q_lang_id_confusion,
     "doc_fingerprint": q_doc_fingerprint,
     "token_count_by_source": q_token_count_by_source,
+    "transformer_chain": q_transformer_chain,
     "multimodal_meta": q_multimodal_meta,
     "cdc_final_state": q_cdc_final_state,
 }
@@ -762,6 +791,14 @@ SELECT source, count(*) AS n_docs,
        sum({_REGEX_TOK_SQL}) AS total_regex_tokens,
        round(avg(n_chars), 2) AS avg_chars
 FROM documents GROUP BY source""",
+    "transformer_chain": """
+SELECT doc_id,
+       substr(text, 1, 20) AS head20,
+       lpad(lang, 4, '_') AS lang_pad,
+       'S' || substr(source, 4) AS src_repl,
+       CAST(n_chars AS DOUBLE) AS n_chars_d
+FROM documents
+WHERE NOT (n_chars < 60)""",
     "multimodal_meta": """
 SELECT doc_id,
        octet_length(encode(text)) AS n_bytes,

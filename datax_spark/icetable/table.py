@@ -215,6 +215,68 @@ class IceTable:
             return self.spark.createDataFrame([], LINEAGE_SCHEMA)
         return self.spark.read.schema(LINEAGE_SCHEMA).parquet(str(self.lineage_dir / "*" / "*.parquet"))
 
+    def read_incremental(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Incremental scan for downstream CDC consumers: rows in data
+        files ADDED strictly after ``from_version`` up to ``to_version``
+        (Iceberg's incremental-append scan). With copy-on-write MERGE an
+        added file carries its partition's full post-image, so consumers
+        see the latest state of every key touched since ``from_version``.
+        """
+        to_version = self.current_version() if to_version is None else to_version
+        old = {f["path"] for f in self.metadata(from_version)["manifest"]}
+        files = [
+            f for f in self.metadata(to_version)["manifest"] if f["path"] not in old
+        ]
+        return self._read_files(files, to_version, with_lsn=False)
+
+    # ------------------------------------------------------------------ #
+    # maintenance (Iceberg-style table services)
+    # ------------------------------------------------------------------ #
+    def compact_partition(self, partition_id: int) -> int | None:
+        """Rewrite a partition's files into one sorted file (bin-pack
+        compaction). A no-op (returns None) when the partition already
+        has <= 1 file. Publishes a new snapshot; concurrent ingest would
+        CAS-conflict and retry, exactly like Iceberg's rewrite-data-files
+        action."""
+        meta = self.metadata()
+        files = [f for f in meta["manifest"] if f["partition_id"] == partition_id]
+        if len(files) <= 1:
+            return None
+        df = self._read_files(files, None, with_lsn=True)
+        df = df.withColumn("_pid", F.lit(partition_id))
+        epoch_tag = meta["summary"].get("last_epoch", 0)
+        # stage_data_files' aligned repartition(P, key) routes every row
+        # of this partition to one task → exactly one output file
+        new_files = self.stage_data_files(df, epoch_tag)
+        return self.commit(
+            epoch_tag,
+            set(),  # maintenance: no new (epoch, pid) idempotence keys
+            new_files,
+            removed_paths={f["path"] for f in files},
+            summary_extra={"compacted_pid": partition_id},
+        )
+
+    def expire_snapshots(self, keep_last: int = 2) -> list[str]:
+        """Delete metadata versions and orphaned data files older than
+        the last ``keep_last`` snapshots. Returns deleted data-file
+        paths. Time travel to expired versions stops working — exactly
+        Iceberg's expire_snapshots contract."""
+        current = self.current_version()
+        cutoff = max(current - keep_last + 1, 0)
+        live: set[str] = set()
+        for v in range(cutoff, current + 1):
+            live |= {f["path"] for f in self.metadata(v)["manifest"]}
+        deleted: list[str] = []
+        for v in range(cutoff):
+            if not (self.meta_dir / f"v{v}.metadata.json").exists():
+                continue  # already expired earlier
+            for f in self.metadata(v)["manifest"]:
+                if f["path"] not in live and (self.root / f["path"]).exists():
+                    (self.root / f["path"]).unlink()
+                    deleted.append(f["path"])
+            (self.meta_dir / f"v{v}.metadata.json").unlink(missing_ok=True)
+        return deleted
+
     # ------------------------------------------------------------------ #
     # write path
     # ------------------------------------------------------------------ #

@@ -1,0 +1,155 @@
+"""Job-spec compiler: DataX's JSON job config model → a DataFrame program.
+
+DataX drives every sync from one JSON document (reader + writer +
+settings; public knowledge — the pinned reference README.md:2 only names
+the platform). This module keeps that operational surface while
+compiling to declarative Spark plans, so Catalyst owns optimization:
+
+```json
+{
+  "reader": {
+    "type": "parquet",             # parquet | table (registered view)
+    "path": "/data/in.parquet",
+    "column": ["url", "lang", {"value": "batch-7", "name": "tag"}],
+    "where": "lang = 'en'",        # pushed to the scan by Catalyst
+    "querySql": null               # full-SQL alternative to column/where
+  },
+  "transforms": [
+    {"op": "substr",  "col": "url", "start": 9, "len": 20, "as": "host"},
+    {"op": "pad",     "col": "lang", "side": "l", "len": 5, "pad": "_"},
+    {"op": "replace", "col": "lang", "start": 1, "len": 2, "with": "xx"},
+    {"op": "filter",  "predicate": "n_chars < 10"},   # drop-on-match
+    {"op": "cast",    "col": "n_chars", "to": "double"}
+  ],
+  "writer": {
+    "type": "parquet",             # parquet | icetable (CDC MERGE sink)
+    "path": "/data/out",
+    "mode": "overwrite"
+  },
+  "settings": {
+    "errorLimit": {"percentage": 0.05},   # quarantine budget (P5)
+    "speed": {"recordPerEpoch": 100000}   # epoch batch-size bound (ST5)
+  }
+}
+```
+
+The CDC ingest loop is the same spec with ``reader.type = "change_tail"``
+and ``writer.type = "icetable"`` — ``run_cdc_job`` wires the epoch
+driver. Batch specs run through ``run_batch_job``.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datax_spark.functions import transformers as TX
+
+
+def compile_reader(spark: SparkSession, reader: dict[str, Any]) -> DataFrame:
+    rtype = reader.get("type", "parquet")
+    if reader.get("querySql"):
+        return spark.sql(reader["querySql"])
+    if rtype == "parquet":
+        df = spark.read.parquet(str(reader["path"]))
+    elif rtype == "table":
+        df = spark.read.table(reader["table"])
+    else:
+        raise ValueError(f"unknown reader type {rtype!r}")
+    cols = reader.get("column")
+    if cols:
+        sel = []
+        for c in cols:
+            if isinstance(c, dict):  # DataX constant-column entry
+                sel.append(F.lit(c["value"]).alias(c.get("name", "const")))
+            else:
+                sel.append(F.col(c))
+        df = df.select(*sel)
+    if reader.get("where"):
+        df = df.filter(reader["where"])
+    return df
+
+
+def apply_transforms(df: DataFrame, transforms: list[dict[str, Any]]) -> DataFrame:
+    for t in transforms or []:
+        op = t["op"]
+        if op == "substr":
+            df = df.withColumn(
+                t.get("as", t["col"]), TX.dx_substr(t["col"], t["start"], t["len"])
+            )
+        elif op == "pad":
+            df = df.withColumn(
+                t.get("as", t["col"]),
+                TX.dx_pad(t["col"], t["side"], t["len"], t["pad"]),
+            )
+        elif op == "replace":
+            df = df.withColumn(
+                t.get("as", t["col"]),
+                TX.dx_replace(t["col"], t["start"], t["len"], t["with"]),
+            )
+        elif op == "filter":
+            df = TX.dx_filter(df, t["predicate"])
+        elif op == "cast":
+            casted, _ok = TX.strict_cast(t["col"], t["to"])
+            df = df.withColumn(t.get("as", t["col"]), casted)
+        else:
+            raise ValueError(f"unknown transform {op!r}")
+    return df
+
+
+def run_batch_job(spark: SparkSession, spec: dict[str, Any]) -> DataFrame:
+    """Compile and (if a writer is present) execute a batch sync job;
+    returns the final DataFrame either way."""
+    df = compile_reader(spark, spec["reader"])
+    df = apply_transforms(df, spec.get("transforms"))
+    writer = spec.get("writer")
+    if writer:
+        wtype = writer.get("type", "parquet")
+        if wtype == "parquet":
+            df.write.mode(writer.get("mode", "error")).parquet(str(writer["path"]))
+        elif wtype == "noop":
+            df.write.format("noop").mode("overwrite").save()
+        else:
+            raise ValueError(f"unknown batch writer {wtype!r}")
+    return df
+
+
+def run_cdc_job(spark: SparkSession, spec: dict[str, Any]):
+    """The engine's native job shape: change-tail reader → icetable
+    MERGE writer, driven by the checkpointed epoch loop. Returns the
+    EpochDriver (already run to the end of the available tail)."""
+    from pyspark.sql import types as T
+
+    from datax_spark.icetable.table import IceTable
+    from datax_spark.streaming.driver import EpochDriver
+    from datax_spark.streaming.source import ChangeTailSource
+
+    reader, writer = spec["reader"], spec["writer"]
+    if reader.get("type") != "change_tail" or writer.get("type") != "icetable":
+        raise ValueError("cdc job needs reader.type=change_tail, writer.type=icetable")
+    source = ChangeTailSource(spark, reader["path"])
+    root = Path(writer["path"])
+    if (root / "metadata" / "version-hint.text").exists():
+        table = IceTable.load(spark, root)
+    else:
+        schema = T.StructType.fromJson(writer["schema"]) if isinstance(
+            writer.get("schema"), dict
+        ) else writer["schema"]
+        table = IceTable.create(
+            spark, root, schema, num_partitions=writer.get("numPartitions", 16)
+        )
+    settings = spec.get("settings", {})
+    err = settings.get("errorLimit", {}).get("percentage")
+    driver = EpochDriver(
+        spark,
+        source,
+        table,
+        spec["checkpoint"],
+        shards_per_epoch=settings.get("speed", {}).get("shardsPerEpoch", 1),
+        error_budget=err,
+    )
+    driver.run()
+    return driver

@@ -1,0 +1,101 @@
+"""Job-spec compiler + transformer tests (jobspec.py, functions/transformers.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datax_spark.functions import transformers as TX
+from datax_spark.jobspec import run_batch_job, run_cdc_job
+
+
+def test_transformers_basic(spark):
+    df = spark.createDataFrame([("abcdef", "7"), (None, "x")], "s string, n string")
+    out = df.select(
+        TX.dx_substr("s", 2, 3).alias("sub"),
+        TX.dx_pad("s", "l", 8, "_").alias("pad"),
+        TX.dx_replace("s", 2, 3, "XY").alias("rep"),
+    ).collect()
+    assert out[0]["sub"] == "bcd"
+    assert out[0]["pad"] == "__abcdef"
+    assert out[0]["rep"] == "aXYef"  # chars 2-4 replaced with XY
+    assert out[1]["sub"] is None and out[1]["pad"] is None and out[1]["rep"] is None
+
+
+def test_strict_cast_flags_failures(spark):
+    df = spark.createDataFrame([("7",), ("x",), (None,)], "n string")
+    casted, ok = TX.strict_cast("n", "long")
+    rows = df.select(casted.alias("v"), ok.alias("ok")).collect()
+    assert [r["v"] for r in rows] == [7, None, None]
+    assert [r["ok"] for r in rows] == [True, False, True]  # null input is ok
+
+
+def test_dx_filter_drops_matches(spark):
+    df = spark.createDataFrame([(1,), (2,), (3,)], "x long")
+    assert {r["x"] for r in TX.dx_filter(df, "x = 2").collect()} == {1, 3}
+
+
+def test_batch_job_end_to_end(spark, sf_dir, tmp_path):
+    spec = {
+        "reader": {
+            "type": "parquet",
+            "path": f"{sf_dir}/documents.parquet",
+            "column": ["doc_id", "lang", "n_chars", {"value": "b7", "name": "tag"}],
+            "where": "lang = 'en'",
+        },
+        "transforms": [
+            {"op": "pad", "col": "lang", "side": "r", "len": 4, "pad": "*"},
+            {"op": "filter", "predicate": "n_chars < 50"},
+            {"op": "cast", "col": "n_chars", "to": "double"},
+        ],
+        "writer": {"type": "parquet", "path": str(tmp_path / "out"), "mode": "overwrite"},
+    }
+    out = run_batch_job(spark, spec)
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert back.count() == out.count() > 0
+    row = back.first()
+    assert row["lang"] == "en**" and row["tag"] == "b7"
+    assert dict(back.dtypes)["n_chars"] == "double"
+    assert back.filter(F.col("n_chars") < 50).count() == 0
+
+
+def test_cdc_job_from_spec(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from datax_spark.datagen.generator import EventLogSpec, generate_event_log
+
+    generate_event_log(
+        tmp_path / "events",
+        EventLogSpec(n_events=300, n_urls=60, n_domains=6, n_epochs=2, seed=5),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("html", T.BinaryType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    spec = {
+        "reader": {"type": "change_tail", "path": str(tmp_path / "events")},
+        "writer": {
+            "type": "icetable",
+            "path": str(tmp_path / "table"),
+            "schema": schema,
+            "numPartitions": 4,
+        },
+        "settings": {"errorLimit": {"percentage": 0.5}},
+        "checkpoint": str(tmp_path / "ckpt"),
+    }
+    driver = run_cdc_job(spark, spec)
+    assert driver.table.read().count() > 0
+    # a second invocation resumes and is a no-op on an exhausted tail
+    driver2 = run_cdc_job(spark, spec)
+    assert driver2.table.current_version() == driver.table.current_version()
+
+
+def test_vectorized_escape_hatch(spark):
+    fn = TX.dx_vectorized(lambda s: s.str.upper())
+    df = spark.createDataFrame([("ab",), ("cd",)], "s string")
+    assert {r[0] for r in df.select(fn(F.col("s"))).collect()} == {"AB", "CD"}

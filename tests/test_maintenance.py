@@ -1,0 +1,100 @@
+"""Table maintenance: incremental read, compaction, snapshot expiry."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datax_spark.datagen.generator import EventLogSpec, generate_event_log
+from datax_spark.icetable.table import IceTable
+from datax_spark.streaming.driver import EpochDriver
+from datax_spark.streaming.source import ChangeTailSource
+
+PAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def ingested(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("maint")
+    generate_event_log(
+        base / "events",
+        EventLogSpec(n_events=400, n_urls=80, n_domains=8, n_epochs=4, seed=13),
+    )
+    table = IceTable.create(spark, base / "table", PAGE_SCHEMA, num_partitions=4)
+    drv = EpochDriver(
+        spark, ChangeTailSource(spark, base / "events"), table, base / "ckpt"
+    )
+    drv.run()
+    return table
+
+
+def test_incremental_read_covers_touched_keys(ingested):
+    v_now = ingested.current_version()
+    inc = ingested.read_incremental(from_version=v_now - 1, to_version=v_now)
+    # copy-on-write: the incremental scan is the post-image of every
+    # rewritten partition — it must contain every url present in the
+    # last epoch's lineage-affected partitions and agree with the table
+    full = ingested.read()
+    joined = inc.alias("i").join(
+        full.alias("f"), "url", "inner"
+    )
+    assert joined.count() == inc.count()  # every incremental row is current
+    assert 0 < inc.count() <= full.count()
+
+
+def test_compaction_preserves_state(spark, tmp_path):
+    """Multi-file partitions arise from envelope pruning (a batch whose
+    url range misses a file leaves it in place and adds a new one);
+    compaction folds them back to one sorted file."""
+    import datetime as dt
+
+    from datax_spark.operators.merge import apply_epoch
+
+    table = IceTable.create(spark, tmp_path / "t", PAGE_SCHEMA, num_partitions=1)
+    ts = dt.datetime(2026, 1, 1)
+
+    def batch(urls, lsn0):
+        return spark.createDataFrame(
+            [
+                (lsn0 + i, "I", u, ts, b"<html><body>x</body></html>", "en")
+                for i, u in enumerate(urls)
+            ],
+            "lsn long, op string, url string, warc_ts timestamp, html binary, lang string",
+        )
+
+    apply_epoch(table, batch(["a", "b", "c"], 1), epoch=0)
+    # url 'z' sorts past envelope [a, c] → old file untouched, new file added
+    apply_epoch(table, batch(["z"], 10), epoch=1)
+    files = [f for f in table.metadata()["manifest"] if f["partition_id"] == 0]
+    assert len(files) == 2
+    before = {(r["url"], r["text"]) for r in table.read().collect()}
+    v = table.compact_partition(0)
+    assert v == table.current_version()
+    after_files = [f for f in table.metadata()["manifest"] if f["partition_id"] == 0]
+    assert len(after_files) == 1
+    after = {(r["url"], r["text"]) for r in table.read().collect()}
+    assert before == after and len(after) == 4
+
+
+def test_expire_snapshots_keeps_current_state(ingested):
+    before = {(r["url"], r["text"]) for r in ingested.read().collect()}
+    cur = ingested.current_version()
+    deleted = ingested.expire_snapshots(keep_last=1)
+    # old metadata gone, current state intact
+    after = {(r["url"], r["text"]) for r in ingested.read().collect()}
+    assert after == before
+    with pytest.raises(Exception):
+        ingested.metadata(0)
+    assert ingested.current_version() == cur
+    # deleted files are really gone and none were live
+    for p in deleted:
+        assert not (ingested.root / p).exists()
