@@ -186,7 +186,11 @@ def generate_event_log(out_dir: str | Path, spec: EventLogSpec) -> list[str]:
         # additive schema evolution is exercised on read (ST4).
         table = pa.table(cols)
         path = out / f"events-e{epoch:05d}.parquet"
-        pq.write_table(table, path)
+        # small row groups are the split unit for Spark's scan — the
+        # pyarrow default (~1M rows/group) makes a 2M-event shard
+        # readable by only TWO tasks, serializing the whole scan+partial
+        # -window phase (measured: a 45s straggler task per epoch)
+        pq.write_table(table, path, row_group_size=8192)
         shards.append(str(path))
     return shards
 

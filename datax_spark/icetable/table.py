@@ -215,6 +215,28 @@ class IceTable:
             return self.spark.createDataFrame([], LINEAGE_SCHEMA)
         return self.spark.read.schema(LINEAGE_SCHEMA).parquet(str(self.lineage_dir / "*" / "*.parquet"))
 
+    def write_quarantine(self, dirty: DataFrame, epoch: int) -> None:
+        """Append an epoch's dirty (malformed) events to the quarantine
+        area — routed, never applied (SURVEY.md P5). Idempotent per
+        epoch: an existing epoch directory is left untouched on replay."""
+        dest = self.root / "quarantine" / f"epoch={epoch}"
+        if dest.exists():
+            return
+        tmp = self.root / "quarantine" / f".tmp-{uuid.uuid4().hex}"
+        dirty.write.mode("overwrite").parquet(str(tmp))
+        try:
+            os.rename(tmp, dest)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    def read_quarantine(self) -> DataFrame | None:
+        qdir = self.root / "quarantine"
+        if not qdir.exists() or not any(qdir.glob("epoch=*")):
+            return None
+        return self.spark.read.option("mergeSchema", "true").parquet(
+            *[str(p) for p in sorted(qdir.glob("epoch=*"))]
+        )
+
     def read_incremental(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Incremental scan for downstream CDC consumers: rows in data
         files ADDED strictly after ``from_version`` up to ``to_version``

@@ -24,13 +24,16 @@ Scale notes (the parts that matter at 10^10 events / 100 TB):
   past 128 groups, paying the sort twice).
 * The extraction UDF lives in the merge projection — the plan's single
   terminal stage — so it executes exactly once per epoch. Earlier
-  drafts extracted into the persisted batch; under memory pressure
+  drafts extracted into a persisted batch; under memory pressure
   evicted cache blocks re-ran the UDF in every consumer stage, which
   showed up as uniform multi-second tasks in the write stage and made
   32-core runs SLOWER than 8-core.
-* The persisted resolved batch (memory+disk, no UDF in its plan) feeds
-  the stats agg and the merge join; eviction costs a re-read + window,
-  not a re-extraction.
+* Nothing is persisted: payload bytes cross the engine exactly once
+  per epoch (scan → one LWW shuffle → merge join → write). The stat
+  jobs run on a NARROW projection (url, lsn, op — parquet column
+  pruning never touches html), whose per-key last-op resolve provably
+  yields the same affected pids, envelopes, watermarks and key/delete
+  counts as the wide resolve, at ~1% of the bytes.
 * The target scan is pruned twice from the manifest (partition ids, then
   per-partition url envelopes) — an epoch touching K urls reads and
   rewrites O(files containing them), never the table.
@@ -52,7 +55,6 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.storagelevel import StorageLevel
 
 from datax_spark.functions.extract import extract_text_udf
 from datax_spark.functions.hashing import url_partition
@@ -87,6 +89,7 @@ def apply_epoch(
     lww_strategy: str = "window",
     error_budget: float | None = None,
     extract: bool = True,
+    quarantine: bool = True,
 ) -> EpochStats:
     """Apply one change-event batch to the table, exactly once."""
     t0 = time.monotonic()
@@ -103,25 +106,28 @@ def apply_epoch(
 
     resolved = lww_resolve(clean, key=key, order="lsn", strategy=lww_strategy)
     resolved = resolved.withColumn("_pid", url_partition(key, num_p))
-    # Persist WITHOUT the extraction UDF in the plan: the cached rows are
-    # smaller, and if blocks are evicted under memory pressure the
-    # recompute is a cheap re-read + window — not a full re-extraction.
-    # The UDF runs exactly once, inside the merge projection below (its
-    # only consumer), so extraction cost is paid once per epoch no
-    # matter how the cache behaves.
-    resolved = resolved.persist(StorageLevel.MEMORY_AND_DISK)
     do_extract = extract and "html" in resolved.columns
 
     # ---- driver-side stats: bounded by P, not by data volume ----------- #
-    # Two independent stat jobs submitted concurrently (Spark schedules
-    # concurrent jobs fine; per-epoch fixed cost matters when epochs are
-    # small). The raw-batch pass yields clean-rows-per-pid AND the dirty
-    # count in one aggregation.
+    # Both stat jobs read only (url, lsn, op) — parquet column pruning
+    # means NEITHER touches the html payload; the narrow LWW shuffles
+    # ~24 bytes/row instead of whole pages. The wide plan (`resolved`,
+    # with extraction) is NOT persisted and NOT materialized here: its
+    # single consumer is the merge-write pass below, so payload bytes
+    # cross the engine exactly once per epoch. The two jobs run
+    # concurrently.
     from datax_spark.operators.quarantine import dirty_predicate
+
+    narrow = clean.select(key, "lsn", "op").withColumn(
+        "_pid", url_partition(key, num_p)
+    )
+    # per-key last op on narrow columns: same pids, envelopes, watermarks
+    # and key/delete counts as the wide resolve (LWW never drops a key)
+    narrow_last = lww_resolve(narrow, key=key, order="lsn", strategy=lww_strategy)
 
     def _pid_stats():
         return (
-            resolved.groupBy("_pid")
+            narrow_last.groupBy("_pid")
             .agg(
                 F.count(F.lit(1)).alias("n_keys"),
                 F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_del"),
@@ -149,6 +155,10 @@ def apply_epoch(
     stats.rows_in = sum(rows_in_by_pid.values())
     stats.rows_dirty = sum(r["rows_in"] for r in in_rows if r["_dirty"])
     check_error_budget(stats.rows_in + stats.rows_dirty, stats.rows_dirty, error_budget)
+    if quarantine and stats.rows_dirty > 0:
+        # routed, not dropped (DataX dirty-record collector): the write
+        # costs a job only on epochs that actually have dirty rows
+        table.write_quarantine(dirty, epoch)
 
     affected = {r["_pid"] for r in pid_rows}
     # partial-replay safety: pids of this epoch already in the ledger
@@ -158,7 +168,7 @@ def apply_epoch(
         affected -= already
         resolved = resolved.filter(~F.col("_pid").isin(*[int(p) for p in already]))
     if not affected:
-        resolved.unpersist()
+
         stats.skipped = True
         return stats
     envelopes = {r["_pid"]: (r["min_url"], r["max_url"]) for r in pid_rows}
@@ -250,7 +260,7 @@ def apply_epoch(
     for row in lineage_rows:
         row["commit_id"] = commit_id
     table.write_lineage(epoch, lineage_rows)
-    resolved.unpersist()
+
 
     stats.version = version
     stats.affected_partitions = len(affected)

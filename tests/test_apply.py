@@ -108,6 +108,12 @@ def test_quarantine_counts(spark, tmp_path):
     lineage = table.read_lineage().collect()
     assert all(lr["rows_dirty"] >= 0 for lr in lineage)
     assert {lr["checkpoint_epoch"] for lr in lineage} == {0, 1}
+    # dirty events are ROUTED to the quarantine area, never applied (P5)
+    q = table.read_quarantine()
+    assert q is not None and q.count() == 12
+    # replaying an epoch does not duplicate quarantine rows
+    apply_epoch(table, spark.read.parquet(shards[0]).drop("title"), 0)
+    assert table.read_quarantine().count() == 12
 
 
 def test_deletes_remove_rows(spark, tmp_path):
