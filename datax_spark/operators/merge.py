@@ -38,7 +38,7 @@ Scale notes (the parts that matter at 10^10 events / 100 TB):
   per-partition url envelopes) — an epoch touching K urls reads and
   rewrites O(files containing them), never the table.
 * The merge join broadcasts the batch side when small (Catalyst/AQE
-  decides; the batch stats give it fresh size info via the persist).
+  decides from runtime shuffle statistics).
 * Driver-side collects are bounded by the partition count (≤ P rows),
   never by data volume.
 * The cross-epoch lsn guard (``batch.lsn > target._lsn``) makes late or
@@ -168,7 +168,6 @@ def apply_epoch(
         affected -= already
         resolved = resolved.filter(~F.col("_pid").isin(*[int(p) for p in already]))
     if not affected:
-
         stats.skipped = True
         return stats
     envelopes = {r["_pid"]: (r["min_url"], r["max_url"]) for r in pid_rows}
@@ -260,7 +259,6 @@ def apply_epoch(
     for row in lineage_rows:
         row["commit_id"] = commit_id
     table.write_lineage(epoch, lineage_rows)
-
 
     stats.version = version
     stats.affected_partitions = len(affected)
