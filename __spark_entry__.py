@@ -267,6 +267,95 @@ def q_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family — hierarchical ROLLUP totals (Catalyst expands to one
+    Expand + hash aggregate; no extra shuffles per grouping set)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family — distinct aggregate: suppliers/parts per return flag."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_correlated_avg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape — customers above their nation's average
+    balance; decorrelated to a window average (one shuffle on the
+    correlation key instead of a per-row subquery)."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey")
+    return (
+        cust.withColumn("nation_avg", F.avg("c_acctbal").over(w))
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .select(
+            "c_custkey", "c_nationkey", "c_acctbal",
+            F.round(F.col("nation_avg"), 2).alias("nation_avg_bal"),
+        )
+        .drop("nation_avg")
+    )
+
+
+def q_ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered set-to-string aggregation (deterministic: sorted before
+    concat — collect_list alone is partition-order-dependent)."""
+    nat = _t(spark, sf_dir, "nation")
+    return nat.groupBy("n_regionkey").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"),
+        F.count(F.lit(1)).alias("n_nations"),
+    )
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-analytics shape — gap-based sessionization (30-min
+    inactivity): lag + cumulative sum of session starts per user, then
+    per-session rollup. Two window passes over one shuffle on user_id."""
+    ev = _t(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; go through timestamp (session tz pinned UTC)
+    # since ANSI mode refuses a direct ntz->long cast
+    sec = F.col("ts").cast("timestamp").cast("long")
+    gap = sec - F.lag(sec).over(by_user)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_idx",
+        F.sum(new_sess).over(
+            by_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-family — running total per user over the event stream."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id", "event_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
 # ---------------------------- dedup family ---------------------------- #
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -430,6 +519,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "topk_per_group": q_topk_per_group,
     "schema_evolution_union": q_schema_evolution_union,
+    "rollup_agg": q_rollup_agg,
+    "distinct_agg": q_distinct_agg,
+    "correlated_avg_filter": q_correlated_avg_filter,
+    "ordered_string_agg": q_ordered_string_agg,
+    "sessionize_events": q_sessionize_events,
+    "running_sum": q_running_sum,
     "dedup_exact": q_dedup_exact,
     "dedup_normalized": q_dedup_normalized,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -697,6 +792,53 @@ WITH both_b AS (
 SELECT o_orderpriority, count(*) AS n_rows,
        round(sum(o_totalprice), 2) AS sum_price
 FROM both_b GROUP BY o_orderpriority""",
+    "rollup_agg": """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "distinct_agg": """
+SELECT l_returnflag,
+       count(DISTINCT l_suppkey) AS n_supp,
+       count(DISTINCT l_partkey) AS n_part,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag""",
+    "correlated_avg_filter": """
+SELECT c_custkey, c_nationkey, c_acctbal,
+       round(nation_avg, 2) AS nation_avg_bal
+FROM (
+  SELECT c_custkey, c_nationkey, c_acctbal,
+         avg(c_acctbal) OVER (PARTITION BY c_nationkey) AS nation_avg
+  FROM customer
+) WHERE c_acctbal > nation_avg""",
+    "ordered_string_agg": """
+SELECT n_regionkey,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       count(*) AS n_nations
+FROM nation GROUP BY n_regionkey""",
+    "sessionize_events": """
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, event_id, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM g
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       min(event_id) AS first_event, max(event_id) AS last_event,
+       round(sum(value), 2) AS sum_value
+FROM s GROUP BY user_id, session_idx""",
+    "running_sum": """
+SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 2) AS running_value
+FROM events""",
     "dedup_exact": """
 SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS keep_id
 FROM documents GROUP BY 1""",
