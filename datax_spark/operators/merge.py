@@ -78,6 +78,7 @@ class EpochStats:
     affected_partitions: int = 0
     wall_ms: int = 0
     evolved_columns: list[str] = field(default_factory=list)
+    lww_strategy_used: str | None = None
 
 
 def apply_epoch(
@@ -86,7 +87,7 @@ def apply_epoch(
     epoch: int,
     start_offset: int = 0,
     end_offset: int = 0,
-    lww_strategy: str = "window",
+    lww_strategy: str = "auto",
     error_budget: float | None = None,
     extract: bool = True,
     quarantine: bool = True,
@@ -103,10 +104,7 @@ def apply_epoch(
         return stats
 
     clean, dirty = split_dirty(events)
-
-    resolved = lww_resolve(clean, key=key, order="lsn", strategy=lww_strategy)
-    resolved = resolved.withColumn("_pid", url_partition(key, num_p))
-    do_extract = extract and "html" in resolved.columns
+    do_extract = extract and "html" in clean.columns
 
     # ---- driver-side stats: bounded by P, not by data volume ----------- #
     # Both stat jobs read only (url, lsn, op) — parquet column pruning
@@ -123,7 +121,10 @@ def apply_epoch(
     )
     # per-key last op on narrow columns: same pids, envelopes, watermarks
     # and key/delete counts as the wide resolve (LWW never drops a key)
-    narrow_last = lww_resolve(narrow, key=key, order="lsn", strategy=lww_strategy)
+    narrow_stats_strategy = "window" if lww_strategy == "auto" else lww_strategy
+    narrow_last = lww_resolve(
+        narrow, key=key, order="lsn", strategy=narrow_stats_strategy
+    )
 
     def _pid_stats():
         return (
@@ -159,6 +160,26 @@ def apply_epoch(
         # routed, not dropped (DataX dirty-record collector): the write
         # costs a job only on epochs that actually have dirty rows
         table.write_quarantine(dirty, epoch)
+
+    # ---- wide resolve, strategy chosen from the batch's skew profile --- #
+    # "auto": the narrow stats give events-per-key per partition for
+    # free; a partition averaging >32 events/key signals hot keys →
+    # pre-split them across salted reducers before the wide shuffle
+    # (explicit hot-domain salting, BASELINE.json north star). The salt
+    # is derived from lsn (deterministic), so replay partitions
+    # identically.
+    if lww_strategy == "auto":
+        keys_by_pid = {r["_pid"]: r["n_keys"] for r in pid_rows}
+        heat = max(
+            (rows_in_by_pid.get(p, 0) / k for p, k in keys_by_pid.items() if k),
+            default=1.0,
+        )
+        chosen = "salted_window" if heat > 32 else "window"
+    else:
+        chosen = lww_strategy
+    stats.lww_strategy_used = chosen
+    resolved = lww_resolve(clean, key=key, order="lsn", strategy=chosen)
+    resolved = resolved.withColumn("_pid", url_partition(key, num_p))
 
     affected = {r["_pid"] for r in pid_rows}
     # partial-replay safety: pids of this epoch already in the ledger

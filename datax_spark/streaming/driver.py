@@ -37,7 +37,7 @@ class EpochDriver:
         table: IceTable,
         checkpoint_dir: str | Path,
         shards_per_epoch: int = 1,
-        lww_strategy: str = "window",
+        lww_strategy: str = "auto",
         error_budget: float | None = None,
         extract: bool = True,
     ):
@@ -126,7 +126,7 @@ def run_structured(
     events_dir: str | Path,
     table: IceTable,
     checkpoint_dir: str | Path,
-    lww_strategy: str = "window",
+    lww_strategy: str = "auto",
     extract: bool = True,
 ) -> None:
     """Drive the same sink through real Structured Streaming.

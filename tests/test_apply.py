@@ -137,3 +137,32 @@ def test_deletes_remove_rows(spark, tmp_path):
     )
     rows = table.read().collect()
     assert [r["url"] for r in rows] == ["https://b/2"]
+
+
+def test_auto_strategy_salts_hot_keys(spark, tmp_path):
+    """auto LWW: a batch dominated by one hot url (events/key >> 32)
+    switches to salted_window; result still matches the pure fold."""
+    import datetime as dt
+
+    table = IceTable.create(spark, tmp_path / "t", PAGE_SCHEMA, num_partitions=4)
+    ts = dt.datetime(2026, 1, 1)
+    hot = [(i, "I" if i == 1 else "U", "https://hot/1", ts, f"<p>v{i}</p>".encode(), "en")
+           for i in range(1, 201)]
+    cold = [(1000 + i, "I", f"https://cold/{i}", ts, b"<p>c</p>", "en") for i in range(3)]
+    batch = spark.createDataFrame(
+        hot + cold,
+        "lsn long, op string, url string, warc_ts timestamp, html binary, lang string",
+    )
+    stats = apply_epoch(table, batch, 0, lww_strategy="auto")
+    assert stats.lww_strategy_used == "salted_window"
+    rows = {r["url"]: r for r in table.read().collect()}
+    assert bytes(rows["https://hot/1"]["html"]) == b"<p>v200</p>"
+    assert len(rows) == 4
+
+    # a uniform batch stays on the plain window strategy
+    uni = spark.createDataFrame(
+        [(2000 + i, "I", f"https://u/{i}", ts, b"<p>u</p>", "en") for i in range(50)],
+        "lsn long, op string, url string, warc_ts timestamp, html binary, lang string",
+    )
+    stats2 = apply_epoch(table, uni, 1, lww_strategy="auto")
+    assert stats2.lww_strategy_used == "window"
