@@ -38,7 +38,12 @@ HEADLINE = [
     "merge_upsert_fullouter",
     "topk_per_group",
     "schema_evolution_union",
+    "rollup_agg",
+    "distinct_agg",
+    "sessionize_events",
+    "transformer_chain",
     "dedup_exact",
+    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "text_stats",
