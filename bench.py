@@ -54,7 +54,7 @@ HEADLINE = [
     "multimodal_meta",
 ]
 
-CDC_EVENTS = int(os.environ.get("DATAX_BENCH_EVENTS", "500000"))
+CDC_EVENTS = int(os.environ.get("DATAX_BENCH_EVENTS", "1000000"))
 
 
 def _cached_event_log(spec) -> Path:

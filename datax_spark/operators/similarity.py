@@ -124,11 +124,14 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "label",
+    n_probe: int = 1,
 ) -> DataFrame:
-    """IVF ANN: assign each query to its nearest centroid cell (n_probe=1),
-    then exact top-k within that cell only.
+    """IVF ANN: assign each query to its ``n_probe`` nearest centroid
+    cells, then exact top-k within those cells only (recall/cost knob —
+    search cost ∝ |corpus| × n_probe / n_cells).
 
-    Returns (query_id, probe_cell, neighbor_id, cos_sim, rank).
+    Returns (query_id, probe_cell, neighbor_id, cos_sim, rank); for
+    n_probe > 1, probe_cell is the cell the neighbor was found in.
     """
     cents = F.broadcast(
         cell_centroids(corpus, cell_col, vec_col).select(
@@ -148,7 +151,7 @@ def ivf_topk(
             cosine(F.col("qv"), F.col("centroid")).alias("ccs"),
         )
         .withColumn("rn", F.row_number().over(aw))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= n_probe)
         .select("query_id", "qv", "probe_cell")
     )
     c = corpus.select(

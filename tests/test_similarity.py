@@ -71,3 +71,17 @@ def test_ivf_matches_bruteforce_within_cell(emb):
         for r in bruteforce_topk(emb.filter(F.col("label") == 0), q, k=2).collect()
     }
     assert ivf == bf
+
+
+def test_ivf_nprobe_widens_search(emb):
+    """n_probe=2 on a 2-cell corpus == brute force over everything."""
+    q = emb.filter(F.col("vec_id") == 0)
+    ivf2 = {
+        (r["neighbor_id"], r["rank"])
+        for r in ivf_topk(emb, q, k=3, n_probe=2).collect()
+    }
+    bf = {
+        (r["neighbor_id"], r["rank"])
+        for r in bruteforce_topk(emb, q, k=3).collect()
+    }
+    assert ivf2 == bf
