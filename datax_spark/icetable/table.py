@@ -316,9 +316,12 @@ class IceTable:
         # balls-in-bins collisions (a hash repartition on the pid VALUES
         # would give one task 3-4 pids and a write straggler) and no
         # range-sampling pass (repartitionByRange would execute the
-        # upstream plan, extraction UDF included, twice). When the merge
-        # join upstream is already hash(key)-partitioned with P
-        # partitions, Catalyst drops this exchange entirely.
+        # upstream plan, extraction UDF included, twice). Note: this
+        # exchange is NOT elided after the merge's full-outer join — the
+        # key column there is coalesce(t.key, b.key), which breaks
+        # partitioning lineage for Catalyst — so the merged rows cross
+        # the wire once more; acceptable because it is the minimal
+        # correct route to one-sorted-file-per-partition output.
         num_p = self.num_partitions
         (
             df.repartition(num_p, F.col(key))
