@@ -51,6 +51,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from datax_spark.functions.hashing import url_partition
+
 FORMAT_VERSION = 1
 
 
@@ -178,6 +180,7 @@ class IceTable:
         version: int | None = None,
         with_lsn: bool = False,
         pid_url_ranges: dict[int, tuple[str, str]] | None = None,
+        keys_df: DataFrame | None = None,
     ) -> tuple[DataFrame, list[dict]]:
         """Pruned scan: only files in ``partition_ids``, and — when the
         per-partition batch url envelope is supplied — only files whose
@@ -196,6 +199,8 @@ class IceTable:
                 if f["max_url"] < lo or f["min_url"] > hi:
                     continue
             files.append(f)
+        if keys_df is not None:
+            files = self.bloom_prune(files, keys_df)
         return self._read_files(files, version, with_lsn), files
 
     def _read_files(self, files: list[dict], version: int | None, with_lsn: bool) -> DataFrame:
@@ -365,7 +370,118 @@ class IceTable:
             )
             seq += 1
         shutil.rmtree(staging, ignore_errors=True)
+        self._attach_blooms(entries)
         return entries
+
+    # ------------------------------------------------------------------ #
+    # per-file key bloom filters (manifest-level secondary index)
+    # ------------------------------------------------------------------ #
+    # Envelope [min,max] pruning is weak when a batch's keys span a
+    # partition's range; the bloom answers "could this file contain any
+    # of the batch's keys" per file. Build and probe both run as Spark
+    # jobs over the SAME hash expressions (xxhash64(key, i)), so no
+    # Python-side hash reimplementation exists to drift. At cluster
+    # scale the word arrays would live in sidecar (puffin-style) files
+    # rather than inline JSON; the structure is identical.
+    BLOOM_K = 4
+    BLOOM_BITS_PER_KEY = 10
+    BLOOM_MAX_BITS = 1 << 20
+
+    def _bloom_positions(self, key_col, m_col):
+        return [
+            F.pmod(F.xxhash64(key_col, F.lit(i)), m_col) for i in range(self.BLOOM_K)
+        ]
+
+    def _attach_blooms(self, entries: list[dict]) -> None:
+        if not entries:
+            return
+        key = self.key_column
+        m_by_path = {
+            e["path"]: min(
+                max(1 << (e["rows"] * self.BLOOM_BITS_PER_KEY - 1).bit_length(), 1024),
+                self.BLOOM_MAX_BITS,
+            )
+            for e in entries
+        }
+        paths = [str(self.root / p) for p in m_by_path]
+        df = self.spark.read.parquet(*paths).select(
+            # normalize the file URI (input_file_name yields file://...)
+            F.regexp_replace(F.input_file_name(), "^[a-zA-Z]+:(//)?", "").alias("_file"),
+            F.col(key),
+        )
+        m_map = F.create_map(
+            *[x for p, m in m_by_path.items() for x in (F.lit(str(self.root / p)), F.lit(m))]
+        )
+        df = df.withColumn("_m", F.element_at(m_map, F.col("_file")))
+        pos = F.explode(F.array(*self._bloom_positions(F.col(key), F.col("_m")))).alias("_pos")
+        words = (
+            df.select("_file", "_m", pos)
+            .select(
+                "_file",
+                (F.col("_pos") / 64).cast("long").alias("_w"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))").alias("_b"),
+            )
+            .groupBy("_file", "_w")
+            .agg(F.bit_or("_b").alias("_bits"))
+            .groupBy("_file")
+            .agg(F.map_from_arrays(F.collect_list("_w"), F.collect_list("_bits")).alias("_words"))
+            .collect()
+        )
+        by_file = {r["_file"]: r["_words"] for r in words}
+        for e in entries:
+            full = str(self.root / e["path"])
+            sparse = by_file.get(full)
+            if sparse is None:
+                continue
+            e["bloom"] = {
+                "m": m_by_path[e["path"]],
+                "k": self.BLOOM_K,
+                # sparse word map {word_index: bits}; JSON keys are strings
+                "words": {str(int(w)): int(b) for w, b in sparse.items()},
+            }
+
+    def bloom_prune(self, files: list[dict], keys_df: DataFrame) -> list[dict]:
+        """Drop files whose bloom proves they contain NONE of the batch
+        keys. Files without a bloom are always kept. The membership test
+        is one small Spark job: broadcast the file blooms, AND the k bit
+        tests per (key, file), keep files with any hit."""
+        testable = [f for f in files if f.get("bloom")]
+        if not testable:
+            return files
+        key = self.key_column
+        rows = [
+            (
+                f["path"],
+                f["partition_id"],
+                f["bloom"]["m"],
+                {int(w): int(b) for w, b in f["bloom"]["words"].items()},
+            )
+            for f in testable
+        ]
+        blooms = F.broadcast(
+            self.spark.createDataFrame(
+                rows, "path string, pid int, m long, words map<long,bigint>"
+            )
+        )
+        keys = keys_df.select(
+            F.col(key), url_partition(F.col(key), self.num_partitions).alias("pid")
+        )
+        probe = keys.join(blooms, "pid")
+        for i, p in enumerate(self._bloom_positions(F.col(key), F.col("m"))):
+            probe = probe.withColumn(f"_p{i}", p)
+        hit = None
+        for i in range(self.BLOOM_K):
+            this = F.expr(
+                f"(coalesce(element_at(words, CAST(_p{i} / 64 AS BIGINT)), CAST(0 AS BIGINT))"
+                f" & shiftleft(CAST(1 AS BIGINT), CAST(_p{i} % 64 AS INT))) != 0"
+            )
+            hit = this if hit is None else (hit & this)
+        hits = {
+            r["path"]
+            for r in probe.filter(hit).select("path").distinct().collect()
+        }
+        kept = [f for f in files if not f.get("bloom") or f["path"] in hits]
+        return kept
 
     def commit(
         self,

@@ -91,6 +91,7 @@ def apply_epoch(
     error_budget: float | None = None,
     extract: bool = True,
     quarantine: bool = True,
+    bloom_prune_max_keys: int = 100_000,
 ) -> EpochStats:
     """Apply one change-event batch to the table, exactly once."""
     t0 = time.monotonic()
@@ -209,8 +210,17 @@ def apply_epoch(
     stats.evolved_columns = [f.name for f in batch_only]
 
     # ---- pruned target scan + lsn-guarded full-outer MERGE ------------- #
+    # Small batches additionally prune by per-file key blooms: an epoch
+    # touching few keys rewrites only files that (probably) contain
+    # them, regardless of how widely the keys scatter inside a
+    # partition's [min,max] envelope. The probe is one extra narrow job,
+    # so it is gated on batch size — dense batches hit every file anyway.
+    total_keys = sum(r["n_keys"] for r in pid_rows)
+    keys_df = (
+        narrow_last.select(key) if 0 < total_keys <= bloom_prune_max_keys else None
+    )
     target, rewrite_files = table.read_partitions(
-        affected, with_lsn=True, pid_url_ranges=envelopes
+        affected, with_lsn=True, pid_url_ranges=envelopes, keys_df=keys_df
     )
     b = resolved.alias("b")
     t = target.alias("t")
