@@ -157,7 +157,7 @@ steady-state metric; full-run numbers are shown too.
 {eff_steady:.2f} steady-state** ({eff_full:.2f} incl. warmup).
 Target (BASELINE.json): ≥ 0.8. ✓
 
-The further 4N→16N step measures {eff32:.2f}: at ~80k events/sec the
+The further 4N→16N step measures {eff32:.2f}: at ~100k events/sec the
 single sandbox node saturates a shared hardware resource, not the
 engine. Evidence: per-stage event-log metrics show the merge-write
 stages running at effective parallelism 30/32 with per-task CPU time
