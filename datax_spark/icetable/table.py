@@ -259,6 +259,21 @@ class IceTable:
     # ------------------------------------------------------------------ #
     # maintenance (Iceberg-style table services)
     # ------------------------------------------------------------------ #
+    def compact(self, min_files: int = 2) -> list[int]:
+        """Table-service sweep: compact every partition holding at least
+        ``min_files`` data files (bloom-pruned merges accumulate small
+        per-epoch files in hot partitions). Returns the partitions
+        compacted. Run between epochs — each compaction is its own
+        snapshot and CAS-conflicts safely with concurrent ingest."""
+        counts: dict[int, int] = {}
+        for f in self.metadata()["manifest"]:
+            counts[f["partition_id"]] = counts.get(f["partition_id"], 0) + 1
+        done = []
+        for pid, n in sorted(counts.items()):
+            if n >= min_files and self.compact_partition(pid) is not None:
+                done.append(pid)
+        return done
+
     def compact_partition(self, partition_id: int) -> int | None:
         """Rewrite a partition's files into one sorted file (bin-pack
         compaction). A no-op (returns None) when the partition already

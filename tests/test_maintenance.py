@@ -98,3 +98,29 @@ def test_expire_snapshots_keeps_current_state(ingested):
     # deleted files are really gone and none were live
     for p in deleted:
         assert not (ingested.root / p).exists()
+
+
+def test_compact_sweep_after_bloom_pruned_epochs(spark, tmp_path):
+    """Bloom-pruned point-update epochs accumulate small files; the
+    compact sweep folds every multi-file partition back to one file
+    without changing table state."""
+    import datetime as dt
+
+    from datax_spark.operators.merge import apply_epoch
+
+    table = IceTable.create(spark, tmp_path / "t", PAGE_SCHEMA, num_partitions=1)
+    ts = dt.datetime(2026, 1, 1)
+    ev = "lsn long, op string, url string, warc_ts timestamp, html binary, lang string"
+
+    def batch(urls, lsn0):
+        return spark.createDataFrame(
+            [(lsn0 + i, "I", u, ts, b"<p>x</p>", "en") for i, u in enumerate(urls)], ev
+        )
+
+    apply_epoch(table, batch([f"https://a/{i}" for i in range(20)], 1), 0)
+    apply_epoch(table, batch([f"https://z/{i}" for i in range(5)], 100), 1)  # bloom keeps a-file
+    assert len(table.metadata()["manifest"]) == 2
+    before = {(r["url"], r["text"]) for r in table.read().collect()}
+    assert table.compact(min_files=2) == [0]
+    assert len(table.metadata()["manifest"]) == 1
+    assert {(r["url"], r["text"]) for r in table.read().collect()} == before
