@@ -8,11 +8,12 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 Every query here maps to an operator row in SURVEY.md §2 (the
 operator-inventory checklist); the implementation lives in
 ``datax_spark/`` and is exercised through its public API, so this file
-is a thin harness, not a second implementation. Non-SQL-expressible
-operators (the stateful CDC ingest loop itself) appear in ``queries()``
-without an ``oracle_sql()`` entry — the driver records a rows-only
-check for those, and the pytest replay-equivalence suite is their
-real correctness gate (tests/test_replay.py, tests/test_apply.py).
+is a thin harness, not a second implementation. The stateful CDC ingest
+loop is oracled by folding the SAME deterministic event shards in DuckDB
+SQL (per-url max-lsn, quarantine rules, deletes drop); only the
+byte-identity of the extracted ``text`` column is non-SQL-expressible
+and is gated by the pytest golden-byte + replay-equivalence suites
+instead (tests/test_extract.py, tests/test_replay.py).
 
 Column-name discipline: every computed column is aliased identically in
 the Spark query and the oracle SQL; int-sized columns that differ
@@ -61,14 +62,36 @@ def _utc(spark: SparkSession) -> None:
 # entry — flagship: the CDC ingest loop end to end (SURVEY.md §3.2 E2)
 # --------------------------------------------------------------------------
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Run the full CDC engine on a small deterministic event log:
-    generate → tail source → salted repartition → Arrow-UDF extraction →
-    Window-over-LSN LWW → exactly-once MERGE with mid-stream schema
-    evolution → return the final table state.
-    """
-    _utc(spark)
+# Deterministic CDC fixture shared by the Spark query AND the DuckDB
+# oracle: both sides read the SAME event shards, so the oracle can fold
+# the log in pure SQL. The path must be a constant (oracle_sql() returns
+# static strings); the log is a pure function of _CDC_SPEC+seed, so a
+# pre-existing directory is byte-identical to a fresh one.
+_CDC_EVENTS_DIR = Path(tempfile.gettempdir()) / "datax_cdc_contract_v1" / "events"
+_CDC_SPEC = dict(
+    n_events=1200, n_urls=250, n_domains=20, n_epochs=3,
+    evolve_at_epoch=2, dirty_per_epoch=5, seed=42,
+)
+
+
+def _ensure_cdc_fixture() -> Path:
     from datax_spark.datagen.generator import EventLogSpec, generate_event_log
+
+    done = _CDC_EVENTS_DIR / "_DONE"
+    if not done.exists():
+        import shutil
+
+        shutil.rmtree(_CDC_EVENTS_DIR, ignore_errors=True)
+        generate_event_log(_CDC_EVENTS_DIR, EventLogSpec(**_CDC_SPEC))
+        done.touch()
+    return _CDC_EVENTS_DIR
+
+
+def _run_cdc(spark: SparkSession, events_dir: Path) -> DataFrame:
+    """Ingest a generated event log end to end (tail source → salted
+    repartition → Arrow-UDF extraction → Window-over-LSN LWW →
+    exactly-once MERGE with mid-stream schema evolution) and return the
+    final table state."""
     from datax_spark.icetable.table import IceTable
     from datax_spark.streaming.driver import EpochDriver
     from datax_spark.streaming.source import ChangeTailSource
@@ -85,16 +108,18 @@ def entry(spark: SparkSession) -> DataFrame:
         ]
     )
     work = Path(tempfile.mkdtemp(prefix="datax_entry_"))
-    spec = EventLogSpec(
-        n_events=1200, n_urls=250, n_domains=20, n_epochs=3,
-        evolve_at_epoch=2, dirty_per_epoch=5, seed=42,
-    )
-    generate_event_log(work / "events", spec)
     table = IceTable.create(spark, work / "table", page_schema, num_partitions=8)
-    source = ChangeTailSource(spark, work / "events")
+    source = ChangeTailSource(spark, events_dir)
     driver = EpochDriver(spark, source, table, work / "ckpt")
     driver.run()
-    final = table.read()
+    return table.read()
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Run the full CDC engine on a small deterministic event log and
+    return the final table state (the flagship end-to-end query)."""
+    _utc(spark)
+    final = _run_cdc(spark, _ensure_cdc_fixture())
     return final.select(*sorted(final.columns))
 
 
@@ -496,15 +521,16 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------- CDC engine (rows-only) ----------------------- #
 
 def q_cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E2 end-to-end (no SQL oracle — the pytest replay suite and the
-    pure-python reference_apply fold are the oracle): ingest a
-    deterministic event log and return the final table state."""
+    """E2 end-to-end with a real SQL oracle: ingest the deterministic
+    shared event log and return the final table's SQL-expressible
+    identity columns. The oracle folds the SAME parquet shards in
+    DuckDB (per-url max-lsn row, quarantine rules, drop op='D').
+    Byte-identity of the extracted `text` column is non-SQL-expressible
+    and stays under the pytest golden-byte + replay gates
+    (tests/test_extract.py, tests/test_replay.py)."""
     _utc(spark)
-    df = entry(spark)
-    # html/text are large; project the comparable identity columns
-    return df.select(
-        "url", F.md5(F.col("text")).alias("text_md5"), "lang", "title"
-    )
+    df = _run_cdc(spark, _ensure_cdc_fixture())
+    return df.select("url", "lang", "title")
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -754,7 +780,7 @@ WHERE EXISTS (
     "hash_bucket_histogram": """
 SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 32 AS bucket,
        count(*) AS n_docs,
-       sum(n_chars) AS sum_chars
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY 1""",
     "filter_project_pushdown": """
 SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
@@ -826,8 +852,8 @@ WITH g AS (
 ),
 s AS (
   SELECT user_id, event_id, value,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_idx
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
   FROM g
 )
 SELECT user_id, session_idx, count(*) AS n_events,
@@ -929,8 +955,8 @@ SELECT doc_id,
 FROM documents""",
     "token_count_by_source": f"""
 SELECT source, count(*) AS n_docs,
-       sum({_WS_TOK_SQL}) AS total_ws_tokens,
-       sum({_REGEX_TOK_SQL}) AS total_regex_tokens,
+       CAST(sum({_WS_TOK_SQL}) AS BIGINT) AS total_ws_tokens,
+       CAST(sum({_REGEX_TOK_SQL}) AS BIGINT) AS total_regex_tokens,
        round(avg(n_chars), 2) AS avg_chars
 FROM documents GROUP BY source""",
     "transformer_chain": """
@@ -949,9 +975,28 @@ SELECT doc_id,
        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
          AS modality
 FROM documents""",
-    # cdc_final_state: intentionally absent — non-SQL-expressible stateful
-    # ingest; correctness gate = tests/test_replay.py (bit-for-bit replay
-    # equivalence vs the pure-python reference_apply fold).
+    # cdc_final_state: SQL fold of the SAME shared event shards the Spark
+    # query ingests (dirty rules mirror operators/quarantine.dirty_predicate;
+    # LWW = per-url max-lsn; deletes drop). `text` bytes are checked by the
+    # pytest golden-byte + replay suites instead (not SQL-expressible).
+    "cdc_final_state": f"""
+WITH ev AS (
+  SELECT * FROM read_parquet(
+    '{_CDC_EVENTS_DIR}/events-e*.parquet', union_by_name=true)
+),
+clean AS (
+  SELECT * FROM ev
+  WHERE url IS NOT NULL AND length(url) > 0
+    AND op IN ('I', 'U', 'D')
+    AND lsn IS NOT NULL AND lsn > 0
+),
+latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY url ORDER BY lsn DESC) AS rn
+    FROM clean
+  ) WHERE rn = 1
+)
+SELECT url, lang, title FROM latest WHERE op <> 'D'""",
 }
 
 

@@ -154,8 +154,9 @@ def apply_epoch(
         pid_fut, in_fut = ex.submit(_pid_stats), ex.submit(_in_stats)
         pid_rows, in_rows = pid_fut.result(), in_fut.result()
     rows_in_by_pid = {r["_pid"]: r["rows_in"] for r in in_rows if not r["_dirty"]}
+    dirty_by_pid = {r["_pid"]: r["rows_in"] for r in in_rows if r["_dirty"]}
     stats.rows_in = sum(rows_in_by_pid.values())
-    stats.rows_dirty = sum(r["rows_in"] for r in in_rows if r["_dirty"])
+    stats.rows_dirty = sum(dirty_by_pid.values())
     check_error_budget(stats.rows_in + stats.rows_dirty, stats.rows_dirty, error_budget)
     if quarantine and stats.rows_dirty > 0:
         # routed, not dropped (DataX dirty-record collector): the write
@@ -272,8 +273,30 @@ def apply_epoch(
                 "rows_in": rows_in_by_pid.get(pid, 0),
                 "rows_upserted": r["n_keys"] - r["n_del"],
                 "rows_deleted": r["n_del"],
-                "rows_dirty": stats.rows_dirty,
+                # per-pid (NOT the epoch total stamped on every row —
+                # summing rows_dirty across an epoch must equal the
+                # injected dirty count exactly once)
+                "rows_dirty": dirty_by_pid.get(pid, 0),
                 "commit_id": None,  # filled below
+                "wall_ms": commit_wall,
+            }
+        )
+    # pids that saw ONLY dirty rows still get a lineage row so the
+    # epoch's rows_dirty accounting is complete (quarantine routing is
+    # observable per partition even when nothing clean landed there)
+    for pid in sorted(set(dirty_by_pid) - affected):
+        lineage_rows.append(
+            {
+                "checkpoint_epoch": epoch,
+                "partition_id": pid,
+                "start_offset": start_offset,
+                "end_offset": end_offset,
+                "lsn_watermark": None,
+                "rows_in": 0,
+                "rows_upserted": 0,
+                "rows_deleted": 0,
+                "rows_dirty": dirty_by_pid[pid],
+                "commit_id": None,
                 "wall_ms": commit_wall,
             }
         )

@@ -108,6 +108,9 @@ def test_quarantine_counts(spark, tmp_path):
     lineage = table.read_lineage().collect()
     assert all(lr["rows_dirty"] >= 0 for lr in lineage)
     assert {lr["checkpoint_epoch"] for lr in lineage} == {0, 1}
+    # rows_dirty is per-pid: summing across an epoch's lineage rows must
+    # equal the injected dirty count exactly once (no ×partitions blowup)
+    assert sum(lr["rows_dirty"] for lr in lineage) == 12
     # dirty events are ROUTED to the quarantine area, never applied (P5)
     q = table.read_quarantine()
     assert q is not None and q.count() == 12
