@@ -1,8 +1,12 @@
 """Key partitioning + skew salting (SURVEY.md §2.2 P4, §2.7 T8).
 
 The engine's physical layout is **url-hash partitioning**: a row lands in
-partition ``pmod(xxhash64(url), num_partitions)``. xxhash64 is JVM-side,
-codegen'd and stable across Spark versions — deterministic partitioning is
+partition ``pmod(murmur3(url), num_partitions)`` — murmur3 with seed 42,
+exactly Spark's own HashPartitioning function (see ``url_partition``).
+The hash identity is recorded in every table's partition_spec as
+``PARTITION_HASH`` and validated on load: a table laid out under a
+different hash would silently mis-prune and mis-route MERGE, so loading
+one is a hard error, not a wrong answer. Deterministic partitioning is
 what makes replay produce identical file layouts (BASELINE.json:6).
 
 Hot-domain skew (zipf-distributed domains) is handled with **explicit
@@ -17,6 +21,12 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+# The partitioning function's identity, persisted in partition_spec and
+# checked by IceTable.load — changing url_partition REQUIRES changing
+# this name (and therefore invalidating stored layouts) in the same
+# commit, so a layout/hash mismatch can never load silently.
+PARTITION_HASH = "murmur3_x86_32/seed=42"
 
 
 def url_partition(key: Column | str, num_partitions: int) -> Column:

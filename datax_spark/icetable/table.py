@@ -51,9 +51,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from datax_spark.functions.hashing import url_partition
+from datax_spark.functions.hashing import PARTITION_HASH, url_partition
 
-FORMAT_VERSION = 1
+# v2: partition_spec records the partitioning hash identity
+# (PARTITION_HASH) and load() validates it — a table laid out under a
+# different hash function must fail to load, never silently mis-prune.
+FORMAT_VERSION = 2
 
 
 class TableCommitConflict(RuntimeError):
@@ -122,7 +125,11 @@ class IceTable:
             "parent_version": None,
             "schema_id": 0,
             "schemas": [{"schema_id": 0, "schema": _schema_to_json(schema)}],
-            "partition_spec": {"num_partitions": num_partitions, "key": key_column},
+            "partition_spec": {
+                "num_partitions": num_partitions,
+                "key": key_column,
+                "hash": PARTITION_HASH,
+            },
             "manifest": [],
             "commits": {},
             "summary": {"total_rows": 0},
@@ -133,7 +140,22 @@ class IceTable:
     @classmethod
     def load(cls, spark: SparkSession, root: str | Path) -> "IceTable":
         t = cls(spark, root)
-        t.current_version()  # raises if absent
+        meta = t.metadata()  # raises if absent
+        fv = meta.get("format_version")
+        if fv != FORMAT_VERSION:
+            raise ValueError(
+                f"table at {root} has format_version {fv}, engine expects "
+                f"{FORMAT_VERSION} — refusing to load"
+            )
+        stored = meta["partition_spec"].get("hash")
+        if stored != PARTITION_HASH:
+            # keys would resolve to different pids than the stored file
+            # layout: MERGE would prune the wrong files, missing existing
+            # rows and duplicating keys — fail loudly instead
+            raise ValueError(
+                f"table at {root} is partitioned by {stored!r}, engine "
+                f"computes {PARTITION_HASH!r} — layout/hash mismatch"
+            )
         return t
 
     # ------------------------------------------------------------------ #
@@ -233,6 +255,11 @@ class IceTable:
             os.rename(tmp, dest)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
+            if not dest.exists():
+                # not the lost-race case (another writer published the
+                # epoch) — a real failure must not silently drop the
+                # epoch's dirty rows
+                raise
 
     def read_quarantine(self) -> DataFrame | None:
         qdir = self.root / "quarantine"
@@ -577,6 +604,8 @@ class IceTable:
             os.rename(tmp, dest)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
+            if not dest.exists():
+                raise  # same rule as write_quarantine: only a lost race is benign
 
 
 LINEAGE_SCHEMA = T.StructType(

@@ -73,7 +73,17 @@ def compile_reader(spark: SparkSession, reader: dict[str, Any]) -> DataFrame:
     return df
 
 
-def apply_transforms(df: DataFrame, transforms: list[dict[str, Any]]) -> DataFrame:
+# hidden column carrying the conjunction of every strict_cast ok-flag in
+# a transform chain (present only when the job tracks an error budget)
+CAST_OK_COL = "_cast_ok"
+
+
+def apply_transforms(
+    df: DataFrame,
+    transforms: list[dict[str, Any]],
+    track_cast_ok: bool = False,
+) -> DataFrame:
+    ok_tmp: list[str] = []
     for t in transforms or []:
         op = t["op"]
         if op == "substr":
@@ -93,19 +103,53 @@ def apply_transforms(df: DataFrame, transforms: list[dict[str, Any]]) -> DataFra
         elif op == "filter":
             df = TX.dx_filter(df, t["predicate"])
         elif op == "cast":
-            casted, _ok = TX.strict_cast(t["col"], t["to"])
+            casted, ok = TX.strict_cast(t["col"], t["to"])
+            if track_cast_ok:
+                # materialize the ok-flag BEFORE the cast overwrites the
+                # source column — it compares pre- and post-cast values
+                name = f"_ok_{len(ok_tmp)}"
+                df = df.withColumn(name, ok)
+                ok_tmp.append(name)
             df = df.withColumn(t.get("as", t["col"]), casted)
         else:
             raise ValueError(f"unknown transform {op!r}")
+    if track_cast_ok:
+        acc = F.lit(True)
+        for name in ok_tmp:
+            acc = acc & F.col(name)
+        df = df.withColumn(CAST_OK_COL, acc).drop(*ok_tmp)
     return df
 
 
 def run_batch_job(spark: SparkSession, spec: dict[str, Any]) -> DataFrame:
     """Compile and (if a writer is present) execute a batch sync job;
-    returns the final DataFrame either way."""
+    returns the final DataFrame either way.
+
+    When ``settings.errorLimit`` is configured, rows whose strict casts
+    failed count against the budget (DataX dirty-record semantics:
+    ``record`` = absolute cap, ``percentage`` = ratio cap; exceeding
+    either aborts the job) and are routed to ``writer.quarantinePath``
+    when given — never silently nulled into the main output."""
+    from datax_spark.operators.quarantine import ErrorBudgetExceeded, check_error_budget
+
+    settings = spec.get("settings", {})
+    err = settings.get("errorLimit")
     df = compile_reader(spark, spec["reader"])
-    df = apply_transforms(df, spec.get("transforms"))
-    writer = spec.get("writer")
+    df = apply_transforms(df, spec.get("transforms"), track_cast_ok=err is not None)
+    writer = spec.get("writer") or {}
+    if err is not None and CAST_OK_COL in df.columns:
+        counts = df.groupBy(F.col(CAST_OK_COL)).count().collect()
+        total = sum(r["count"] for r in counts)
+        dirty = sum(r["count"] for r in counts if not r[CAST_OK_COL])
+        check_error_budget(total, dirty, err.get("percentage"))
+        cap = err.get("record")
+        if cap is not None and dirty > cap:
+            raise ErrorBudgetExceeded(f"{dirty} dirty rows exceed record cap {cap}")
+        if dirty and writer.get("quarantinePath"):
+            df.filter(~F.col(CAST_OK_COL)).drop(CAST_OK_COL).write.mode(
+                "overwrite"
+            ).parquet(str(writer["quarantinePath"]))
+        df = df.filter(F.col(CAST_OK_COL)).drop(CAST_OK_COL)
     if writer:
         wtype = writer.get("type", "parquet")
         if wtype == "parquet":

@@ -203,6 +203,13 @@ def apply_epoch(
         for f in resolved.schema.fields
         if f.name not in table_cols and f.name not in _WIRE_ONLY and f.name not in ("_pid",)
     ]
+    if do_extract and "text" not in table_cols:
+        # extraction produces a column the batch doesn't carry; a table
+        # created without `text` must still receive it via additive
+        # schema evolution, exactly like a batch-borne new column
+        batch_only = [f for f in batch_only if f.name != "text"] + [
+            T.StructField("text", T.StringType(), True)
+        ]
     out_fields = list(table_schema.fields) + [
         T.StructField(f.name, f.dataType, True) for f in batch_only
     ]

@@ -169,3 +169,20 @@ def test_auto_strategy_salts_hot_keys(spark, tmp_path):
     )
     stats2 = apply_epoch(table, uni, 1, lww_strategy="auto")
     assert stats2.lww_strategy_used == "window"
+
+
+def test_extraction_evolves_missing_text_column(spark, tmp_path):
+    """A table created WITHOUT a text column still receives extracted
+    text via additive schema evolution (the extraction output is treated
+    exactly like a batch-borne new column)."""
+    no_text = T.StructType([f for f in PAGE_SCHEMA.fields if f.name != "text"])
+    table = IceTable.create(spark, tmp_path / "t", no_text, num_partitions=2)
+    schema = "lsn long, op string, url string, warc_ts timestamp, html binary, lang string"
+    df = spark.createDataFrame(
+        [(1, "I", "https://x/1", None, b"<html><body><p>hello world</p></body></html>", "en")],
+        schema,
+    )
+    stats = apply_epoch(table, df, 0)
+    assert stats.evolved_columns == ["text"]
+    row = table.read().collect()[0]
+    assert row["text"] == extract_text(row["html"])

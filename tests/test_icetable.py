@@ -123,3 +123,25 @@ def test_metadata_is_valid_json_chain(spark, tmp_path):
     t.commit(0, {0}, f0, set())
     m1 = json.loads((t.meta_dir / "v1.metadata.json").read_text())
     assert m1["parent_version"] == 0 and m1["summary"]["total_rows"] == 1
+
+
+def test_load_rejects_partition_hash_mismatch(spark, tmp_path):
+    """A table laid out under a different partitioning hash must fail to
+    load — silently mis-pruning MERGE would miss rows / duplicate keys."""
+    t = _mk(spark, tmp_path)
+    meta_path = t.meta_dir / "v0.metadata.json"
+    meta = json.loads(meta_path.read_text())
+    meta["partition_spec"]["hash"] = "xxhash64/seed=0"
+    meta_path.write_text(json.dumps(meta))
+    with pytest.raises(ValueError, match="layout/hash mismatch"):
+        IceTable.load(spark, tmp_path / "t")
+
+
+def test_load_rejects_foreign_format_version(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    meta_path = t.meta_dir / "v0.metadata.json"
+    meta = json.loads(meta_path.read_text())
+    meta["format_version"] = 1
+    meta_path.write_text(json.dumps(meta))
+    with pytest.raises(ValueError, match="format_version"):
+        IceTable.load(spark, tmp_path / "t")

@@ -99,3 +99,37 @@ def test_vectorized_escape_hatch(spark):
     fn = TX.dx_vectorized(lambda s: s.str.upper())
     df = spark.createDataFrame([("ab",), ("cd",)], "s string")
     assert {r[0] for r in df.select(fn(F.col("s"))).collect()} == {"AB", "CD"}
+
+
+def test_batch_job_error_budget_counts_cast_failures(spark, tmp_path):
+    """strict_cast failures are DIRTY rows, not silent nulls: they count
+    against settings.errorLimit, are excluded from the main output, and
+    land in writer.quarantinePath (DataX dirty-record semantics)."""
+    src = tmp_path / "in"
+    spark.createDataFrame(
+        [("a", "1"), ("b", "2"), ("c", "oops"), ("d", None)], "k string, n string"
+    ).write.parquet(str(src))
+    spec = {
+        "reader": {"type": "parquet", "path": str(src)},
+        "transforms": [{"op": "cast", "col": "n", "to": "long"}],
+        "writer": {
+            "type": "parquet",
+            "path": str(tmp_path / "out"),
+            "mode": "overwrite",
+            "quarantinePath": str(tmp_path / "quar"),
+        },
+        "settings": {"errorLimit": {"percentage": 0.5}},
+    }
+    out = run_batch_job(spark, spec)
+    main = spark.read.parquet(str(tmp_path / "out"))
+    assert {r["k"] for r in main.collect()} == {"a", "b", "d"}  # null input is ok
+    assert "_cast_ok" not in main.columns
+    quar = spark.read.parquet(str(tmp_path / "quar"))
+    assert {r["k"] for r in quar.collect()} == {"c"}
+
+    # a tight budget aborts the job instead of shipping dirty rows
+    from datax_spark.operators.quarantine import ErrorBudgetExceeded
+
+    spec["settings"]["errorLimit"] = {"record": 0}
+    with pytest.raises(ErrorBudgetExceeded):
+        run_batch_job(spark, spec)
