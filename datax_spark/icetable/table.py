@@ -349,30 +349,44 @@ class IceTable:
     # ------------------------------------------------------------------ #
     # write path
     # ------------------------------------------------------------------ #
-    def stage_data_files(self, df: DataFrame, epoch: int, pid_column: str = "_pid") -> list[dict]:
+    def stage_data_files(
+        self, df: DataFrame, epoch: int, pid_column: str = "_pid", aligned: bool = False
+    ) -> list[dict]:
         """Write ``df`` (sorted within partitions by key) as immutable data
         files under data/, one directory per partition id; returns manifest
         entries. Files become visible only when a snapshot referencing
         them commits — until then they are ignorable orphans.
+
+        ``aligned=False`` (default): repartition(P, key) with
+        murmur3-aligned partition ids (see functions/hashing.
+        url_partition): task index == storage pid, so every task writes
+        exactly one partition directory — no balls-in-bins collisions (a
+        hash repartition on the pid VALUES would give one task 3-4 pids
+        and a write straggler) and no range-sampling pass
+        (repartitionByRange would execute the upstream plan, extraction
+        UDF included, twice).
+
+        ``aligned=True``: the caller guarantees ``df`` is ALREADY
+        physically hash(key)%P partitioned — e.g. the MERGE full-outer
+        join's output when spark.sql.shuffle.partitions == P and AQE is
+        off. Catalyst reports UnknownPartitioning through the
+        coalesce(t.key, b.key) projection, but every row physically sits
+        in the reducer whose index equals its pid (both join inputs were
+        hash-exchanged on the key with Spark's own HashPartitioning =
+        url_partition), so the write runs with NO further exchange: the
+        merged rows — whole affected partitions, html payload included —
+        never cross the wire a second time. Correctness never depends on
+        the alignment (partitionBy routes by VALUE); only the
+        one-file-per-partition layout does, and apply_epoch pins the
+        configs that make it hold.
         """
         staging = self.root / f"_staging-e{epoch:05d}-{uuid.uuid4().hex[:8]}"
         key = self.key_column
-        # repartition(P, key) with murmur3-aligned partition ids (see
-        # functions/hashing.url_partition): task index == storage pid, so
-        # every task writes exactly one partition directory — no
-        # balls-in-bins collisions (a hash repartition on the pid VALUES
-        # would give one task 3-4 pids and a write straggler) and no
-        # range-sampling pass (repartitionByRange would execute the
-        # upstream plan, extraction UDF included, twice). Note: this
-        # exchange is NOT elided after the merge's full-outer join — the
-        # key column there is coalesce(t.key, b.key), which breaks
-        # partitioning lineage for Catalyst — so the merged rows cross
-        # the wire once more; acceptable because it is the minimal
-        # correct route to one-sorted-file-per-partition output.
         num_p = self.num_partitions
+        if not aligned:
+            df = df.repartition(num_p, F.col(key))
         (
-            df.repartition(num_p, F.col(key))
-            .sortWithinPartitions(pid_column, key)
+            df.sortWithinPartitions(pid_column, key)
             .write.partitionBy(pid_column)
             .mode("overwrite")
             .parquet(str(staging))

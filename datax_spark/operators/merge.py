@@ -37,8 +37,12 @@ Scale notes (the parts that matter at 10^10 events / 100 TB):
 * The target scan is pruned twice from the manifest (partition ids, then
   per-partition url envelopes) — an epoch touching K urls reads and
   rewrites O(files containing them), never the table.
-* The merge join broadcasts the batch side when small (Catalyst/AQE
-  decides from runtime shuffle statistics).
+* The merge-write runs pid-aligned with shuffle partitions pinned to the
+  table's partition count: the join's reducers ARE the storage
+  partitions, so merged rows go straight to their files with no
+  post-merge exchange (a full-outer equi-join always shuffles both
+  sides by key — that one shuffle is the only time payload bytes cross
+  the wire).
 * Driver-side collects are bounded by the partition count (≤ P rows),
   never by data volume.
 * The cross-epoch lsn guard (``batch.lsn > target._lsn``) makes late or
@@ -260,7 +264,30 @@ def apply_epoch(
         .alias("_pid"),
     )
 
-    new_files = table.stage_data_files(merged, epoch)
+    # ---- pid-aligned write: no post-merge exchange --------------------- #
+    # The full-outer join physically partitions its output by
+    # hash(key)%shuffle_partitions (both sides are hash-exchanged on the
+    # key; matched, batch-only and target-only rows all land in the
+    # reducer of their common key). Pinning shuffle partitions to the
+    # table's partition count makes reducer index == storage pid, so the
+    # write stage needs no repartition — previously the merged rows
+    # (whole affected partitions, html included) crossed the wire a
+    # second time because coalesce(t.key, b.key) hides the partitioning
+    # from Catalyst. AQE is pinned off for this one job: partition
+    # coalescing or skew-splitting would change the file layout (still
+    # correct, but replay must reproduce files bit-for-bit).
+    conf = table.spark.conf
+    saved = {
+        "spark.sql.shuffle.partitions": conf.get("spark.sql.shuffle.partitions"),
+        "spark.sql.adaptive.enabled": conf.get("spark.sql.adaptive.enabled"),
+    }
+    conf.set("spark.sql.shuffle.partitions", str(num_p))
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        new_files = table.stage_data_files(merged, epoch, aligned=True)
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
 
     # ---- upsert/delete counts from resolved (1 row per key) ------------ #
     by_pid = {r["_pid"]: r for r in pid_rows}

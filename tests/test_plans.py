@@ -62,3 +62,79 @@ def test_window_lww_single_shuffle(spark):
     # the map-side combine that makes window LWW shuffle ~1 row per
     # (mapper, key) instead of every event
     assert "row_number(), 1, Partial" in plan
+
+
+def test_merge_shape_write_has_no_post_join_exchange(spark):
+    """The epoch write runs on the full-outer join's own partitioning:
+    with shuffle partitions pinned to P, the only exchanges in the whole
+    merge+write plan are the two join-input hash exchanges on the key —
+    the merged (payload-wide) rows never shuffle again."""
+    from datax_spark.operators.lww import lww_resolve
+
+    saved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        target = spark.createDataFrame(
+            [("a", 1), ("b", 2)], "url string, val long"
+        ).alias("t")
+        batch = spark.createDataFrame(
+            [("a", 9, 5), ("a", 8, 4), ("c", 7, 6)], "url string, val long, lsn long"
+        )
+        b = lww_resolve(batch, key="url", order="lsn", strategy="window").alias("b")
+        j = target.join(b, F.col("t.url") == F.col("b.url"), "full_outer")
+        take = F.col("b.lsn").isNotNull()
+        merged = j.select(
+            F.when(take, F.col("b.url")).otherwise(F.col("t.url")).alias("url"),
+            F.when(take, F.col("b.val")).otherwise(F.col("t.val")).alias("val"),
+            url_partition(F.coalesce(F.col("b.url"), F.col("t.url")), 4).alias("_pid"),
+        ).sortWithinPartitions("_pid", "url")
+        plan = _plan(merged)
+        assert plan.count("Exchange (") == 2, plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", saved)
+
+
+def test_apply_epoch_writes_one_file_per_partition_when_misaligned_session(
+    spark, tmp_path
+):
+    """apply_epoch pins shuffle partitions to the table's partition count
+    for the write job, so even a session configured with a DIFFERENT
+    shuffle parallelism produces exactly one data file per affected
+    partition (the aligned, exchange-free layout) and restores the
+    session confs afterwards."""
+    from pyspark.sql import types as T
+
+    from datax_spark.icetable.table import IceTable
+    from datax_spark.operators.merge import apply_epoch
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("html", T.BinaryType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")  # deliberately != P
+    try:
+        table = IceTable.create(spark, tmp_path / "t", schema, num_partitions=3)
+        rows = [
+            (i, "I", f"https://d{i % 5}.example.com/{i}", None,
+             f"<p>x{i}</p>".encode(), "en")
+            for i in range(1, 61)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "lsn long, op string, url string, warc_ts timestamp, html binary, lang string",
+        )
+        apply_epoch(table, df, 0)
+        per_pid = {}
+        for f in table.metadata()["manifest"]:
+            per_pid[f["partition_id"]] = per_pid.get(f["partition_id"], 0) + 1
+        assert per_pid and all(n == 1 for n in per_pid.values()), per_pid
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
