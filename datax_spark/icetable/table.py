@@ -9,9 +9,23 @@ swapped in on a cluster with one adapter.
 Layout::
 
     <root>/data/pid=<P>/<file>.parquet     immutable data files
-    <root>/metadata/v<N>.metadata.json     snapshot N (full manifest)
+    <root>/metadata/v<N>.metadata.json     snapshot N (schema, commits,
+                                           per-partition manifest refs)
+    <root>/metadata/manifests/m-<..>.json  immutable per-partition
+                                           manifest (file entry list)
+    <root>/metadata/blooms/<..>.bloom.json per-data-file key bloom
+                                           sidecar (puffin-style)
     <root>/metadata/version-hint.text      current version pointer
     <root>/lineage/epoch=<E>/*.parquet     per-partition lineage metrics
+
+The manifest is SHARDED by partition: a snapshot holds one manifest-file
+reference per partition, and a commit rewrites only the manifests of
+partitions it touched — unchanged partitions carry their reference
+forward. Commit cost is O(affected files + P), never O(all files); at
+millions of files this is exactly the sharding real Iceberg uses to keep
+the driver out of the write path. Bloom filters live in per-data-file
+sidecars referenced from manifest entries, so snapshot JSON stays small
+and a bloom is read only when a MERGE actually probes that file.
 
 Key properties (all load-bearing for the north rule, BASELINE.json:6):
 
@@ -56,7 +70,9 @@ from datax_spark.functions.hashing import PARTITION_HASH, url_partition
 # v2: partition_spec records the partitioning hash identity
 # (PARTITION_HASH) and load() validates it — a table laid out under a
 # different hash function must fail to load, never silently mis-prune.
-FORMAT_VERSION = 2
+# v3: manifest sharded per partition (snapshot stores manifest-file
+# references, not file entries) and blooms externalized to sidecars.
+FORMAT_VERSION = 3
 
 
 class TableCommitConflict(RuntimeError):
@@ -97,8 +113,14 @@ class IceTable:
         self.spark = spark
         self.root = Path(root)
         self.meta_dir = self.root / "metadata"
+        self.manifest_dir = self.meta_dir / "manifests"
+        self.bloom_dir = self.meta_dir / "blooms"
         self.data_dir = self.root / "data"
         self.lineage_dir = self.root / "lineage"
+        # manifest/bloom files are immutable (uuid-named, written once),
+        # so caching by path is always safe
+        self._manifest_cache: dict[str, list[dict]] = {}
+        self._bloom_cache: dict[str, dict] = {}
 
     # ------------------------------------------------------------------ #
     # lifecycle
@@ -116,6 +138,8 @@ class IceTable:
         if (t.meta_dir / "version-hint.text").exists():
             raise FileExistsError(f"table already exists at {root}")
         t.meta_dir.mkdir(parents=True, exist_ok=True)
+        t.manifest_dir.mkdir(parents=True, exist_ok=True)
+        t.bloom_dir.mkdir(parents=True, exist_ok=True)
         t.data_dir.mkdir(parents=True, exist_ok=True)
         t.lineage_dir.mkdir(parents=True, exist_ok=True)
         meta = {
@@ -130,7 +154,9 @@ class IceTable:
                 "key": key_column,
                 "hash": PARTITION_HASH,
             },
-            "manifest": [],
+            # per-partition manifest references: {pid: relpath}; empty
+            # partitions have no entry
+            "manifests": {},
             "commits": {},
             "summary": {"total_rows": 0},
         }
@@ -191,10 +217,46 @@ class IceTable:
         return {int(k.split(":")[0]) for k in self.metadata(version)["commits"]}
 
     # ------------------------------------------------------------------ #
+    # sharded manifest
+    # ------------------------------------------------------------------ #
+    def _load_manifest(self, relpath: str) -> list[dict]:
+        cached = self._manifest_cache.get(relpath)
+        if cached is None:
+            cached = json.loads((self.root / relpath).read_text())["files"]
+            self._manifest_cache[relpath] = cached
+        return cached
+
+    def manifest_entries(
+        self,
+        version: int | None = None,
+        partition_ids: set[int] | None = None,
+    ) -> list[dict]:
+        """File entries for a snapshot — only the requested partitions'
+        manifest files are read (O(affected files), never O(table) when
+        the caller prunes by partition)."""
+        refs = self.metadata(version)["manifests"]
+        out: list[dict] = []
+        for pid_s, relpath in sorted(refs.items(), key=lambda kv: int(kv[0])):
+            if partition_ids is not None and int(pid_s) not in partition_ids:
+                continue
+            out.extend(self._load_manifest(relpath))
+        return out
+
+    def _write_manifest(self, pid: int, entries: list[dict]) -> str:
+        name = f"m-p{pid:05d}-{uuid.uuid4().hex[:12]}.json"
+        path = self.manifest_dir / name
+        rel = str(path.relative_to(self.root))
+        path.write_text(
+            json.dumps({"partition_id": pid, "files": entries}, sort_keys=True)
+        )
+        self._manifest_cache[rel] = entries
+        return rel
+
+    # ------------------------------------------------------------------ #
     # read path
     # ------------------------------------------------------------------ #
     def read(self, version: int | None = None, with_lsn: bool = False) -> DataFrame:
-        return self._read_files(self.metadata(version)["manifest"], version, with_lsn)
+        return self._read_files(self.manifest_entries(version), version, with_lsn)
 
     def read_partitions(
         self,
@@ -212,10 +274,8 @@ class IceTable:
         rewrite set).
         """
         files = []
-        for f in self.metadata(version)["manifest"]:
+        for f in self.manifest_entries(version, partition_ids):
             pid = f["partition_id"]
-            if pid not in partition_ids:
-                continue
             if pid_url_ranges is not None and pid in pid_url_ranges:
                 lo, hi = pid_url_ranges[pid]
                 if f["max_url"] < lo or f["min_url"] > hi:
@@ -277,9 +337,9 @@ class IceTable:
         see the latest state of every key touched since ``from_version``.
         """
         to_version = self.current_version() if to_version is None else to_version
-        old = {f["path"] for f in self.metadata(from_version)["manifest"]}
+        old = {f["path"] for f in self.manifest_entries(from_version)}
         files = [
-            f for f in self.metadata(to_version)["manifest"] if f["path"] not in old
+            f for f in self.manifest_entries(to_version) if f["path"] not in old
         ]
         return self._read_files(files, to_version, with_lsn=False)
 
@@ -293,7 +353,7 @@ class IceTable:
         compacted. Run between epochs — each compaction is its own
         snapshot and CAS-conflicts safely with concurrent ingest."""
         counts: dict[int, int] = {}
-        for f in self.metadata()["manifest"]:
+        for f in self.manifest_entries():
             counts[f["partition_id"]] = counts.get(f["partition_id"], 0) + 1
         done = []
         for pid, n in sorted(counts.items()):
@@ -308,7 +368,7 @@ class IceTable:
         CAS-conflict and retry, exactly like Iceberg's rewrite-data-files
         action."""
         meta = self.metadata()
-        files = [f for f in meta["manifest"] if f["partition_id"] == partition_id]
+        files = self.manifest_entries(partition_ids={partition_id})
         if len(files) <= 1:
             return None
         df = self._read_files(files, None, with_lsn=True)
@@ -321,28 +381,37 @@ class IceTable:
             epoch_tag,
             set(),  # maintenance: no new (epoch, pid) idempotence keys
             new_files,
-            removed_paths={f["path"] for f in files},
+            removed=files,
             summary_extra={"compacted_pid": partition_id},
         )
 
     def expire_snapshots(self, keep_last: int = 2) -> list[str]:
-        """Delete metadata versions and orphaned data files older than
-        the last ``keep_last`` snapshots. Returns deleted data-file
-        paths. Time travel to expired versions stops working — exactly
-        Iceberg's expire_snapshots contract."""
+        """Delete metadata versions, orphaned data files, manifest files
+        and bloom sidecars older than the last ``keep_last`` snapshots.
+        Returns deleted data-file paths. Time travel to expired versions
+        stops working — exactly Iceberg's expire_snapshots contract."""
         current = self.current_version()
         cutoff = max(current - keep_last + 1, 0)
         live: set[str] = set()
+        live_manifests: set[str] = set()
         for v in range(cutoff, current + 1):
-            live |= {f["path"] for f in self.metadata(v)["manifest"]}
+            live_manifests |= set(self.metadata(v)["manifests"].values())
+            live |= {f["path"] for f in self.manifest_entries(v)}
         deleted: list[str] = []
         for v in range(cutoff):
             if not (self.meta_dir / f"v{v}.metadata.json").exists():
                 continue  # already expired earlier
-            for f in self.metadata(v)["manifest"]:
-                if f["path"] not in live and (self.root / f["path"]).exists():
-                    (self.root / f["path"]).unlink()
-                    deleted.append(f["path"])
+            for mrel in self.metadata(v)["manifests"].values():
+                for f in self._load_manifest(mrel):
+                    if f["path"] not in live and (self.root / f["path"]).exists():
+                        (self.root / f["path"]).unlink()
+                        deleted.append(f["path"])
+                        brel = f.get("bloom")
+                        if brel:
+                            (self.root / brel).unlink(missing_ok=True)
+                if mrel not in live_manifests:
+                    (self.root / mrel).unlink(missing_ok=True)
+                    self._manifest_cache.pop(mrel, None)
             (self.meta_dir / f"v{v}.metadata.json").unlink(missing_ok=True)
         return deleted
 
@@ -436,9 +505,11 @@ class IceTable:
     # partition's range; the bloom answers "could this file contain any
     # of the batch's keys" per file. Build and probe both run as Spark
     # jobs over the SAME hash expressions (xxhash64(key, i)), so no
-    # Python-side hash reimplementation exists to drift. At cluster
-    # scale the word arrays would live in sidecar (puffin-style) files
-    # rather than inline JSON; the structure is identical.
+    # Python-side hash reimplementation exists to drift. The word arrays
+    # live in per-data-file sidecar (puffin-style) JSON files under
+    # metadata/blooms/, referenced by path from manifest entries —
+    # snapshot and manifest JSON stay small, and a sidecar is read only
+    # when a MERGE actually probes that file.
     BLOOM_K = 4
     BLOOM_BITS_PER_KEY = 10
     BLOOM_MAX_BITS = 1 << 20
@@ -484,17 +555,24 @@ class IceTable:
             .collect()
         )
         by_file = {r["_file"]: r["_words"] for r in words}
+        self.bloom_dir.mkdir(parents=True, exist_ok=True)
         for e in entries:
             full = str(self.root / e["path"])
             sparse = by_file.get(full)
             if sparse is None:
                 continue
-            e["bloom"] = {
+            payload = {
                 "m": m_by_path[e["path"]],
                 "k": self.BLOOM_K,
                 # sparse word map {word_index: bits}; JSON keys are strings
                 "words": {str(int(w)): int(b) for w, b in sparse.items()},
             }
+            name = Path(e["path"]).name.replace(".parquet", "") + ".bloom.json"
+            sidecar = self.bloom_dir / name
+            sidecar.write_text(json.dumps(payload))
+            rel = str(sidecar.relative_to(self.root))
+            self._bloom_cache[rel] = payload
+            e["bloom"] = rel  # sidecar reference, not inline bits
 
     def bloom_prune(self, files: list[dict], keys_df: DataFrame) -> list[dict]:
         """Drop files whose bloom proves they contain NONE of the batch
@@ -505,15 +583,25 @@ class IceTable:
         if not testable:
             return files
         key = self.key_column
-        rows = [
-            (
-                f["path"],
-                f["partition_id"],
-                f["bloom"]["m"],
-                {int(w): int(b) for w, b in f["bloom"]["words"].items()},
+
+        def _bloom(rel: str) -> dict:
+            b = self._bloom_cache.get(rel)
+            if b is None:
+                b = json.loads((self.root / rel).read_text())
+                self._bloom_cache[rel] = b
+            return b
+
+        rows = []
+        for f in testable:
+            b = _bloom(f["bloom"])
+            rows.append(
+                (
+                    f["path"],
+                    f["partition_id"],
+                    b["m"],
+                    {int(w): int(x) for w, x in b["words"].items()},
+                )
             )
-            for f in testable
-        ]
         blooms = F.broadcast(
             self.spark.createDataFrame(
                 rows, "path string, pid int, m long, words map<long,bigint>"
@@ -544,19 +632,48 @@ class IceTable:
         epoch: int,
         partition_ids: set[int],
         added_files: list[dict],
-        removed_paths: set[str],
+        removed: list[dict] | None = None,
         new_schema: T.StructType | None = None,
         summary_extra: dict | None = None,
     ) -> int:
-        """Publish a new snapshot: manifest = old − removed + added;
-        idempotence keys ``(epoch, pid)`` recorded; atomic CAS publish."""
+        """Publish a new snapshot: per touched partition, manifest = old −
+        removed + added; untouched partitions carry their manifest-file
+        reference forward unchanged. Idempotence keys ``(epoch, pid)``
+        recorded; atomic CAS publish. Cost is O(touched files + P) —
+        independent of the table's total file count.
+
+        ``removed`` takes full manifest entries (they carry the
+        partition_id needed to locate the one manifest to rewrite, and
+        the row count that keeps summary.total_rows incremental).
+        """
+        removed = removed or []
         meta = self.metadata()
         new_version = meta["version"] + 1
-        manifest = [f for f in meta["manifest"] if f["path"] not in removed_paths] + added_files
+        removed_by_pid: dict[int, set[str]] = {}
+        for f in removed:
+            removed_by_pid.setdefault(f["partition_id"], set()).add(f["path"])
+        added_by_pid: dict[int, list[dict]] = {}
+        for f in added_files:
+            added_by_pid.setdefault(f["partition_id"], []).append(f)
+        manifests = dict(meta["manifests"])
+        for pid in sorted(set(removed_by_pid) | set(added_by_pid)):
+            old_ref = manifests.get(str(pid))
+            entries = self._load_manifest(old_ref) if old_ref else []
+            gone = removed_by_pid.get(pid, set())
+            entries = [f for f in entries if f["path"] not in gone]
+            entries = entries + added_by_pid.get(pid, [])
+            if entries:
+                manifests[str(pid)] = self._write_manifest(pid, entries)
+            else:
+                manifests.pop(str(pid), None)
         commits = dict(meta["commits"])
         commit_id = hashlib.sha256(
             json.dumps(
-                [epoch, sorted(f["path"] for f in added_files), sorted(removed_paths)]
+                [
+                    epoch,
+                    sorted(f["path"] for f in added_files),
+                    sorted(f["path"] for f in removed),
+                ]
             ).encode()
         ).hexdigest()[:16]
         for pid in partition_ids:
@@ -566,16 +683,21 @@ class IceTable:
         if new_schema is not None and _schema_to_json(new_schema) != schemas[schema_id]["schema"]:
             schema_id = len(schemas)
             schemas = schemas + [{"schema_id": schema_id, "schema": _schema_to_json(new_schema)}]
+        total_rows = (
+            meta["summary"]["total_rows"]
+            - sum(f["rows"] for f in removed)
+            + sum(f["rows"] for f in added_files)
+        )
         new_meta = {
             **meta,
             "version": new_version,
             "parent_version": meta["version"],
             "schema_id": schema_id,
             "schemas": schemas,
-            "manifest": manifest,
+            "manifests": manifests,
             "commits": commits,
             "summary": {
-                "total_rows": sum(f["rows"] for f in manifest),
+                "total_rows": total_rows,
                 "last_epoch": epoch,
                 "commit_id": commit_id,
                 **(summary_extra or {}),

@@ -339,7 +339,7 @@ def apply_epoch(
         epoch,
         affected,
         new_files,
-        removed_paths={f["path"] for f in rewrite_files},
+        removed=rewrite_files,
         new_schema=new_schema if batch_only else None,
         summary_extra={"epoch": epoch},
     )

@@ -34,7 +34,7 @@ def test_blooms_written_and_self_consistent(spark, tmp_path):
     table = IceTable.create(spark, tmp_path / "t", PAGE_SCHEMA, num_partitions=2)
     urls = [f"https://a/{i}" for i in range(50)]
     apply_epoch(table, _batch(spark, urls, 1), 0)
-    files = table.metadata()["manifest"]
+    files = table.manifest_entries()
     assert files and all("bloom" in f for f in files)
     # no false negatives: every written url hits its own file's bloom
     keys = spark.createDataFrame([(u,) for u in urls], "url string")
@@ -50,13 +50,13 @@ def test_bloom_prunes_untouched_files_in_merge(spark, tmp_path):
     table = IceTable.create(spark, tmp_path / "t", PAGE_SCHEMA, num_partitions=1)
     e0 = [f"https://a/{i}" for i in range(30)] + [f"https://c/{i}" for i in range(30)]
     apply_epoch(table, _batch(spark, e0, 1), 0)
-    files_v1 = {f["path"] for f in table.metadata()["manifest"]}
+    files_v1 = {f["path"] for f in table.manifest_entries()}
     assert len(files_v1) == 1
 
     e1 = [f"https://b/{i}" for i in range(10)]  # inside [a, c] envelope
     stats = apply_epoch(table, _batch(spark, e1, 1000), 1)
     assert not stats.skipped
-    files_v2 = {f["path"] for f in table.metadata()["manifest"]}
+    files_v2 = {f["path"] for f in table.manifest_entries()}
     # the epoch-0 file survived (bloom-pruned out of the rewrite set)
     assert files_v1 <= files_v2
     assert len(files_v2) == 2
@@ -69,9 +69,9 @@ def test_bloom_keeps_files_for_updates(spark, tmp_path):
     """An update to an existing url must still rewrite its file."""
     table = IceTable.create(spark, tmp_path / "t", PAGE_SCHEMA, num_partitions=1)
     apply_epoch(table, _batch(spark, ["https://a/1", "https://a/2"], 1), 0)
-    old_files = {f["path"] for f in table.metadata()["manifest"]}
+    old_files = {f["path"] for f in table.manifest_entries()}
     apply_epoch(table, _batch(spark, ["https://a/2"], 100, op="U"), 1)
-    new_files = {f["path"] for f in table.metadata()["manifest"]}
+    new_files = {f["path"] for f in table.manifest_entries()}
     assert old_files.isdisjoint(new_files)  # the touched file was rewritten
     rows = {r["url"]: r for r in table.read(with_lsn=True).collect()}
     assert rows["https://a/2"]["_lsn"] == 100

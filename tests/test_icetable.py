@@ -38,7 +38,7 @@ def test_create_load_roundtrip(spark, tmp_path):
 def test_commit_and_read(spark, tmp_path):
     t = _mk(spark, tmp_path)
     files = t.stage_data_files(_df(spark, [("a", 1, 0, 10), ("b", 2, 1, 11)]), epoch=0)
-    v = t.commit(0, {0, 1}, files, set())
+    v = t.commit(0, {0, 1}, files)
     assert v == 1
     got = {r["url"]: r["val"] for r in t.read().collect()}
     assert got == {"a": 1, "b": 2}
@@ -50,9 +50,9 @@ def test_commit_and_read(spark, tmp_path):
 def test_time_travel_and_replace(spark, tmp_path):
     t = _mk(spark, tmp_path)
     f0 = t.stage_data_files(_df(spark, [("a", 1, 0, 1)]), epoch=0)
-    t.commit(0, {0}, f0, set())
+    t.commit(0, {0}, f0)
     f1 = t.stage_data_files(_df(spark, [("a", 99, 0, 2)]), epoch=1)
-    t.commit(1, {0}, f1, removed_paths={f0[0]["path"]})
+    t.commit(1, {0}, f1, removed=f0)
     assert t.read(version=1).collect()[0]["val"] == 1  # time travel
     assert t.read().collect()[0]["val"] == 99
 
@@ -60,7 +60,7 @@ def test_time_travel_and_replace(spark, tmp_path):
 def test_atomic_cas_conflict(spark, tmp_path):
     t = _mk(spark, tmp_path)
     f0 = t.stage_data_files(_df(spark, [("a", 1, 0, 1)]), epoch=0)
-    t.commit(0, {0}, f0, set())
+    t.commit(0, {0}, f0)
     # second writer with a stale view of version 0
     stale = IceTable(spark, tmp_path / "t")
     meta = stale.metadata(version=0)
@@ -72,7 +72,7 @@ def test_partition_and_file_pruning(spark, tmp_path):
     t = _mk(spark, tmp_path)
     rows = [(f"url{i:03d}", i, i % 4, i) for i in range(40)]
     files = t.stage_data_files(_df(spark, rows), epoch=0)
-    t.commit(0, {0, 1, 2, 3}, files, set())
+    t.commit(0, {0, 1, 2, 3}, files)
     df, pruned = t.read_partitions({1}, pid_url_ranges=None)
     assert {f["partition_id"] for f in pruned} == {1}
     assert df.count() == 10
@@ -84,11 +84,11 @@ def test_partition_and_file_pruning(spark, tmp_path):
 def test_schema_evolution_read_old_files(spark, tmp_path):
     t = _mk(spark, tmp_path)
     f0 = t.stage_data_files(_df(spark, [("a", 1, 0, 1)]), epoch=0)
-    t.commit(0, {0}, f0, set())
+    t.commit(0, {0}, f0)
     evolved = T.StructType(SCHEMA.fields + [T.StructField("title", T.StringType())])
     df1 = spark.createDataFrame([("b", 2, "hi", 1, 2)], "url string, val long, title string, _pid int, _lsn long")
     f1 = t.stage_data_files(df1, epoch=1)
-    v = t.commit(1, {1}, f1, set(), new_schema=evolved)
+    v = t.commit(1, {1}, f1, new_schema=evolved)
     meta = t.metadata(v)
     assert meta["schema_id"] == 1 and len(meta["schemas"]) == 2
     got = {r["url"]: r["title"] for r in t.read().collect()}
@@ -98,7 +98,7 @@ def test_schema_evolution_read_old_files(spark, tmp_path):
 def test_orphan_files_ignored(spark, tmp_path):
     t = _mk(spark, tmp_path)
     f0 = t.stage_data_files(_df(spark, [("a", 1, 0, 1)]), epoch=0)
-    t.commit(0, {0}, f0, set())
+    t.commit(0, {0}, f0)
     # staged but never committed (crash before commit)
     t.stage_data_files(_df(spark, [("zz", 9, 0, 9)]), epoch=1)
     assert t.read().count() == 1
@@ -120,7 +120,7 @@ def test_lineage_write_idempotent(spark, tmp_path):
 def test_metadata_is_valid_json_chain(spark, tmp_path):
     t = _mk(spark, tmp_path)
     f0 = t.stage_data_files(_df(spark, [("a", 1, 0, 1)]), epoch=0)
-    t.commit(0, {0}, f0, set())
+    t.commit(0, {0}, f0)
     m1 = json.loads((t.meta_dir / "v1.metadata.json").read_text())
     assert m1["parent_version"] == 0 and m1["summary"]["total_rows"] == 1
 
@@ -145,3 +145,33 @@ def test_load_rejects_foreign_format_version(spark, tmp_path):
     meta_path.write_text(json.dumps(meta))
     with pytest.raises(ValueError, match="format_version"):
         IceTable.load(spark, tmp_path / "t")
+
+
+def test_commit_rewrites_only_touched_partition_manifests(spark, tmp_path):
+    """Sharded manifest: a commit touching one partition must reuse every
+    other partition's manifest file by reference — commit cost is
+    O(affected files + P), not O(all files)."""
+    t = _mk(spark, tmp_path, P=4)
+    files = t.stage_data_files(
+        _df(spark, [(f"u{i}", i, i % 4, 10 + i) for i in range(16)]), epoch=0
+    )
+    t.commit(0, {0, 1, 2, 3}, files)
+    refs_v1 = dict(t.metadata()["manifests"])
+    assert set(refs_v1) == {"0", "1", "2", "3"}
+
+    f1 = t.stage_data_files(_df(spark, [("zzz", 99, 2, 50)]), epoch=1)
+    assert {f["partition_id"] for f in f1} == {2}
+    t.commit(1, {2}, f1)
+    refs_v2 = dict(t.metadata()["manifests"])
+    # untouched partitions: identical manifest file references
+    for pid in ("0", "1", "3"):
+        assert refs_v2[pid] == refs_v1[pid]
+    assert refs_v2["2"] != refs_v1["2"]
+    # and the new manifest contains the old files plus the new one
+    old_p2 = {f["path"] for f in t.manifest_entries(1, partition_ids={2})}
+    new_p2 = {f["path"] for f in t.manifest_entries(partition_ids={2})}
+    assert new_p2 == old_p2 | {f1[0]["path"]}
+    # blooms live in sidecars, not inline
+    for f in t.manifest_entries():
+        assert isinstance(f.get("bloom"), str)
+        assert (t.root / f["bloom"]).exists()

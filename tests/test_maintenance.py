@@ -74,12 +74,12 @@ def test_compaction_preserves_state(spark, tmp_path):
     apply_epoch(table, batch(["a", "b", "c"], 1), epoch=0)
     # url 'z' sorts past envelope [a, c] → old file untouched, new file added
     apply_epoch(table, batch(["z"], 10), epoch=1)
-    files = [f for f in table.metadata()["manifest"] if f["partition_id"] == 0]
+    files = [f for f in table.manifest_entries() if f["partition_id"] == 0]
     assert len(files) == 2
     before = {(r["url"], r["text"]) for r in table.read().collect()}
     v = table.compact_partition(0)
     assert v == table.current_version()
-    after_files = [f for f in table.metadata()["manifest"] if f["partition_id"] == 0]
+    after_files = [f for f in table.manifest_entries() if f["partition_id"] == 0]
     assert len(after_files) == 1
     after = {(r["url"], r["text"]) for r in table.read().collect()}
     assert before == after and len(after) == 4
@@ -119,8 +119,8 @@ def test_compact_sweep_after_bloom_pruned_epochs(spark, tmp_path):
 
     apply_epoch(table, batch([f"https://a/{i}" for i in range(20)], 1), 0)
     apply_epoch(table, batch([f"https://z/{i}" for i in range(5)], 100), 1)  # bloom keeps a-file
-    assert len(table.metadata()["manifest"]) == 2
+    assert len(table.manifest_entries()) == 2
     before = {(r["url"], r["text"]) for r in table.read().collect()}
     assert table.compact(min_files=2) == [0]
-    assert len(table.metadata()["manifest"]) == 1
+    assert len(table.manifest_entries()) == 1
     assert {(r["url"], r["text"]) for r in table.read().collect()} == before

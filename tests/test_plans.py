@@ -131,7 +131,7 @@ def test_apply_epoch_writes_one_file_per_partition_when_misaligned_session(
         )
         apply_epoch(table, df, 0)
         per_pid = {}
-        for f in table.metadata()["manifest"]:
+        for f in table.manifest_entries():
             per_pid[f["partition_id"]] = per_pid.get(f["partition_id"], 0) + 1
         assert per_pid and all(n == 1 for n in per_pid.values()), per_pid
         assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
