@@ -219,44 +219,77 @@ class IceTable:
     # ------------------------------------------------------------------ #
     # sharded manifest
     # ------------------------------------------------------------------ #
-    def _load_manifest(self, relpath: str) -> list[dict]:
+    def _load_manifest_doc(self, relpath: str) -> dict:
         cached = self._manifest_cache.get(relpath)
         if cached is None:
-            cached = json.loads((self.root / relpath).read_text())["files"]
+            cached = json.loads((self.root / relpath).read_text())
+            cached.setdefault("deletes", [])
             self._manifest_cache[relpath] = cached
         return cached
+
+    def _load_manifest(self, relpath: str) -> list[dict]:
+        return self._load_manifest_doc(relpath)["files"]
+
+    def _iter_manifest_docs(
+        self, version: int | None, partition_ids: set[int] | None
+    ):
+        refs = self.metadata(version)["manifests"]
+        for pid_s, relpath in sorted(refs.items(), key=lambda kv: int(kv[0])):
+            if partition_ids is not None and int(pid_s) not in partition_ids:
+                continue
+            yield self._load_manifest_doc(relpath)
 
     def manifest_entries(
         self,
         version: int | None = None,
         partition_ids: set[int] | None = None,
     ) -> list[dict]:
-        """File entries for a snapshot — only the requested partitions'
-        manifest files are read (O(affected files), never O(table) when
-        the caller prunes by partition)."""
-        refs = self.metadata(version)["manifests"]
+        """Data-file entries for a snapshot — only the requested
+        partitions' manifest files are read (O(affected files), never
+        O(table) when the caller prunes by partition)."""
         out: list[dict] = []
-        for pid_s, relpath in sorted(refs.items(), key=lambda kv: int(kv[0])):
-            if partition_ids is not None and int(pid_s) not in partition_ids:
-                continue
-            out.extend(self._load_manifest(relpath))
+        for doc in self._iter_manifest_docs(version, partition_ids):
+            out.extend(doc["files"])
         return out
 
-    def _write_manifest(self, pid: int, entries: list[dict]) -> str:
+    def delete_entries(
+        self,
+        version: int | None = None,
+        partition_ids: set[int] | None = None,
+    ) -> list[dict]:
+        """Equality-delete file entries (merge-on-read): a delete file
+        written at epoch E shadows matching keys in data files with
+        added_epoch < E. Folded back by compaction."""
+        out: list[dict] = []
+        for doc in self._iter_manifest_docs(version, partition_ids):
+            out.extend(doc["deletes"])
+        return out
+
+    def _write_manifest(
+        self, pid: int, entries: list[dict], deletes: list[dict] | None = None
+    ) -> str:
         name = f"m-p{pid:05d}-{uuid.uuid4().hex[:12]}.json"
         path = self.manifest_dir / name
         rel = str(path.relative_to(self.root))
-        path.write_text(
-            json.dumps({"partition_id": pid, "files": entries}, sort_keys=True)
-        )
-        self._manifest_cache[rel] = entries
+        doc = {
+            "partition_id": pid,
+            "files": entries,
+            "deletes": deletes or [],
+        }
+        path.write_text(json.dumps(doc, sort_keys=True))
+        self._manifest_cache[rel] = doc
         return rel
 
     # ------------------------------------------------------------------ #
     # read path
     # ------------------------------------------------------------------ #
     def read(self, version: int | None = None, with_lsn: bool = False) -> DataFrame:
-        return self._read_files(self.manifest_entries(version), version, with_lsn)
+        return self._read_files(
+            self.manifest_entries(version),
+            version,
+            with_lsn,
+            deletes=self.delete_entries(version),
+        )
 
     def read_partitions(
         self,
@@ -283,19 +316,58 @@ class IceTable:
             files.append(f)
         if keys_df is not None:
             files = self.bloom_prune(files, keys_df)
-        return self._read_files(files, version, with_lsn), files
+        df = self._read_files(
+            files,
+            version,
+            with_lsn,
+            deletes=self.delete_entries(version, partition_ids),
+        )
+        return df, files
 
-    def _read_files(self, files: list[dict], version: int | None, with_lsn: bool) -> DataFrame:
+    def _read_files(
+        self,
+        files: list[dict],
+        version: int | None,
+        with_lsn: bool,
+        deletes: list[dict] | None = None,
+    ) -> DataFrame:
         schema = self.schema(version)
         if with_lsn:
             schema = T.StructType(schema.fields + [T.StructField("_lsn", T.LongType(), True)])
         if not files:
             return self.spark.createDataFrame([], schema)
-        paths = [str(self.root / f["path"]) for f in files]
-        # explicit schema → old files lacking evolved columns yield nulls
-        # (additive schema evolution on read, ST4) and the scan prunes
-        # unrequested columns at the parquet footer level.
-        return self.spark.read.schema(schema).parquet(*paths)
+
+        def _scan(entries: list[dict]) -> DataFrame:
+            # explicit schema → old files lacking evolved columns yield
+            # nulls (additive schema evolution on read, ST4) and the scan
+            # prunes unrequested columns at the parquet footer level.
+            return self.spark.read.schema(schema).parquet(
+                *[str(self.root / f["path"]) for f in entries]
+            )
+
+        deletes = deletes or []
+        if not deletes:
+            return _scan(files)
+        # merge-on-read: a delete file written at epoch E shadows keys in
+        # data files with added_epoch < E. Group data files by epoch and
+        # anti-join each group against the union of applicable delete
+        # keys — groups stay few because compaction folds deletes. The
+        # delete side is bounded by recent batch keys, so AQE broadcasts
+        # it; the wide data rows never shuffle.
+        key = self.key_column
+        out: DataFrame | None = None
+        for e in sorted({f.get("added_epoch", 0) for f in files}):
+            grp = [f for f in files if f.get("added_epoch", 0) == e]
+            applicable = [d for d in deletes if d["epoch"] > e]
+            df = _scan(grp)
+            if applicable:
+                dk = (
+                    self.spark.read.schema(T.StructType([T.StructField(key, T.StringType())]))
+                    .parquet(*[str(self.root / d["path"]) for d in applicable])
+                )
+                df = df.join(F.broadcast(dk), key, "left_anti")
+            out = df if out is None else out.unionByName(df)
+        return out
 
     def read_lineage(self) -> DataFrame:
         if not self.lineage_dir.exists() or not any(self.lineage_dir.iterdir()):
@@ -353,7 +425,7 @@ class IceTable:
         compacted. Run between epochs — each compaction is its own
         snapshot and CAS-conflicts safely with concurrent ingest."""
         counts: dict[int, int] = {}
-        for f in self.manifest_entries():
+        for f in self.manifest_entries() + self.delete_entries():
             counts[f["partition_id"]] = counts.get(f["partition_id"], 0) + 1
         done = []
         for pid, n in sorted(counts.items()):
@@ -369,9 +441,14 @@ class IceTable:
         action."""
         meta = self.metadata()
         files = self.manifest_entries(partition_ids={partition_id})
-        if len(files) <= 1:
+        dels = self.delete_entries(partition_ids={partition_id})
+        if len(files) <= 1 and not dels:
             return None
-        df = self._read_files(files, None, with_lsn=True)
+        # read WITH deletes applied → the compacted file materializes the
+        # post-delete state and the folded delete files drop out of the
+        # manifest (merge-on-read debt paid down here, exactly Iceberg's
+        # rewrite-data-files + rewrite-position-deletes pairing)
+        df = self._read_files(files, None, with_lsn=True, deletes=dels)
         df = df.withColumn("_pid", F.lit(partition_id))
         epoch_tag = meta["summary"].get("last_epoch", 0)
         # stage_data_files' aligned repartition(P, key) routes every row
@@ -381,7 +458,7 @@ class IceTable:
             epoch_tag,
             set(),  # maintenance: no new (epoch, pid) idempotence keys
             new_files,
-            removed=files,
+            removed=files + dels,
             summary_extra={"compacted_pid": partition_id},
         )
 
@@ -397,12 +474,14 @@ class IceTable:
         for v in range(cutoff, current + 1):
             live_manifests |= set(self.metadata(v)["manifests"].values())
             live |= {f["path"] for f in self.manifest_entries(v)}
+            live |= {d["path"] for d in self.delete_entries(v)}
         deleted: list[str] = []
         for v in range(cutoff):
             if not (self.meta_dir / f"v{v}.metadata.json").exists():
                 continue  # already expired earlier
             for mrel in self.metadata(v)["manifests"].values():
-                for f in self._load_manifest(mrel):
+                doc = self._load_manifest_doc(mrel)
+                for f in doc["files"] + doc["deletes"]:
                     if f["path"] not in live and (self.root / f["path"]).exists():
                         (self.root / f["path"]).unlink()
                         deleted.append(f["path"])
@@ -496,6 +575,50 @@ class IceTable:
             seq += 1
         shutil.rmtree(staging, ignore_errors=True)
         self._attach_blooms(entries)
+        return entries
+
+    def stage_delete_files(
+        self, keys_df: DataFrame, epoch: int, pid_column: str = "_pid", aligned: bool = False
+    ) -> list[dict]:
+        """Write equality-delete files (merge-on-read): one narrow
+        parquet of keys per touched partition. A delete file written at
+        epoch E shadows its keys in data files with added_epoch < E —
+        applied by the read path's anti-join, folded by compaction.
+        Delete-file bytes are O(batch keys), which is what bounds write
+        amplification for delete-heavy / sparse-update epochs."""
+        staging = self.root / f"_staging-del-e{epoch:05d}-{uuid.uuid4().hex[:8]}"
+        key = self.key_column
+        df = keys_df.select(pid_column, key)
+        if not aligned:
+            df = df.repartition(self.num_partitions, F.col(key))
+        (
+            df.sortWithinPartitions(pid_column, key)
+            .write.partitionBy(pid_column)
+            .mode("overwrite")
+            .parquet(str(staging))
+        )
+        entries: list[dict] = []
+        for pid_dir in sorted(staging.glob(f"{pid_column}=*")):
+            pid = int(pid_dir.name.split("=")[1])
+            for seq, part in enumerate(sorted(pid_dir.glob("*.parquet"))):
+                meta = pq.read_metadata(part)
+                if meta.num_rows == 0:
+                    continue
+                name = f"d-e{epoch:05d}-{seq:03d}-{uuid.uuid4().hex[:8]}.parquet"
+                dest_dir = self.data_dir / f"pid={pid}"
+                dest_dir.mkdir(parents=True, exist_ok=True)
+                dest = dest_dir / name
+                os.replace(part, dest)
+                entries.append(
+                    {
+                        "path": str(dest.relative_to(self.root)),
+                        "partition_id": pid,
+                        "rows": meta.num_rows,
+                        "epoch": epoch,
+                        "content": "equality-deletes",
+                    }
+                )
+        shutil.rmtree(staging, ignore_errors=True)
         return entries
 
     # ------------------------------------------------------------------ #
@@ -635,18 +758,24 @@ class IceTable:
         removed: list[dict] | None = None,
         new_schema: T.StructType | None = None,
         summary_extra: dict | None = None,
+        added_deletes: list[dict] | None = None,
     ) -> int:
         """Publish a new snapshot: per touched partition, manifest = old −
-        removed + added; untouched partitions carry their manifest-file
-        reference forward unchanged. Idempotence keys ``(epoch, pid)``
-        recorded; atomic CAS publish. Cost is O(touched files + P) —
-        independent of the table's total file count.
+        removed + added (data and equality-delete lists alike); untouched
+        partitions carry their manifest-file reference forward unchanged.
+        Idempotence keys ``(epoch, pid)`` recorded; atomic CAS publish.
+        Cost is O(touched files + P) — independent of the table's total
+        file count.
 
-        ``removed`` takes full manifest entries (they carry the
-        partition_id needed to locate the one manifest to rewrite, and
-        the row count that keeps summary.total_rows incremental).
+        ``removed`` takes full manifest entries — data or delete (they
+        carry the partition_id needed to locate the one manifest to
+        rewrite, and the row count that keeps summary.total_rows
+        incremental). ``summary.total_rows`` counts PHYSICAL data-file
+        rows; under merge-on-read shadowed rows still count until
+        compaction folds them out.
         """
         removed = removed or []
+        added_deletes = added_deletes or []
         meta = self.metadata()
         new_version = meta["version"] + 1
         removed_by_pid: dict[int, set[str]] = {}
@@ -655,15 +784,21 @@ class IceTable:
         added_by_pid: dict[int, list[dict]] = {}
         for f in added_files:
             added_by_pid.setdefault(f["partition_id"], []).append(f)
+        del_by_pid: dict[int, list[dict]] = {}
+        for d in added_deletes:
+            del_by_pid.setdefault(d["partition_id"], []).append(d)
         manifests = dict(meta["manifests"])
-        for pid in sorted(set(removed_by_pid) | set(added_by_pid)):
+        touched = set(removed_by_pid) | set(added_by_pid) | set(del_by_pid)
+        for pid in sorted(touched):
             old_ref = manifests.get(str(pid))
-            entries = self._load_manifest(old_ref) if old_ref else []
+            doc = self._load_manifest_doc(old_ref) if old_ref else {"files": [], "deletes": []}
             gone = removed_by_pid.get(pid, set())
-            entries = [f for f in entries if f["path"] not in gone]
+            entries = [f for f in doc["files"] if f["path"] not in gone]
             entries = entries + added_by_pid.get(pid, [])
-            if entries:
-                manifests[str(pid)] = self._write_manifest(pid, entries)
+            dels = [d for d in doc["deletes"] if d["path"] not in gone]
+            dels = dels + del_by_pid.get(pid, [])
+            if entries or dels:
+                manifests[str(pid)] = self._write_manifest(pid, entries, dels)
             else:
                 manifests.pop(str(pid), None)
         commits = dict(meta["commits"])
@@ -685,7 +820,7 @@ class IceTable:
             schemas = schemas + [{"schema_id": schema_id, "schema": _schema_to_json(new_schema)}]
         total_rows = (
             meta["summary"]["total_rows"]
-            - sum(f["rows"] for f in removed)
+            - sum(f["rows"] for f in removed if f.get("content") != "equality-deletes")
             + sum(f["rows"] for f in added_files)
         )
         new_meta = {

@@ -194,6 +194,7 @@ def run_cdc_job(spark: SparkSession, spec: dict[str, Any]):
         spec["checkpoint"],
         shards_per_epoch=settings.get("speed", {}).get("shardsPerEpoch", 1),
         error_budget=err,
+        merge_strategy=writer.get("mergeStrategy", "auto"),
     )
     driver.run()
     return driver

@@ -83,6 +83,7 @@ class EpochStats:
     wall_ms: int = 0
     evolved_columns: list[str] = field(default_factory=list)
     lww_strategy_used: str | None = None
+    merge_mode: str | None = None  # "cow" | "mor"
 
 
 def apply_epoch(
@@ -96,8 +97,21 @@ def apply_epoch(
     extract: bool = True,
     quarantine: bool = True,
     bloom_prune_max_keys: int = 100_000,
+    merge_strategy: str = "auto",
+    mor_rewrite_ratio: float = 4.0,
 ) -> EpochStats:
-    """Apply one change-event batch to the table, exactly once."""
+    """Apply one change-event batch to the table, exactly once.
+
+    ``merge_strategy``: ``cow`` rewrites every affected file (read +
+    merge + full rewrite — best when the batch touches most rows of the
+    files it hits); ``mor`` (merge-on-read) writes only the resolved
+    batch rows plus narrow equality-delete files that shadow older
+    copies at read time (write cost O(batch), paid back by compaction —
+    best for delete-heavy / sparse-update epochs); ``auto`` picks mor
+    when the copy-on-write rewrite would move more than
+    ``mor_rewrite_ratio`` rows per batch key. The decision inputs
+    (manifest state + batch stats) are deterministic, so replay from
+    scratch re-makes identical choices."""
     t0 = time.monotonic()
     stats = EpochStats(epoch=epoch)
     key = table.key_column
@@ -234,35 +248,88 @@ def apply_epoch(
     target, rewrite_files = table.read_partitions(
         affected, with_lsn=True, pid_url_ranges=envelopes, keys_df=keys_df
     )
-    b = resolved.alias("b")
-    t = target.alias("t")
-    joined = t.join(b, F.col(f"t.{key}") == F.col(f"b.{key}"), "full_outer")
-    take_batch = F.col("b.op").isNotNull() & (
-        F.col("t._lsn").isNull() | (F.col("b.lsn") > F.col("t._lsn"))
-    )
-    is_delete = take_batch & (F.col("b.op") == "D")
-    def _batch_value(c: str):
-        if c == "text" and do_extract:
-            # vectorized extraction, lazily here so the UDF sits in the
-            # write stage only; null html (target-only rows, deletes)
-            # short-circuits inside the UDF
-            return F.when(F.col("b.op") != "D", extract_text_udf(F.col("b.html")))
-        if c in resolved.columns:
-            return F.col(f"b.{c}")
-        return F.lit(None)
 
-    merged = joined.filter(~is_delete).select(
-        *[
-            F.when(take_batch, _batch_value(c))
-            .otherwise(F.col(f"t.{c}") if c in target.columns else F.lit(None))
-            .alias(c)
-            for c in out_cols
-        ],
-        F.when(take_batch, F.col("b.lsn")).otherwise(F.col("t._lsn")).alias("_lsn"),
-        F.when(take_batch, F.col("b._pid"))
-        .otherwise(url_partition(f"t.{key}", num_p))
-        .alias("_pid"),
+    # ---- strategy: copy-on-write vs merge-on-read ---------------------- #
+    # CoW rewrites every pruned-in file (write ∝ affected rows); MoR
+    # writes only the resolved batch + narrow equality-delete files
+    # (write ∝ batch keys) and lets reads anti-join until compaction
+    # folds the debt. auto: MoR when CoW would move > ratio rows/key —
+    # i.e. delete-heavy or sparse-update epochs hitting dense files.
+    rewrite_rows = sum(f["rows"] for f in rewrite_files)
+    use_mor = merge_strategy == "mor" or (
+        merge_strategy == "auto"
+        and total_keys > 0
+        and rewrite_rows > mor_rewrite_ratio * total_keys
     )
+    stats.merge_mode = "mor" if use_mor else "cow"
+
+    if use_mor:
+        # narrow lsn guard: one column-pruned pass over the pruned files'
+        # (key, _lsn) — late rows (lsn ≤ applied) drop out exactly as the
+        # CoW join guard drops them, keeping the two modes bit-equivalent
+        tn = target.select(F.col(key).alias("_tk"), F.col("_lsn").alias("_tlsn"))
+        guard = F.col("_tlsn").isNull() | (F.col("lsn") > F.col("_tlsn"))
+        guarded = (
+            resolved.join(tn, resolved[key] == tn["_tk"], "left_outer")
+            .filter(guard)
+            .drop("_tk", "_tlsn")
+        )
+
+        def _mor_value(c: str):
+            if c == "text" and do_extract:
+                return extract_text_udf(F.col("html"))
+            if c in resolved.columns:
+                return F.col(c)
+            return F.lit(None)
+
+        data_rows = guarded.filter(F.col("op") != "D").select(
+            *[_mor_value(c).alias(c) for c in out_cols],
+            F.col("lsn").alias("_lsn"),
+            F.col("_pid"),
+        )
+        # equality-delete keys: EVERY guarded batch key (an upsert
+        # shadows its older copies; a delete removes them) — built from
+        # the narrow projection so no payload bytes move
+        nb = narrow_last
+        if already:
+            nb = nb.filter(~F.col("_pid").isin(*[int(p) for p in already]))
+        delete_keys = (
+            nb.join(tn, nb[key] == tn["_tk"], "left_outer")
+            .filter(guard)
+            .select("_pid", key)
+        )
+        merged = None
+    else:
+        b = resolved.alias("b")
+        t = target.alias("t")
+        joined = t.join(b, F.col(f"t.{key}") == F.col(f"b.{key}"), "full_outer")
+        take_batch = F.col("b.op").isNotNull() & (
+            F.col("t._lsn").isNull() | (F.col("b.lsn") > F.col("t._lsn"))
+        )
+        is_delete = take_batch & (F.col("b.op") == "D")
+
+        def _batch_value(c: str):
+            if c == "text" and do_extract:
+                # vectorized extraction, lazily here so the UDF sits in the
+                # write stage only; null html (target-only rows, deletes)
+                # short-circuits inside the UDF
+                return F.when(F.col("b.op") != "D", extract_text_udf(F.col("b.html")))
+            if c in resolved.columns:
+                return F.col(f"b.{c}")
+            return F.lit(None)
+
+        merged = joined.filter(~is_delete).select(
+            *[
+                F.when(take_batch, _batch_value(c))
+                .otherwise(F.col(f"t.{c}") if c in target.columns else F.lit(None))
+                .alias(c)
+                for c in out_cols
+            ],
+            F.when(take_batch, F.col("b.lsn")).otherwise(F.col("t._lsn")).alias("_lsn"),
+            F.when(take_batch, F.col("b._pid"))
+            .otherwise(url_partition(f"t.{key}", num_p))
+            .alias("_pid"),
+        )
 
     # ---- pid-aligned write: no post-merge exchange --------------------- #
     # The full-outer join physically partitions its output by
@@ -284,7 +351,12 @@ def apply_epoch(
     conf.set("spark.sql.shuffle.partitions", str(num_p))
     conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        new_files = table.stage_data_files(merged, epoch, aligned=True)
+        if use_mor:
+            new_files = table.stage_data_files(data_rows, epoch, aligned=True)
+            new_deletes = table.stage_delete_files(delete_keys, epoch, aligned=True)
+        else:
+            new_files = table.stage_data_files(merged, epoch, aligned=True)
+            new_deletes = []
     finally:
         for k, v in saved.items():
             conf.set(k, v)
@@ -339,9 +411,12 @@ def apply_epoch(
         epoch,
         affected,
         new_files,
-        removed=rewrite_files,
+        # MoR leaves existing files in place — the delete files shadow
+        # stale rows at read time; CoW swaps the rewritten set
+        removed=[] if use_mor else rewrite_files,
         new_schema=new_schema if batch_only else None,
         summary_extra={"epoch": epoch},
+        added_deletes=new_deletes,
     )
     commit_id = table.metadata(version)["summary"]["commit_id"]
     for row in lineage_rows:

@@ -40,6 +40,7 @@ class EpochDriver:
         lww_strategy: str = "auto",
         error_budget: float | None = None,
         extract: bool = True,
+        merge_strategy: str = "auto",
     ):
         self.spark = spark
         self.source = source
@@ -51,6 +52,7 @@ class EpochDriver:
         self.lww_strategy = lww_strategy
         self.error_budget = error_budget
         self.extract = extract
+        self.merge_strategy = merge_strategy
 
     # ---------------- checkpoint log ---------------- #
     def _offset_path(self, epoch: int) -> Path:
@@ -86,6 +88,7 @@ class EpochDriver:
             lww_strategy=self.lww_strategy,
             error_budget=self.error_budget,
             extract=self.extract,
+            merge_strategy=self.merge_strategy,
         )
         self._record_commit(epoch, stats)
         return stats
