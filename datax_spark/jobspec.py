@@ -8,7 +8,8 @@ compiling to declarative Spark plans, so Catalyst owns optimization:
 ```json
 {
   "reader": {
-    "type": "parquet",             # parquet | table (registered view)
+    "type": "parquet",             # parquet | csv | text | orc | json |
+                                   # table (registered view) | jdbc
     "path": "/data/in.parquet",
     "column": ["url", "lang", {"value": "batch-7", "name": "tag"}],
     "where": "lang = 'en'",        # pushed to the scan by Catalyst
@@ -22,7 +23,8 @@ compiling to declarative Spark plans, so Catalyst owns optimization:
     {"op": "cast",    "col": "n_chars", "to": "double"}
   ],
   "writer": {
-    "type": "parquet",             # parquet | icetable (CDC MERGE sink)
+    "type": "parquet",             # parquet | csv | orc | json | text |
+                                   # jdbc | noop | icetable (CDC MERGE sink)
     "path": "/data/out",
     "mode": "overwrite"
   },
@@ -46,15 +48,96 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dataclasses import dataclass, field
+
 from datax_spark.functions import transformers as TX
+
+
+@dataclass
+class JdbcReaderPlan:
+    """Compiled DataX RDBMS reader (MySQL/Oracle/SqlServer/PostgreSQL/ADS
+    — SURVEY.md §2.1 S1-S4/S7): the exact ``spark.read.jdbc`` call,
+    including the splitPk → partitionColumn range-parallelism mapping.
+    Compilation is offline-testable; ``load`` needs a live database and
+    cannot be exercised in this sandbox (no network, no JDBC driver) —
+    the plan IS the contract."""
+
+    url: str
+    table: str  # table name, or "(SELECT ...) t" when querySql is used
+    properties: dict[str, str] = field(default_factory=dict)
+    partition_column: str | None = None  # DataX splitPk
+    lower_bound: int | None = None
+    upper_bound: int | None = None
+    num_partitions: int | None = None
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        kwargs: dict[str, Any] = {"properties": self.properties}
+        if self.partition_column is not None:
+            kwargs.update(
+                column=self.partition_column,
+                lowerBound=self.lower_bound,
+                upperBound=self.upper_bound,
+                numPartitions=self.num_partitions or 1,
+            )
+        return spark.read.jdbc(self.url, self.table, **kwargs)
+
+
+def compile_jdbc_reader(reader: dict[str, Any]) -> JdbcReaderPlan:
+    """DataX jdbc reader config → JdbcReaderPlan. ``querySql`` replaces
+    table+column+where (pushed whole to the source, like DataX);
+    ``splitPk`` becomes partitionColumn range parallelism — Spark's
+    executors each scan one pk range, DataX's channel-per-split model."""
+    conn = reader.get("connection", {})
+    props = {
+        k: str(v)
+        for k, v in {
+            "user": reader.get("username"),
+            "password": reader.get("password"),
+            "driver": reader.get("driver"),
+            "fetchsize": reader.get("fetchSize"),
+        }.items()
+        if v is not None
+    }
+    if reader.get("querySql"):
+        table = f"({reader['querySql']}) dx_query"
+    else:
+        table = conn.get("table") or reader["table"]
+    split_pk = reader.get("splitPk")
+    return JdbcReaderPlan(
+        url=conn.get("jdbcUrl") or reader["jdbcUrl"],
+        table=table,
+        properties=props,
+        partition_column=split_pk,
+        lower_bound=reader.get("splitLowerBound"),
+        upper_bound=reader.get("splitUpperBound"),
+        num_partitions=reader.get("numPartitions"),
+    )
 
 
 def compile_reader(spark: SparkSession, reader: dict[str, Any]) -> DataFrame:
     rtype = reader.get("type", "parquet")
-    if reader.get("querySql"):
+    if rtype == "jdbc":
+        df = compile_jdbc_reader(reader).load(spark)
+    elif reader.get("querySql"):
         return spark.sql(reader["querySql"])
-    if rtype == "parquet":
+    elif rtype == "parquet":
         df = spark.read.parquet(str(reader["path"]))
+    elif rtype == "csv":
+        r = spark.read.option(
+            "header", str(reader.get("header", True)).lower()
+        ).option("sep", reader.get("delimiter", ","))
+        # explicit schema wins (one pass); otherwise infer (extra pass —
+        # fine for DataX-style file sync, not for the CDC hot path)
+        r = r.schema(reader["schema"]) if reader.get("schema") else r.option(
+            "inferSchema", "true"
+        )
+        df = r.csv(str(reader["path"]))
+    elif rtype == "text":
+        df = spark.read.text(str(reader["path"]))
+    elif rtype == "orc":
+        df = spark.read.orc(str(reader["path"]))
+    elif rtype == "json":
+        df = spark.read.json(str(reader["path"]))
     elif rtype == "table":
         df = spark.read.table(reader["table"])
     else:
@@ -152,8 +235,43 @@ def run_batch_job(spark: SparkSession, spec: dict[str, Any]) -> DataFrame:
         df = df.filter(F.col(CAST_OK_COL)).drop(CAST_OK_COL)
     if writer:
         wtype = writer.get("type", "parquet")
+        mode = writer.get("mode", "error")
         if wtype == "parquet":
-            df.write.mode(writer.get("mode", "error")).parquet(str(writer["path"]))
+            df.write.mode(mode).parquet(str(writer["path"]))
+        elif wtype == "csv":
+            (
+                df.write.mode(mode)
+                .option("header", str(writer.get("header", True)).lower())
+                .option("sep", writer.get("delimiter", ","))
+                .csv(str(writer["path"]))
+            )
+        elif wtype == "orc":
+            df.write.mode(mode).orc(str(writer["path"]))
+        elif wtype == "json":
+            df.write.mode(mode).json(str(writer["path"]))
+        elif wtype == "text":
+            df.write.mode(mode).text(str(writer["path"]))
+        elif wtype == "jdbc":
+            # DataX RDBMS writer (S1-S4/S7 write side): untestable here
+            # (no database in the sandbox) but the call is the contract;
+            # writeMode insert/replace maps onto append/overwrite
+            df.write.mode(
+                {"insert": "append", "replace": "overwrite"}.get(
+                    writer.get("writeMode", "insert"), mode
+                )
+            ).jdbc(
+                writer["jdbcUrl"],
+                writer["table"],
+                properties={
+                    k: str(v)
+                    for k, v in {
+                        "user": writer.get("username"),
+                        "password": writer.get("password"),
+                        "driver": writer.get("driver"),
+                    }.items()
+                    if v is not None
+                },
+            )
         elif wtype == "noop":
             df.write.format("noop").mode("overwrite").save()
         else:

@@ -133,3 +133,75 @@ def test_batch_job_error_budget_counts_cast_failures(spark, tmp_path):
     spec["settings"]["errorLimit"] = {"record": 0}
     with pytest.raises(ErrorBudgetExceeded):
         run_batch_job(spark, spec)
+
+
+def test_csv_reader_writer_roundtrip(spark, tmp_path):
+    src = spark.createDataFrame(
+        [("a", 1, 2.5), ("b", 2, 3.5)], "k string, n long, x double"
+    )
+    spec_w = {
+        "reader": {"type": "parquet", "path": str(tmp_path / "p")},
+        "writer": {"type": "csv", "path": str(tmp_path / "c"), "mode": "overwrite",
+                   "delimiter": "|"},
+    }
+    src.write.parquet(str(tmp_path / "p"))
+    run_batch_job(spark, spec_w)
+    spec_r = {
+        "reader": {"type": "csv", "path": str(tmp_path / "c"), "delimiter": "|",
+                   "schema": "k string, n long, x double"},
+    }
+    back = run_batch_job(spark, spec_r)
+    assert sorted((r["k"], r["n"], r["x"]) for r in back.collect()) == [
+        ("a", 1, 2.5), ("b", 2, 3.5)
+    ]
+
+
+def test_orc_and_json_and_text_readers(spark, tmp_path):
+    src = spark.createDataFrame([("x", 7), ("y", 8)], "k string, n long")
+    src.write.parquet(str(tmp_path / "p"))
+    run_batch_job(spark, {
+        "reader": {"type": "parquet", "path": str(tmp_path / "p")},
+        "writer": {"type": "orc", "path": str(tmp_path / "o"), "mode": "overwrite"},
+    })
+    orc = run_batch_job(spark, {"reader": {"type": "orc", "path": str(tmp_path / "o")}})
+    assert {(r["k"], r["n"]) for r in orc.collect()} == {("x", 7), ("y", 8)}
+
+    run_batch_job(spark, {
+        "reader": {"type": "orc", "path": str(tmp_path / "o")},
+        "writer": {"type": "json", "path": str(tmp_path / "j"), "mode": "overwrite"},
+    })
+    js = run_batch_job(spark, {"reader": {"type": "json", "path": str(tmp_path / "j")}})
+    assert {(r["k"], r["n"]) for r in js.collect()} == {("x", 7), ("y", 8)}
+
+    (tmp_path / "t").mkdir()
+    (tmp_path / "t" / "a.txt").write_text("line one\nline two\n")
+    txt = run_batch_job(spark, {"reader": {"type": "text", "path": str(tmp_path / "t")}})
+    assert {r["value"] for r in txt.collect()} == {"line one", "line two"}
+
+
+def test_jdbc_reader_compiles_splitpk_plan():
+    """DataX RDBMS reader (S1-S4) compiles to the exact spark.read.jdbc
+    call — splitPk becomes partitionColumn range parallelism. Execution
+    needs a live database (absent in this sandbox); the plan is the
+    offline-testable contract."""
+    from datax_spark.jobspec import compile_jdbc_reader
+
+    plan = compile_jdbc_reader({
+        "type": "jdbc",
+        "connection": {"jdbcUrl": "jdbc:mysql://db:3306/crawl", "table": "pages"},
+        "username": "u", "password": "p", "fetchSize": 5000,
+        "splitPk": "id", "splitLowerBound": 0, "splitUpperBound": 1000000,
+        "numPartitions": 16,
+    })
+    assert plan.url == "jdbc:mysql://db:3306/crawl"
+    assert plan.table == "pages"
+    assert plan.partition_column == "id"
+    assert (plan.lower_bound, plan.upper_bound, plan.num_partitions) == (0, 1000000, 16)
+    assert plan.properties == {"user": "u", "password": "p", "fetchsize": "5000"}
+
+    qplan = compile_jdbc_reader({
+        "type": "jdbc", "jdbcUrl": "jdbc:postgresql://db/x",
+        "querySql": "SELECT url, lsn FROM wal WHERE lsn > 100",
+    })
+    assert qplan.table == "(SELECT url, lsn FROM wal WHERE lsn > 100) dx_query"
+    assert qplan.partition_column is None
