@@ -30,7 +30,9 @@ compiling to declarative Spark plans, so Catalyst owns optimization:
   },
   "settings": {
     "errorLimit": {"percentage": 0.05},   # quarantine budget (P5)
-    "speed": {"recordPerEpoch": 100000}   # epoch batch-size bound (ST5)
+    "speed": {"recordPerEpoch": 100000,   # HARD per-epoch record bound
+                                          # (row-granular offsets, ST5)
+              "shardsPerEpoch": 1}        # file-granular alternative
   }
 }
 ```
@@ -311,6 +313,8 @@ def run_cdc_job(spark: SparkSession, spec: dict[str, Any]):
         table,
         spec["checkpoint"],
         shards_per_epoch=settings.get("speed", {}).get("shardsPerEpoch", 1),
+        # DataX speed.record: hard per-epoch record bound (row offsets)
+        records_per_epoch=settings.get("speed", {}).get("recordPerEpoch"),
         error_budget=err,
         merge_strategy=writer.get("mergeStrategy", "auto"),
     )

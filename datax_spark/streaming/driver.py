@@ -41,6 +41,7 @@ class EpochDriver:
         error_budget: float | None = None,
         extract: bool = True,
         merge_strategy: str = "auto",
+        records_per_epoch: int | None = None,
     ):
         self.spark = spark
         self.source = source
@@ -53,6 +54,11 @@ class EpochDriver:
         self.error_budget = error_budget
         self.extract = extract
         self.merge_strategy = merge_strategy
+        # DataX speed.record analogue (ST5): when set, offsets are global
+        # ROW positions and an epoch never exceeds this many input rows;
+        # otherwise offsets are shard indices (maxFilesPerTrigger-style)
+        self.records_per_epoch = records_per_epoch
+        self.unit = "row" if records_per_epoch is not None else "shard"
 
     # ---------------- checkpoint log ---------------- #
     def _offset_path(self, epoch: int) -> Path:
@@ -68,8 +74,13 @@ class EpochDriver:
         d = json.loads(self._offset_path(epoch).read_text())
         return d["start"], d["end"]
 
+    def offset_unit(self, epoch: int) -> str:
+        return json.loads(self._offset_path(epoch).read_text()).get("unit", "shard")
+
     def _record_offsets(self, epoch: int, start: int, end: int) -> None:
-        self._offset_path(epoch).write_text(json.dumps({"start": start, "end": end}))
+        self._offset_path(epoch).write_text(
+            json.dumps({"start": start, "end": end, "unit": self.unit})
+        )
 
     def _record_commit(self, epoch: int, stats: EpochStats) -> None:
         self._commit_path(epoch).write_text(
@@ -78,7 +89,10 @@ class EpochDriver:
 
     # ---------------- ingest loop ---------------- #
     def _apply(self, epoch: int, start: int, end: int) -> EpochStats:
-        batch = self.source.read_range(start, end)
+        if self.offset_unit(epoch) == "row":
+            batch = self.source.read_row_range(start, end, self.ckpt / "slices")
+        else:
+            batch = self.source.read_range(start, end)
         stats = apply_epoch(
             self.table,
             batch,
@@ -101,13 +115,23 @@ class EpochDriver:
         for e in recorded:
             if not self._commit_path(e).exists():
                 out.append(self._apply(e, *self.offset_range(e)))
+        if recorded and self.offset_unit(recorded[-1]) != self.unit:
+            raise ValueError(
+                f"checkpoint uses {self.offset_unit(recorded[-1])!r} offsets; "
+                f"cannot resume with {self.unit!r} epoch sizing"
+            )
         next_epoch = (recorded[-1] + 1) if recorded else 0
         consumed = self.offset_range(recorded[-1])[1] if recorded else 0
-        latest = self.source.latest_offset()
+        if self.unit == "row":
+            latest = self.source.latest_row_offset()
+            step = self.records_per_epoch
+        else:
+            latest = self.source.latest_offset()
+            step = self.shards_per_epoch
         while consumed < latest:
             if max_epochs is not None and len(out) >= max_epochs:
                 break
-            end = min(consumed + self.shards_per_epoch, latest)
+            end = min(consumed + step, latest)
             self._record_offsets(next_epoch, consumed, end)
             out.append(self._apply(next_epoch, consumed, end))
             consumed = end

