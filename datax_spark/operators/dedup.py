@@ -5,11 +5,13 @@ near-dup — each as a pure DataFrame composition (no Python UDF) so the
 plan stays in whole-stage codegen end to end and every shuffle is an
 explicit, keyed exchange.
 
-Portability note: hashes are md5 hex strings (identical in Spark SQL and
-DuckDB), so the driver's oracle comparison checks these operators
-value-for-value, not just row counts. md5 is uniform enough for MinHash
-and the bit extraction used by SimHash; xxhash64 would be faster but is
-Spark-only.
+Portability note: default hashes are md5 hex strings (identical in Spark
+SQL and DuckDB), so the driver's oracle comparison checks these operators
+value-for-value, not just row counts. MinHash also takes
+``hash_fn="xxhash64"`` — one JVM op per (token, seed) instead of an md5
+over concatenated strings — as the production choice for real-vocabulary
+corpora (Spark-only, so not oracle-comparable; differentially tested in
+tests/test_dedup.py).
 
 Scale notes (100 TB corpus):
 * exact/normalized dedup — one hash-aggregate, map-side combined.
@@ -56,15 +58,24 @@ def normalized_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 
 def minhash_signatures(
-    tok: DataFrame, k: int = 8, id_col: str = "doc_id"
+    tok: DataFrame, k: int = 8, id_col: str = "doc_id", hash_fn: str = "md5"
 ) -> DataFrame:
-    """k-row MinHash signature per doc: min over tokens of
-    md5(seed || ':' || token) for each seed — one aggregate, k columns."""
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("tok")))).alias(f"mh{i}")
-        for i in range(k)
-    ]
-    return tok.groupBy(id_col).agg(*aggs)
+    """k-column MinHash signature per doc — one map-side-combined
+    aggregate. ``hash_fn``: ``md5`` (hex strings, byte-identical in
+    DuckDB — the oracle contract) or ``xxhash64`` (one JVM op per
+    (token, seed), the production choice for real-vocabulary corpora
+    where hashing bytes dominate)."""
+    if hash_fn == "md5":
+        hashes = [
+            F.md5(F.concat(F.lit(f"{i}:"), F.col("tok"))) for i in range(k)
+        ]
+    elif hash_fn == "xxhash64":
+        hashes = [F.xxhash64(F.col("tok"), F.lit(i)) for i in range(k)]
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    return tok.groupBy(id_col).agg(
+        *[F.min(h).alias(f"mh{i}") for i, h in enumerate(hashes)]
+    )
 
 
 def minhash_lsh_pairs(
@@ -74,6 +85,7 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.7,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH banding, thresholded on the
     signature-estimated Jaccard (fraction of agreeing minhashes).
@@ -81,53 +93,92 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, est_jaccard) with id_a < id_b, rounded 4dp.
 
     This is the web-scale form (how FineWeb/SlimPajama-style pipelines
-    dedup): candidates come only from band-bucket collisions (equi-join,
-    never all-pairs), and the similarity test reads the k-int signatures,
-    not the token sets — cost per candidate is O(k), independent of
-    document length. On a template-heavy corpus where near-dup pairs are
-    a large multiple of the doc count, exact set-intersection
-    verification is quadratic in shared tokens and dominates everything
-    (measured 100+s at 5k docs); use ``ngram_jaccard_pairs`` when exact
-    Jaccard is required — its shingle-frequency cap keeps the verify
-    join sparse.
+    dedup), with the decisive template-corpus optimization: docs are
+    first COLLAPSED into signature classes (identical k-hash signature),
+    LSH banding and the O(k) similarity test run on DISTINCT signatures
+    only, and class pairs expand back to doc pairs only after the
+    threshold filter. On template-heavy corpora thousands of docs share
+    a signature, so the naive per-doc bucket join is quadratic in class
+    size BEFORE thresholding (measured 26s at sf0.1 — it was the whole
+    runtime); the collapsed plan's joins are sized by distinct
+    signatures, and the only quadratic step is emitting the actual
+    result pairs. Exact same output rows either way.
     """
     rows_per_band = k // bands
     tok = tokens(df, id_col, text_col)
-    sig = minhash_signatures(tok, k, id_col)
+    sig = minhash_signatures(tok, k, id_col, hash_fn=hash_fn)
+    mh = [F.col(f"mh{i}") for i in range(k)]
+    sig = sig.withColumn("_sig", F.concat_ws("|", *[c.cast("string") for c in mh]))
+    members = sig.select("_sig", F.col(id_col))
+
+    # ---- intra-class pairs: identical signatures, est = k/k = 1.0 ----- #
+    x, y = members.alias("x"), members.alias("y")
+    intra = x.join(
+        y,
+        (F.col("x._sig") == F.col("y._sig"))
+        & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+    ).select(
+        F.col(f"x.{id_col}").alias("id_a"),
+        F.col(f"y.{id_col}").alias("id_b"),
+        F.round(F.lit(1.0), 4).alias("est_jaccard"),
+    )
+
+    # ---- cross-class: LSH on distinct signatures ---------------------- #
+    reps = sig.groupBy("_sig").agg(*[F.first(f"mh{i}").alias(f"mh{i}") for i in range(k)])
     band_cols = [
         F.md5(
-            F.concat_ws(",", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"mh{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
         ).alias(f"band{b}")
         for b in range(bands)
     ]
-    banded = sig.select(id_col, *band_cols)
-    buckets = banded.select(
-        id_col,
+    buckets = reps.select("_sig", *band_cols).select(
+        "_sig",
         F.explode(
             F.array(*[
                 F.concat(F.lit(f"{b}:"), F.col(f"band{b}")) for b in range(bands)
             ])
         ).alias("bucket"),
     )
-    a = buckets.alias("a")
-    b = buckets.alias("b")
+    a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._sig") < F.col("b._sig")),
+        )
+        .select(F.col("a._sig").alias("_sa"), F.col("b._sig").alias("_sb"))
         .distinct()
     )
-    sa = sig.select(F.col(id_col).alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)])
-    sb = sig.select(F.col(id_col).alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)])
+    ra = reps.select(F.col("_sig").alias("_sa"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)])
+    rb = reps.select(F.col("_sig").alias("_sb"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)])
     matches = sum(
         F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k)
     )
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
+    class_pairs = (
+        cand.join(ra, "_sa")
+        .join(rb, "_sb")
         .withColumn("est_jaccard", F.round(matches / F.lit(k), 4))
-        .filter(F.col("est_jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", "est_jaccard")
+        .filter(F.col("est_jaccard") >= jaccard_threshold)  # BEFORE expansion
+        .select("_sa", "_sb", "est_jaccard")
     )
+    ma = members.select(F.col("_sig").alias("_sa"), F.col(id_col).alias("_ida"))
+    mb = members.select(F.col("_sig").alias("_sb"), F.col(id_col).alias("_idb"))
+    cross = (
+        class_pairs.join(ma, "_sa")
+        .join(mb, "_sb")
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            "est_jaccard",
+        )
+    )
+    return intra.unionByName(cross)
 
 
 def _verify_jaccard(

@@ -75,3 +75,42 @@ def test_embedding_near_dup_blocked(spark):
     assert (0, 1) in pairs
     assert (0, 2) not in pairs  # blocking boundary (documented trade-off)
     assert (0, 3) not in pairs
+
+
+def test_minhash_xxhash64_production_path(spark, sf_dir):
+    """The xxhash64 signature variant (production hash — one JVM op per
+    (token, seed)) must agree with the md5 contract form wherever the
+    hash function cannot matter: documents with IDENTICAL token sets
+    have identical signatures under ANY hash, so every identical-set
+    pair must surface with est_jaccard = 1.0 under both hashes.
+    (Collision-driven 1.0 estimates for merely-similar sets ARE
+    hash-dependent — that is the estimator's variance, not a bug.)"""
+    from pyspark.sql import functions as F
+
+    from datax_spark.operators.dedup import minhash_lsh_pairs, tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp = (
+        tokens(docs)
+        .groupBy("doc_id")
+        .agg(F.concat_ws(" ", F.array_sort(F.collect_list("tok"))).alias("fp"))
+    )
+    x, y = fp.alias("x"), fp.alias("y")
+    same_set = {
+        (r["id_a"], r["id_b"])
+        for r in x.join(
+            y, (F.col("x.fp") == F.col("y.fp")) & (F.col("x.doc_id") < F.col("y.doc_id"))
+        )
+        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+        .collect()
+    }
+    assert same_set  # the fixture does contain identical-token-set docs
+    for fn in ("md5", "xxhash64"):
+        got = {
+            (r["id_a"], r["id_b"]): r["est_jaccard"]
+            for r in minhash_lsh_pairs(
+                docs, k=8, bands=4, jaccard_threshold=0.7, hash_fn=fn
+            ).collect()
+        }
+        missing = [p for p in same_set if got.get(p) != 1.0]
+        assert not missing, (fn, missing[:5])
