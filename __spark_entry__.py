@@ -441,6 +441,18 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=3)
 
 
+def q_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a TRAINED spherical k-means quantizer (2 DataFrame
+    iterations, deterministic init + tie-breaks) instead of the
+    pre-assigned label — a true ANN index; the oracle unrolls the same
+    two k-means steps in SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = SIM.ivf_trained_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=3, n_cells=8, n_iter=2
+    )
+    return out.withColumn("probe_cell", F.col("probe_cell").cast("bigint"))
+
+
 # --------------------------- text analysis ---------------------------- #
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -559,6 +571,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
     "text_stats": q_text_stats,
     "lang_id_confusion": q_lang_id_confusion,
     "doc_fingerprint": q_doc_fingerprint,
@@ -674,6 +687,76 @@ cand AS (
   FROM shr a JOIN shr b ON a.tok = b.tok AND a.doc_id < b.doc_id
 ),
 {_JACCARD_TAIL.format(tokrel="sh", threshold=0.5).strip()}"""
+
+
+def _ivf_trained_oracle(n_cells: int = 8, n_iter: int = 2, k: int = 3) -> str:
+    """Mechanical unroll of operators/similarity.train_kmeans_cells +
+    ivf_topk: init = lowest-id vectors (cells in id order), n_iter rounds
+    of (assign via rounded-cosine argmax, recompute member-mean
+    centroids), final probe against member means of the last assignment.
+    Every comparison goes through round(·, 6) with cell-id tie-break —
+    the same guards the Spark side uses — so the discrete assignment
+    sequence is engine-independent."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b})))"
+        )
+
+    parts = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS centroid
+  FROM e ORDER BY vec_id LIMIT {n_cells})""",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""a{i} AS (SELECT vec_id, v, cell FROM (
+  SELECT e.vec_id, e.v, c.cell,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY round({cos('e.v', 'c.centroid')}, 6) DESC, c.cell ASC) AS rn
+  FROM e CROSS JOIN c{i - 1} c) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""comp{i} AS (
+  SELECT cell, i AS pos, avg(x) AS avgv FROM (
+    SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM a{i}
+  ) GROUP BY cell, i),
+c{i} AS (SELECT cell, list(avgv ORDER BY pos) AS centroid FROM comp{i} GROUP BY cell)"""
+        )
+    last = f"a{n_iter}"
+    parts.append("q AS (SELECT vec_id, v FROM e WHERE vec_id < 8)")
+    parts.append(
+        f"""assign AS (
+  SELECT vec_id, cell AS probe_cell FROM (
+    SELECT q.vec_id, c.cell,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round({cos('q.v', 'c.centroid')}, 6) DESC, c.cell ASC) AS rn
+    FROM q CROSS JOIN c{n_iter} c) WHERE rn = 1)"""
+    )
+    parts.append(
+        f"""scored AS (
+  SELECT q.vec_id AS query_id, a.probe_cell, m.vec_id AS neighbor_id,
+         {cos('q.v', 'm.v')} AS cs
+  FROM q JOIN assign a ON a.vec_id = q.vec_id
+  JOIN {last} m ON m.cell = a.probe_cell AND m.vec_id <> q.vec_id)"""
+    )
+    parts.append(
+        """ranked AS (
+  SELECT query_id, probe_cell, neighbor_id, cs,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(cs, 6) DESC, neighbor_id ASC) AS rank
+  FROM scored)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT query_id, CAST(probe_cell AS BIGINT) AS probe_cell, neighbor_id,
+       round(cs, 4) AS cos_sim, rank
+FROM ranked WHERE rank <= {k}"""
+    )
 
 
 def _lang_id_sql_expr() -> str:
@@ -939,6 +1022,7 @@ ranked AS (
 )
 SELECT query_id, probe_cell, neighbor_id, round(cs, 4) AS cos_sim, rank
 FROM ranked WHERE rank <= 3""",
+    "ann_ivf_trained_topk": _ivf_trained_oracle(n_cells=8, n_iter=2, k=3),
     "text_stats": f"""
 SELECT doc_id,
        {_WS_TOK_SQL} AS n_ws_tokens,

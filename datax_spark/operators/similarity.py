@@ -117,6 +117,87 @@ def cell_centroids(
     )
 
 
+def train_kmeans_cells(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means coarse quantizer as DataFrame iterations:
+    returns (id, cell) — the trained IVF cell assignment.
+
+    Deterministic end to end: init = the ``n_cells`` lowest-id vectors
+    (cell ids in id order), assignment = argmax cosine with
+    ``round(·, 6)`` + cell-id tie-break, centroids = element-wise member
+    mean. Cells that lose all members drop out (no re-seeding) — same
+    rule a SQL oracle reproduces. Each iteration is one broadcast
+    crossJoin (|corpus| × n_cells score rows) plus one (cell, pos)
+    aggregate; only the n_cells centroids ever reach the driver. At
+    10^9 vectors you train on a sample and broadcast the same centroid
+    table — the loop body is unchanged.
+    """
+    spark = corpus.sparkSession
+    vecs = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    init = vecs.orderBy(id_col).limit(n_cells).collect()
+    cents = [(i, list(r["v"])) for i, r in enumerate(init)]
+    aw = Window.partitionBy(id_col).orderBy(
+        F.round(F.col("ccs"), 6).desc(), F.col("cell").asc()
+    )
+    assign = None
+    for _ in range(n_iter):
+        cdf = F.broadcast(
+            spark.createDataFrame(cents, "cell int, centroid array<double>")
+        )
+        assign = (
+            vecs.crossJoin(cdf)
+            .select(
+                id_col, "v", "cell", cosine(F.col("v"), F.col("centroid")).alias("ccs")
+            )
+            .withColumn("rn", F.row_number().over(aw))
+            .filter(F.col("rn") == 1)
+            .select(id_col, "v", "cell")
+        )
+        new_cents = (
+            assign.select("cell", F.posexplode(F.col("v")).alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("avgv"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "avgv"))),
+                    lambda s: s.avgv,
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        cents = sorted((r["cell"], list(r["centroid"])) for r in new_cents)
+    return assign.select(id_col, "cell")
+
+
+def ivf_trained_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_cells: int = 8,
+    n_iter: int = 2,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF with a TRAINED k-means quantizer instead of a pre-assigned
+    label column: train cells, tag the corpus, then probe exactly like
+    ``ivf_topk`` (centroids re-derived as member means of the final
+    assignment, which is one more k-means half-step — and what makes
+    the DuckDB oracle a mechanical unroll)."""
+    cells = train_kmeans_cells(corpus, n_cells, n_iter, id_col, vec_col)
+    tagged = corpus.join(cells, id_col).withColumnRenamed("cell", "_ivf_cell")
+    return ivf_topk(
+        tagged, queries, k=k, id_col=id_col, vec_col=vec_col,
+        cell_col="_ivf_cell", n_probe=n_probe,
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
