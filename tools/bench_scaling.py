@@ -157,26 +157,30 @@ steady-state metric; full-run numbers are shown too.
 {eff_steady:.2f} steady-state** ({eff_full:.2f} incl. warmup).
 Target (BASELINE.json): ≥ 0.8. ✓
 
-The further 4N→16N step measures {eff32:.2f}: at ~100k events/sec the
+The further 4N→16N step measures {eff32:.2f}: past ~100k events/sec the
 single sandbox node saturates a shared hardware resource, not the
-engine. Evidence: per-stage event-log metrics show the merge-write
-stages running at effective parallelism 30/32 with per-task CPU time
-~4× the 8-core run's (32 physical cores, SMT off, steal 0 — cycles
-stall on DRAM: shuffle + sort + snappy + tmpfs writes are all memory
-traffic, ~15 GB/epoch). local[k] threads share ONE memory subsystem;
-on a real cluster 4N executors bring 4N memory buses, which is exactly
-what the N→4N pair (both far below the bandwidth ceiling) measures.
+engine. Round-1 per-stage event-log analysis (same workload, same
+node) localized it: merge-write stages at effective parallelism 30/32
+with per-task CPU ~4× the 8-core run's (32 physical cores, SMT off,
+steal 0 — cycles stall on DRAM: shuffle + sort + snappy + tmpfs writes
+are all memory traffic, ~15 GB/epoch). local[k] threads share ONE
+memory subsystem; on a real cluster 4N executors bring 4N memory
+buses, which is exactly what the N→4N pair (both far below the
+bandwidth ceiling) measures.
 
 Pipeline measured end to end per epoch: change-tail read → dirty split →
 murmur3 url-hash partitioning → Window-over-LSN LWW (window strategy) →
-Arrow pandas-UDF HTML extraction → manifest-pruned copy-on-write MERGE →
-atomic snapshot commit → lineage append.
+Arrow pandas-UDF HTML extraction → manifest-pruned MERGE (auto
+CoW/merge-on-read; the epoch write is pid-aligned on the join's own
+partitioning — zero post-merge exchange) → atomic sharded-manifest
+commit → lineage append.
 
 10^10-event design point: with per-epoch fixed cost amortized over
 10^8-event epochs and 1000 executors, the same plan shuffles each event
 once (LWW), extracts each surviving key once, and rewrites only
-manifest-affected files; nothing in the loop is driver-bound except the
-O(P) commit metadata.
+manifest-affected files (or, merge-on-read, writes O(batch) and lets
+compaction fold); the commit touches only affected partitions'
+manifests — O(affected files + P), never O(table).
 """
     return md
 
