@@ -158,6 +158,7 @@ class IceTable:
             # partitions have no entry
             "manifests": {},
             "commits": {},
+            "commit_epoch_watermark": -1,
             "summary": {"total_rows": 0},
         }
         t._publish(meta)
@@ -210,11 +211,31 @@ class IceTable:
     def key_column(self) -> str:
         return self.metadata()["partition_spec"]["key"]
 
+    # The idempotence ledger is kept exact only for a recent window of
+    # epochs; older contiguous epochs fold into a single watermark (all
+    # epochs ≤ watermark are committed — valid because the driver
+    # applies epochs in increasing order). This bounds snapshot-JSON
+    # growth: at 10^5+ epochs the exact map would otherwise dominate
+    # the metadata the driver parses on every commit.
+    LEDGER_RETAIN_EPOCHS = 128
+
     def is_committed(self, epoch: int, partition_id: int, version: int | None = None) -> bool:
-        return f"{epoch}:{partition_id}" in self.metadata(version)["commits"]
+        meta = self.metadata(version)
+        if epoch <= meta.get("commit_epoch_watermark", -1):
+            return True
+        return f"{epoch}:{partition_id}" in meta["commits"]
+
+    def is_epoch_committed(self, epoch: int, version: int | None = None) -> bool:
+        meta = self.metadata(version)
+        if epoch <= meta.get("commit_epoch_watermark", -1):
+            return True
+        return any(k.split(":")[0] == str(epoch) for k in meta["commits"])
 
     def committed_epochs(self, version: int | None = None) -> set[int]:
-        return {int(k.split(":")[0]) for k in self.metadata(version)["commits"]}
+        meta = self.metadata(version)
+        out = {int(k.split(":")[0]) for k in meta["commits"]}
+        out.update(range(meta.get("commit_epoch_watermark", -1) + 1))
+        return out
 
     # ------------------------------------------------------------------ #
     # sharded manifest
@@ -813,6 +834,21 @@ class IceTable:
         ).hexdigest()[:16]
         for pid in partition_ids:
             commits[f"{epoch}:{pid}"] = commit_id
+        # fold the contiguous old-epoch prefix into the watermark; only
+        # the recent window stays exact. A fully-empty epoch (no clean
+        # rows → never committed) leaves a gap that stalls the fold —
+        # harmless (replay of it is a recomputed no-op), just un-compacted.
+        watermark = meta.get("commit_epoch_watermark", -1)
+        if partition_ids:
+            exact_epochs = sorted({int(k.split(":")[0]) for k in commits})
+            cutoff = max(e for e in exact_epochs) - self.LEDGER_RETAIN_EPOCHS
+            for e in exact_epochs:
+                if e > cutoff or e != watermark + 1:
+                    break
+                watermark = e
+            commits = {
+                k: v for k, v in commits.items() if int(k.split(":")[0]) > watermark
+            }
         schemas = meta["schemas"]
         schema_id = meta["schema_id"]
         if new_schema is not None and _schema_to_json(new_schema) != schemas[schema_id]["schema"]:
@@ -831,6 +867,7 @@ class IceTable:
             "schemas": schemas,
             "manifests": manifests,
             "commits": commits,
+            "commit_epoch_watermark": watermark,
             "summary": {
                 "total_rows": total_rows,
                 "last_epoch": epoch,

@@ -117,8 +117,9 @@ def apply_epoch(
     key = table.key_column
     num_p = table.num_partitions
 
-    if epoch in table.committed_epochs():
-        # replayed epoch: every (epoch, pid) key is already in the ledger
+    if table.is_epoch_committed(epoch):
+        # replayed epoch: already in the ledger (exact key or folded
+        # under the epoch watermark)
         stats.skipped = True
         return stats
 

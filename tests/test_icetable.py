@@ -175,3 +175,21 @@ def test_commit_rewrites_only_touched_partition_manifests(spark, tmp_path):
     for f in t.manifest_entries():
         assert isinstance(f.get("bloom"), str)
         assert (t.root / f["bloom"]).exists()
+
+
+def test_commit_ledger_folds_to_watermark(spark, tmp_path):
+    """The (epoch, pid) idempotence map stays bounded: contiguous old
+    epochs fold into commit_epoch_watermark, only a recent window stays
+    exact, and committed-ness answers are unchanged across the fold."""
+    t = _mk(spark, tmp_path)
+    for e in range(300):
+        t.commit(e, {0, 1}, [])
+    meta = t.metadata()
+    retain = IceTable.LEDGER_RETAIN_EPOCHS
+    assert meta["commit_epoch_watermark"] == 299 - retain
+    assert len(meta["commits"]) == 2 * retain  # bounded, not O(epochs)
+    # folded epochs still answer committed
+    assert t.is_committed(5, 0) and t.is_committed(5, 1)
+    assert t.is_epoch_committed(5) and t.is_epoch_committed(299)
+    assert not t.is_epoch_committed(300)
+    assert 5 in t.committed_epochs() and 299 in t.committed_epochs()
