@@ -42,6 +42,8 @@ class EpochDriver:
         extract: bool = True,
         merge_strategy: str = "auto",
         records_per_epoch: int | None = None,
+        compact_every: int | None = None,
+        max_delete_debt: float | None = 0.5,
     ):
         self.spark = spark
         self.source = source
@@ -59,6 +61,14 @@ class EpochDriver:
         # otherwise offsets are shard indices (maxFilesPerTrigger-style)
         self.records_per_epoch = records_per_epoch
         self.unit = "row" if records_per_epoch is not None else "shard"
+        # table-service scheduling: compact every K epochs, and/or
+        # whenever merge-on-read delete debt (shadowed-key rows as a
+        # fraction of physical table rows) exceeds max_delete_debt —
+        # keeps the read-side anti-join bounded without operator action.
+        # Maintenance commits carry no idempotence keys, so replay
+        # semantics are untouched (tests/test_mor.py compaction fold).
+        self.compact_every = compact_every
+        self.max_delete_debt = max_delete_debt
 
     # ---------------- checkpoint log ---------------- #
     def _offset_path(self, epoch: int) -> Path:
@@ -134,9 +144,24 @@ class EpochDriver:
             end = min(consumed + step, latest)
             self._record_offsets(next_epoch, consumed, end)
             out.append(self._apply(next_epoch, consumed, end))
+            self._maybe_maintain(next_epoch)
             consumed = end
             next_epoch += 1
         return out
+
+    def _maybe_maintain(self, epoch: int) -> None:
+        if self.compact_every and (epoch + 1) % self.compact_every == 0:
+            self.table.compact(min_files=2)
+            return
+        if self.max_delete_debt is None:
+            return
+        dels = self.table.delete_entries()
+        if not dels:
+            return
+        total = self.table.metadata()["summary"]["total_rows"]
+        if total and sum(d["rows"] for d in dels) / total > self.max_delete_debt:
+            for pid in sorted({d["partition_id"] for d in dels}):
+                self.table.compact_partition(pid)
 
     def replay(self, from_epoch: int = 0) -> list[EpochStats]:
         """Re-apply recorded offset ranges; idempotent commits make every

@@ -124,3 +124,67 @@ def test_compact_sweep_after_bloom_pruned_epochs(spark, tmp_path):
     assert table.compact(min_files=2) == [0]
     assert len(table.manifest_entries()) == 1
     assert {(r["url"], r["text"]) for r in table.read().collect()} == before
+
+
+def test_driver_scheduled_compaction(spark, tmp_path):
+    """compact_every: the driver folds small files (and any MoR delete
+    debt) between epochs; final state unchanged, one file per partition."""
+    from datax_spark.datagen.generator import EventLogSpec, generate_event_log
+    from datax_spark.streaming.driver import EpochDriver
+    from datax_spark.streaming.source import ChangeTailSource
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ])
+    spec = EventLogSpec(n_events=400, n_urls=60, n_domains=6, n_epochs=4, seed=5)
+    generate_event_log(tmp_path / "ev", spec)
+    table = IceTable.create(spark, tmp_path / "t", schema, num_partitions=3)
+    drv = EpochDriver(
+        spark, ChangeTailSource(spark, tmp_path / "ev"), table, tmp_path / "ckpt",
+        compact_every=2, merge_strategy="mor",
+    )
+    drv.run()
+    assert table.delete_entries() == []  # debt folded by the sweep
+    # replay still a complete no-op after maintenance snapshots
+    assert all(s.skipped for s in drv.replay(0))
+
+
+def test_driver_delete_debt_triggered_compaction(spark, tmp_path):
+    """max_delete_debt: a delete-heavy MoR epoch pushes shadowed-row debt
+    over the ratio and the driver compacts the affected partitions."""
+    import datetime as dt
+
+    from datax_spark.operators.merge import apply_epoch
+    from datax_spark.streaming.driver import EpochDriver
+    from datax_spark.streaming.source import ChangeTailSource
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ])
+    ev = "lsn long, op string, url string, warc_ts timestamp, html binary, lang string"
+    ts = dt.datetime(2026, 1, 1)
+    table = IceTable.create(spark, tmp_path / "t", schema, num_partitions=2)
+    apply_epoch(table, spark.createDataFrame(
+        [(1 + i, "I", f"https://d/{i}", ts, b"<p>x</p>", "en") for i in range(100)], ev
+    ), 0)
+    apply_epoch(table, spark.createDataFrame(
+        [(900 + i, "D", f"https://d/{i}", ts, None, "en") for i in range(30)], ev
+    ), 1, merge_strategy="mor")
+    assert table.delete_entries()
+    drv = EpochDriver(
+        spark, ChangeTailSource(spark, tmp_path / "noev"), table, tmp_path / "ckpt",
+        max_delete_debt=0.1,
+    )
+    drv._maybe_maintain(epoch=1)
+    assert table.delete_entries() == []
+    assert table.read().count() == 70
