@@ -51,6 +51,7 @@ HEADLINE = [
     "token_count_by_source",
     "ann_bruteforce_topk",
     "ann_ivf_topk",
+    "ann_ivf_trained_topk",
     "multimodal_meta",
 ]
 
