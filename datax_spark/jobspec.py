@@ -214,11 +214,19 @@ def run_batch_job(spark: SparkSession, spec: dict[str, Any]) -> DataFrame:
     failed count against the budget (DataX dirty-record semantics:
     ``record`` = absolute cap, ``percentage`` = ratio cap; exceeding
     either aborts the job) and are routed to ``writer.quarantinePath``
-    when given — never silently nulled into the main output."""
+    when given — never silently nulled into the main output.
+
+    DataX job lifecycle hooks: ``writer.preSql`` statements run before
+    the read is compiled (prepare(): staging views, truncates),
+    ``writer.postSql`` after a successful write (post(): swaps, stats) —
+    executed via ``spark.sql`` against the session catalog. postSql is
+    NOT run when the job aborts on the error budget, matching DataX."""
     from datax_spark.operators.quarantine import ErrorBudgetExceeded, check_error_budget
 
     settings = spec.get("settings", {})
     err = settings.get("errorLimit")
+    for stmt in (spec.get("writer") or {}).get("preSql", []) or []:
+        spark.sql(stmt)
     df = compile_reader(spark, spec["reader"])
     df = apply_transforms(df, spec.get("transforms"), track_cast_ok=err is not None)
     writer = spec.get("writer") or {}
@@ -278,6 +286,8 @@ def run_batch_job(spark: SparkSession, spec: dict[str, Any]) -> DataFrame:
             df.write.format("noop").mode("overwrite").save()
         else:
             raise ValueError(f"unknown batch writer {wtype!r}")
+        for stmt in writer.get("postSql", []) or []:
+            spark.sql(stmt)
     return df
 
 

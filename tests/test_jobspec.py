@@ -205,3 +205,32 @@ def test_jdbc_reader_compiles_splitpk_plan():
     })
     assert qplan.table == "(SELECT url, lsn FROM wal WHERE lsn > 100) dx_query"
     assert qplan.partition_column is None
+
+
+def test_pre_and_post_sql_hooks(spark, tmp_path):
+    """DataX prepare()/post() lifecycle: preSql runs before the read is
+    compiled (here it creates the staging view the reader consumes),
+    postSql after a successful write."""
+    src = tmp_path / "in"
+    spark.createDataFrame([("a", 1), ("b", 2)], "k string, n long").write.parquet(str(src))
+    spec = {
+        "reader": {"querySql": "SELECT k, n * 10 AS n FROM dx_stage"},
+        "writer": {
+            "type": "parquet",
+            "path": str(tmp_path / "out"),
+            "mode": "overwrite",
+            "preSql": [
+                f"CREATE OR REPLACE TEMP VIEW dx_stage AS "
+                f"SELECT * FROM parquet.`{src}` WHERE n > 1"
+            ],
+            "postSql": [
+                "CREATE OR REPLACE TEMP VIEW dx_done AS SELECT 1 AS ok"
+            ],
+        },
+    }
+    run_batch_job(spark, spec)
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert [(r["k"], r["n"]) for r in back.collect()] == [("b", 20)]
+    assert spark.sql("SELECT ok FROM dx_done").collect()[0]["ok"] == 1
+    spark.catalog.dropTempView("dx_stage")
+    spark.catalog.dropTempView("dx_done")
