@@ -156,3 +156,53 @@ def test_cow_and_mor_drivers_reach_identical_state(spark, tmp_path):
         assert html == expected[url]["html"], url
         assert lang == expected[url]["lang"], url
         assert title == expected[url].get("title"), url
+
+
+@pytest.mark.parametrize("seed", [31, 77, 123])
+def test_randomized_strategy_sequences_match_fold(spark, tmp_path, seed):
+    """Engine-level robustness: a seeded random log applied with a
+    seeded-random CoW/MoR choice PER EPOCH (plus a mid-sequence
+    compaction) still equals the sequential pure-python fold, and
+    re-applying every epoch is a no-op."""
+    import random
+
+    import pyarrow.parquet as pq
+
+    rng = random.Random(seed)
+    spec = EventLogSpec(
+        n_events=rng.randint(400, 800),
+        n_urls=rng.randint(50, 120),
+        n_domains=rng.randint(4, 12),
+        n_epochs=4,
+        evolve_at_epoch=rng.choice([None, 2, 3]),
+        dirty_per_epoch=rng.choice([0, 3]),
+        seed=seed,
+    )
+    shards = generate_event_log(tmp_path / "ev", spec)
+    table = IceTable.create(spark, tmp_path / "t", PAGE_SCHEMA, num_partitions=4)
+    strategies = [rng.choice(["cow", "mor"]) for _ in shards]
+    for e, (shard, strat) in enumerate(zip(shards, strategies)):
+        df = spark.read.parquet(shard)
+        if spec.evolve_at_epoch is None or e < spec.evolve_at_epoch:
+            df = df.drop("title") if "title" in df.columns else df
+        stats = apply_epoch(table, df, e, merge_strategy=strat)
+        assert stats.merge_mode == strat
+        if e == 1:
+            table.compact(min_files=1)
+    events = []
+    for s in shards:
+        events.extend(pq.read_table(s).to_pylist())
+    expected = reference_apply(events)
+    got = {r["url"]: r for r in table.read().collect()}
+    assert set(got) == set(expected)
+    for url, exp in expected.items():
+        assert got[url]["html"] == exp["html"], (url, strategies)
+        assert got[url]["lang"] == exp["lang"], url
+    # re-apply every epoch: all skipped, state version unchanged
+    v = table.current_version()
+    for e, (shard, strat) in enumerate(zip(shards, strategies)):
+        df = spark.read.parquet(shard)
+        if spec.evolve_at_epoch is None or e < spec.evolve_at_epoch:
+            df = df.drop("title") if "title" in df.columns else df
+        assert apply_epoch(table, df, e, merge_strategy=strat).skipped
+    assert table.current_version() == v
