@@ -282,6 +282,16 @@ def run_batch_job(spark: SparkSession, spec: dict[str, Any]) -> DataFrame:
                     if v is not None
                 },
             )
+        elif wtype == "table":
+            # Hive-style partitioned catalog table (DataX S6): metastore
+            # entry + partition directories; readers get partition
+            # pruning on the partitionBy columns for free
+            w = df.write.mode(mode)
+            if writer.get("partitionBy"):
+                w = w.partitionBy(*writer["partitionBy"])
+            if writer.get("path"):
+                w = w.option("path", str(writer["path"]))  # external table
+            w.saveAsTable(writer["table"])
         elif wtype == "noop":
             df.write.format("noop").mode("overwrite").save()
         else:

@@ -234,3 +234,35 @@ def test_pre_and_post_sql_hooks(spark, tmp_path):
     assert spark.sql("SELECT ok FROM dx_done").collect()[0]["ok"] == 1
     spark.catalog.dropTempView("dx_stage")
     spark.catalog.dropTempView("dx_done")
+
+
+def test_table_writer_partitioned_catalog(spark, tmp_path):
+    """S6 (Hive table): partitioned saveAsTable via the job spec; the
+    catalog table reads back through the `table` reader and scans prune
+    on the partition column."""
+    src = tmp_path / "in"
+    spark.createDataFrame(
+        [("en", 1), ("en", 2), ("de", 3)], "lang string, n long"
+    ).write.parquet(str(src))
+    spec = {
+        "reader": {"type": "parquet", "path": str(src)},
+        "writer": {
+            "type": "table",
+            "table": "dx_pages_t",
+            "path": str(tmp_path / "tbl"),
+            "partitionBy": ["lang"],
+            "mode": "overwrite",
+        },
+    }
+    try:
+        run_batch_job(spark, spec)
+        back = run_batch_job(
+            spark, {"reader": {"type": "table", "table": "dx_pages_t",
+                               "where": "lang = 'en'"}}
+        )
+        assert sorted(r["n"] for r in back.collect()) == [1, 2]
+        # physical layout is partitioned by lang (pruning-capable)
+        assert (tmp_path / "tbl" / "lang=en").exists()
+        assert (tmp_path / "tbl" / "lang=de").exists()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dx_pages_t")
