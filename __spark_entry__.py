@@ -423,6 +423,14 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs blocked by the TRAINED k-means
+    cell — the real scale block key; oracle unrolls the same training."""
+    return DD.embedding_near_dup_pairs_kmeans(
+        _t(spark, sf_dir, "embeddings"), threshold=0.9, n_cells=8, n_iter=2
+    )
+
+
 # ------------------------- similarity search -------------------------- #
 
 def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -569,6 +577,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "dedup_embedding_kmeans": q_dedup_embedding_kmeans,
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
@@ -689,21 +698,21 @@ cand AS (
 {_JACCARD_TAIL.format(tokrel="sh", threshold=0.5).strip()}"""
 
 
-def _ivf_trained_oracle(n_cells: int = 8, n_iter: int = 2, k: int = 3) -> str:
-    """Mechanical unroll of operators/similarity.train_kmeans_cells +
-    ivf_topk: init = lowest-id vectors (cells in id order), n_iter rounds
-    of (assign via rounded-cosine argmax, recompute member-mean
-    centroids), final probe against member means of the last assignment.
+def _sql_cos(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        f" * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+def _kmeans_ctes(n_cells: int, n_iter: int) -> tuple[list[str], str]:
+    """Mechanical unroll of operators/similarity.train_kmeans_cells:
+    init = lowest-id vectors (cells in id order), n_iter rounds of
+    (assign via rounded-cosine argmax, recompute member-mean centroids).
     Every comparison goes through round(·, 6) with cell-id tie-break —
     the same guards the Spark side uses — so the discrete assignment
-    sequence is engine-independent."""
-
-    def cos(a: str, b: str) -> str:
-        return (
-            f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
-            f" * sqrt(list_dot_product({b}, {b})))"
-        )
-
+    sequence is engine-independent. Returns (CTE parts, name of the
+    final assignment relation: (vec_id, v, cell))."""
     parts = [
         "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
         f"""c0 AS (
@@ -715,7 +724,7 @@ def _ivf_trained_oracle(n_cells: int = 8, n_iter: int = 2, k: int = 3) -> str:
             f"""a{i} AS (SELECT vec_id, v, cell FROM (
   SELECT e.vec_id, e.v, c.cell,
          row_number() OVER (PARTITION BY e.vec_id
-           ORDER BY round({cos('e.v', 'c.centroid')}, 6) DESC, c.cell ASC) AS rn
+           ORDER BY round({_sql_cos('e.v', 'c.centroid')}, 6) DESC, c.cell ASC) AS rn
   FROM e CROSS JOIN c{i - 1} c) WHERE rn = 1)"""
         )
         parts.append(
@@ -725,7 +734,33 @@ def _ivf_trained_oracle(n_cells: int = 8, n_iter: int = 2, k: int = 3) -> str:
   ) GROUP BY cell, i),
 c{i} AS (SELECT cell, list(avgv ORDER BY pos) AS centroid FROM comp{i} GROUP BY cell)"""
         )
-    last = f"a{n_iter}"
+    return parts, f"a{n_iter}"
+
+
+def _embedding_kmeans_oracle(
+    threshold: float = 0.9, n_cells: int = 8, n_iter: int = 2
+) -> str:
+    """Near-dup pairs blocked by the trained k-means cell: the same
+    unrolled training, then a per-cell self-join (thresholded on the
+    4dp-rounded cosine, exactly like the Spark operator)."""
+    parts, last = _kmeans_ctes(n_cells, n_iter)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_sql_cos('a.v', 'b.v')}, 4) AS cos_sim
+FROM {last} a JOIN {last} b ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE round({_sql_cos('a.v', 'b.v')}, 4) >= {threshold}"""
+    )
+
+
+def _ivf_trained_oracle(n_cells: int = 8, n_iter: int = 2, k: int = 3) -> str:
+    """Unrolled k-means (see _kmeans_ctes) + the ivf_topk probe: final
+    centroids are member means of the last assignment."""
+    cos = _sql_cos
+    parts, last = _kmeans_ctes(n_cells, n_iter)
+    parts = list(parts)
     parts.append("q AS (SELECT vec_id, v FROM e WHERE vec_id < 8)")
     parts.append(
         f"""assign AS (
@@ -956,6 +991,7 @@ SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS canon_md5,
        count(*) AS n_docs, min(doc_id) AS keep_id
 FROM documents GROUP BY 1""",
     "dedup_minhash_lsh": _minhash_oracle(),
+    "dedup_embedding_kmeans": _embedding_kmeans_oracle(0.9, 8, 2),
     "dedup_simhash": _simhash_oracle(),
     "dedup_ngram_jaccard": _ngram_oracle(),
     "dedup_embedding_cosine": """

@@ -318,6 +318,31 @@ def ngram_jaccard_pairs(
     return exact_now.unionByName(verified)
 
 
+def embedding_near_dup_pairs_kmeans(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_cells: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs blocked by a TRAINED k-means cell
+    (operators/similarity.train_kmeans_cells) instead of a pre-assigned
+    label — the real 100 TB block key: the per-cell self-join replaces
+    the all-pairs cross join, and exact near-duplicates provably share a
+    cell (a scaled copy has identical centroid cosines, and the
+    deterministic tie-break assigns equals identically). Pairs straddling
+    a cell boundary are the recall trade-off every blocked scheme makes;
+    probe-multiple-cells is the knob when it matters."""
+    from datax_spark.operators.similarity import train_kmeans_cells
+
+    cells = train_kmeans_cells(df, n_cells, n_iter, id_col, vec_col)
+    tagged = df.join(cells, id_col)
+    return embedding_near_dup_pairs(
+        tagged, threshold, block_col="cell", id_col=id_col, vec_col=vec_col
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.99,
@@ -327,7 +352,8 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked on ``block_col`` so the
     self-join is per-block instead of all-pairs (at scale the block key
-    is an LSH bucket or IVF cell; here the provided label)."""
+    is an LSH bucket or IVF cell — see
+    ``embedding_near_dup_pairs_kmeans`` for the trained-cell form)."""
     a = df.alias("a")
     b = df.alias("b")
     dot = F.aggregate(

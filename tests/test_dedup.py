@@ -114,3 +114,26 @@ def test_minhash_xxhash64_production_path(spark, sf_dir):
         }
         missing = [p for p in same_set if got.get(p) != 1.0]
         assert not missing, (fn, missing[:5])
+
+
+def test_embedding_kmeans_blocking_finds_planted_dups(spark, sf_dir):
+    """Trained-cell blocking: a scaled copy of a vector has identical
+    centroid cosines (deterministic tie-break => same cell), so planted
+    near-duplicates must surface without any all-pairs join."""
+    from pyspark.sql import functions as F
+
+    from datax_spark.operators.dedup import embedding_near_dup_pairs_kmeans
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    planted = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.0)).alias("embedding"),
+    )
+    pairs = embedding_near_dup_pairs_kmeans(
+        emb.unionByName(planted), threshold=0.99, n_cells=8, n_iter=2
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    for i in range(5):
+        assert (i, i + 100000) in found, found
