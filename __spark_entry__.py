@@ -64,26 +64,41 @@ def _utc(spark: SparkSession) -> None:
 
 # Deterministic CDC fixture shared by the Spark query AND the DuckDB
 # oracle: both sides read the SAME event shards, so the oracle can fold
-# the log in pure SQL. The path must be a constant (oracle_sql() returns
-# static strings); the log is a pure function of _CDC_SPEC+seed, so a
-# pre-existing directory is byte-identical to a fresh one.
-_CDC_EVENTS_DIR = Path(tempfile.gettempdir()) / "datax_cdc_contract_v1" / "events"
+# the log in pure SQL. The directory name embeds a hash of the spec, so
+# editing _CDC_SPEC can never silently reuse a stale log, and the
+# oracle-SQL constant (built from this path at import time) always names
+# the matching fixture. Publication is build-aside + atomic rename:
+# concurrent processes either see the complete directory or build their
+# own copy and lose the rename race — nobody ever deletes a directory
+# another process may be scanning.
 _CDC_SPEC = dict(
     n_events=1200, n_urls=250, n_domains=20, n_epochs=3,
     evolve_at_epoch=2, dirty_per_epoch=5, seed=42,
 )
+_CDC_EVENTS_DIR = (
+    Path(tempfile.gettempdir())
+    / ("datax_cdc_contract_" + "-".join(f"{k}{v}" for k, v in sorted(_CDC_SPEC.items())))
+    / "events"
+)
 
 
 def _ensure_cdc_fixture() -> Path:
+    import os
+    import shutil
+    import uuid
+
     from datax_spark.datagen.generator import EventLogSpec, generate_event_log
 
-    done = _CDC_EVENTS_DIR / "_DONE"
-    if not done.exists():
-        import shutil
-
-        shutil.rmtree(_CDC_EVENTS_DIR, ignore_errors=True)
-        generate_event_log(_CDC_EVENTS_DIR, EventLogSpec(**_CDC_SPEC))
-        done.touch()
+    if _CDC_EVENTS_DIR.exists():
+        return _CDC_EVENTS_DIR
+    build = _CDC_EVENTS_DIR.parent / f".build-{uuid.uuid4().hex}"
+    generate_event_log(build, EventLogSpec(**_CDC_SPEC))
+    try:
+        os.rename(build, _CDC_EVENTS_DIR)
+    except OSError:
+        shutil.rmtree(build, ignore_errors=True)  # lost the race: reuse theirs
+        if not _CDC_EVENTS_DIR.exists():
+            raise
     return _CDC_EVENTS_DIR
 
 

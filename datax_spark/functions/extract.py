@@ -229,8 +229,15 @@ def _parse(raw: bytes | str | None) -> _TextExtractor:
 from html import unescape as _unescape  # noqa: E402  (stdlib, deterministic)
 
 _FAST_BAIL_RE = re.compile(r"<[!?]|</[^a-zA-Z]")
+# The name group is followed by a lookahead restricted to html.parser's
+# EXACT tag-name terminators ([\t\n\r\f />] — tagfind_tolerant's
+# exclusion charset): a name followed by anything else (\xa0, \x0b,
+# \x00, any Unicode space) is absorbed INTO the name by html.parser,
+# giving different tag semantics, so the scanner must decline rather
+# than match "<p\xa0>" as a <p>. Inside the attribute section both this
+# pattern and html.parser use Unicode \s, so those positions align.
 _FAST_TAG_RE = re.compile(
-    r"<(?P<close>/)?(?P<name>[a-zA-Z][-.a-zA-Z0-9:_]*)"
+    r"<(?P<close>/)?(?P<name>[a-zA-Z][-.a-zA-Z0-9:_]*)(?=[\t\n\r\f />])"
     r"(?P<attrs>(?:\s+[^\s/>=\"'<]+(?:\s*=\s*(?:\"[^\"<]*\"|'[^'<]*'|[^\s>\"'`<]*))?)*)"
     r"\s*(?P<selfclose>/)?>"
 )

@@ -434,7 +434,13 @@ class IceTable:
         files = [
             f for f in self.manifest_entries(to_version) if f["path"] not in old
         ]
-        return self._read_files(files, to_version, with_lsn=False)
+        # merge-on-read: apply the target version's equality deletes, or a
+        # key updated twice via MoR in the range would surface both its
+        # stale and current rows (and an insert-then-delete as live)
+        return self._read_files(
+            files, to_version, with_lsn=False,
+            deletes=self.delete_entries(to_version),
+        )
 
     # ------------------------------------------------------------------ #
     # maintenance (Iceberg-style table services)
@@ -560,9 +566,35 @@ class IceTable:
             .mode("overwrite")
             .parquet(str(staging))
         )
-        # footer reads are I/O-bound and GIL-releasing — do them in a
-        # pool (serial, they cost ~0.5s/epoch at P=32; at cluster scale
-        # this is the manifest-building step and stays O(files))
+        def entry(dest: Path, pid: int, meta: "pq.FileMetaData") -> dict:
+            min_url, max_url = _key_stats(meta, key)
+            return {
+                "path": str(dest.relative_to(self.root)),
+                "partition_id": pid,
+                "rows": meta.num_rows,
+                "min_url": min_url,
+                "max_url": max_url,
+                "added_epoch": epoch,
+            }
+
+        entries = self._publish_staged(staging, pid_column, f"e{epoch:05d}", entry)
+        self._attach_blooms(entries)
+        return entries
+
+    def _publish_staged(
+        self,
+        staging: Path,
+        pid_column: str,
+        name_prefix: str,
+        entry_fn,
+    ) -> list[dict]:
+        """Shared publish protocol for staged file sets (data and
+        equality-delete files): enumerate per-pid parts, read footers
+        (pooled — I/O-bound, GIL-releasing; ~0.5s/epoch at P=32, stays
+        O(files) at cluster scale), skip empties, move each part to an
+        immutable uuid-suffixed name under data/pid=<P>/, and build
+        manifest entries. Files stay ignorable orphans until a snapshot
+        references them."""
         staged = [
             (int(pid_dir.name.split("=")[1]), part)
             for pid_dir in sorted(staging.glob(f"{pid_column}=*"))
@@ -577,25 +609,13 @@ class IceTable:
                 last_pid, seq = pid, 0
             if meta.num_rows == 0:
                 continue
-            name = f"e{epoch:05d}-{seq:03d}-{uuid.uuid4().hex[:8]}.parquet"
             dest_dir = self.data_dir / f"pid={pid}"
             dest_dir.mkdir(parents=True, exist_ok=True)
-            dest = dest_dir / name
+            dest = dest_dir / f"{name_prefix}-{seq:03d}-{uuid.uuid4().hex[:8]}.parquet"
             os.replace(part, dest)
-            min_url, max_url = _key_stats(meta, key)
-            entries.append(
-                {
-                    "path": str(dest.relative_to(self.root)),
-                    "partition_id": pid,
-                    "rows": meta.num_rows,
-                    "min_url": min_url,
-                    "max_url": max_url,
-                    "added_epoch": epoch,
-                }
-            )
+            entries.append(entry_fn(dest, pid, meta))
             seq += 1
         shutil.rmtree(staging, ignore_errors=True)
-        self._attach_blooms(entries)
         return entries
 
     def stage_delete_files(
@@ -618,29 +638,16 @@ class IceTable:
             .mode("overwrite")
             .parquet(str(staging))
         )
-        entries: list[dict] = []
-        for pid_dir in sorted(staging.glob(f"{pid_column}=*")):
-            pid = int(pid_dir.name.split("=")[1])
-            for seq, part in enumerate(sorted(pid_dir.glob("*.parquet"))):
-                meta = pq.read_metadata(part)
-                if meta.num_rows == 0:
-                    continue
-                name = f"d-e{epoch:05d}-{seq:03d}-{uuid.uuid4().hex[:8]}.parquet"
-                dest_dir = self.data_dir / f"pid={pid}"
-                dest_dir.mkdir(parents=True, exist_ok=True)
-                dest = dest_dir / name
-                os.replace(part, dest)
-                entries.append(
-                    {
-                        "path": str(dest.relative_to(self.root)),
-                        "partition_id": pid,
-                        "rows": meta.num_rows,
-                        "epoch": epoch,
-                        "content": "equality-deletes",
-                    }
-                )
-        shutil.rmtree(staging, ignore_errors=True)
-        return entries
+        def entry(dest: Path, pid: int, meta: "pq.FileMetaData") -> dict:
+            return {
+                "path": str(dest.relative_to(self.root)),
+                "partition_id": pid,
+                "rows": meta.num_rows,
+                "epoch": epoch,
+                "content": "equality-deletes",
+            }
+
+        return self._publish_staged(staging, pid_column, f"d-e{epoch:05d}", entry)
 
     # ------------------------------------------------------------------ #
     # per-file key bloom filters (manifest-level secondary index)

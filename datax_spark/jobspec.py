@@ -75,10 +75,25 @@ class JdbcReaderPlan:
     def load(self, spark: SparkSession) -> DataFrame:
         kwargs: dict[str, Any] = {"properties": self.properties}
         if self.partition_column is not None:
+            lo, hi = self.lower_bound, self.upper_bound
+            if lo is None or hi is None:
+                # DataX derives the splitPk range itself; mirror that with
+                # one bounds query before the partitioned scan
+                # (spark.read.jdbc refuses a partition column without
+                # explicit bounds)
+                pk = self.partition_column
+                row = spark.read.jdbc(
+                    self.url,
+                    f"(SELECT MIN({pk}) AS dx_lo, MAX({pk}) AS dx_hi "
+                    f"FROM {self.table}) dx_bounds",
+                    properties=self.properties,
+                ).collect()[0]
+                lo = row["dx_lo"] if lo is None else lo
+                hi = row["dx_hi"] if hi is None else hi
             kwargs.update(
                 column=self.partition_column,
-                lowerBound=self.lower_bound,
-                upperBound=self.upper_bound,
+                lowerBound=lo,
+                upperBound=hi,
                 numPartitions=self.num_partitions or 1,
             )
         return spark.read.jdbc(self.url, self.table, **kwargs)
@@ -206,43 +221,9 @@ def apply_transforms(
     return df
 
 
-def run_batch_job(spark: SparkSession, spec: dict[str, Any]) -> DataFrame:
-    """Compile and (if a writer is present) execute a batch sync job;
-    returns the final DataFrame either way.
-
-    When ``settings.errorLimit`` is configured, rows whose strict casts
-    failed count against the budget (DataX dirty-record semantics:
-    ``record`` = absolute cap, ``percentage`` = ratio cap; exceeding
-    either aborts the job) and are routed to ``writer.quarantinePath``
-    when given — never silently nulled into the main output.
-
-    DataX job lifecycle hooks: ``writer.preSql`` statements run before
-    the read is compiled (prepare(): staging views, truncates),
-    ``writer.postSql`` after a successful write (post(): swaps, stats) —
-    executed via ``spark.sql`` against the session catalog. postSql is
-    NOT run when the job aborts on the error budget, matching DataX."""
-    from datax_spark.operators.quarantine import ErrorBudgetExceeded, check_error_budget
-
-    settings = spec.get("settings", {})
-    err = settings.get("errorLimit")
-    for stmt in (spec.get("writer") or {}).get("preSql", []) or []:
-        spark.sql(stmt)
-    df = compile_reader(spark, spec["reader"])
-    df = apply_transforms(df, spec.get("transforms"), track_cast_ok=err is not None)
-    writer = spec.get("writer") or {}
-    if err is not None and CAST_OK_COL in df.columns:
-        counts = df.groupBy(F.col(CAST_OK_COL)).count().collect()
-        total = sum(r["count"] for r in counts)
-        dirty = sum(r["count"] for r in counts if not r[CAST_OK_COL])
-        check_error_budget(total, dirty, err.get("percentage"))
-        cap = err.get("record")
-        if cap is not None and dirty > cap:
-            raise ErrorBudgetExceeded(f"{dirty} dirty rows exceed record cap {cap}")
-        if dirty and writer.get("quarantinePath"):
-            df.filter(~F.col(CAST_OK_COL)).drop(CAST_OK_COL).write.mode(
-                "overwrite"
-            ).parquet(str(writer["quarantinePath"]))
-        df = df.filter(F.col(CAST_OK_COL)).drop(CAST_OK_COL)
+def _write_batch_output(spark: SparkSession, df: DataFrame, writer: dict[str, Any]) -> None:
+    """Writer dispatch shared by the plain and errorLimit paths;
+    runs postSql after a successful write."""
     if writer:
         wtype = writer.get("type", "parquet")
         mode = writer.get("mode", "error")
@@ -298,6 +279,58 @@ def run_batch_job(spark: SparkSession, spec: dict[str, Any]) -> DataFrame:
             raise ValueError(f"unknown batch writer {wtype!r}")
         for stmt in writer.get("postSql", []) or []:
             spark.sql(stmt)
+
+
+def run_batch_job(spark: SparkSession, spec: dict[str, Any]) -> DataFrame:
+    """Compile and (if a writer is present) execute a batch sync job;
+    returns the final DataFrame either way.
+
+    When ``settings.errorLimit`` is configured, rows whose strict casts
+    failed count against the budget (DataX dirty-record semantics:
+    ``record`` = absolute cap, ``percentage`` = ratio cap; exceeding
+    either aborts the job) and are routed to ``writer.quarantinePath``
+    when given — never silently nulled into the main output.
+
+    DataX job lifecycle hooks: ``writer.preSql`` statements run before
+    the read is compiled (prepare(): staging views, truncates),
+    ``writer.postSql`` after a successful write (post(): swaps, stats) —
+    executed via ``spark.sql`` against the session catalog. postSql is
+    NOT run when the job aborts on the error budget, matching DataX."""
+    from datax_spark.operators.quarantine import ErrorBudgetExceeded, check_error_budget
+
+    settings = spec.get("settings", {})
+    err = settings.get("errorLimit")
+    for stmt in (spec.get("writer") or {}).get("preSql", []) or []:
+        spark.sql(stmt)
+    df = compile_reader(spark, spec["reader"])
+    df = apply_transforms(df, spec.get("transforms"), track_cast_ok=err is not None)
+    writer = spec.get("writer") or {}
+    if err is not None and CAST_OK_COL in df.columns:
+        # one source pass: the budget count, the quarantine write and the
+        # main write all read the persisted frame (a JDBC/CSV source
+        # would otherwise be pulled up to three times, and a
+        # non-deterministic source could disagree with its own count)
+        df = df.persist()
+        try:
+            counts = df.groupBy(F.col(CAST_OK_COL)).count().collect()
+            total = sum(r["count"] for r in counts)
+            dirty = sum(r["count"] for r in counts if not r[CAST_OK_COL])
+            check_error_budget(total, dirty, err.get("percentage"))
+            cap = err.get("record")
+            if cap is not None and dirty > cap:
+                raise ErrorBudgetExceeded(
+                    f"{dirty} dirty rows exceed record cap {cap}"
+                )
+            if dirty and writer.get("quarantinePath"):
+                df.filter(~F.col(CAST_OK_COL)).drop(CAST_OK_COL).write.mode(
+                    "overwrite"
+                ).parquet(str(writer["quarantinePath"]))
+            clean = df.filter(F.col(CAST_OK_COL)).drop(CAST_OK_COL)
+            _write_batch_output(spark, clean, writer)
+            return clean
+        finally:
+            df.unpersist()
+    _write_batch_output(spark, df, writer)
     return df
 
 

@@ -288,17 +288,20 @@ def apply_epoch(
             F.col("lsn").alias("_lsn"),
             F.col("_pid"),
         )
-        # equality-delete keys: EVERY guarded batch key (an upsert
-        # shadows its older copies; a delete removes them) — built from
-        # the narrow projection so no payload bytes move
+        # equality-delete keys: guarded batch keys that EXIST in the
+        # target (an upsert shadows its older copies; a delete removes
+        # them). Keys absent from the pruned target shadow nothing —
+        # pruning is conservative, so a missing key is provably absent
+        # from the whole partition — and including them would write one
+        # delete row per INSERT, inflating delete files and the driver's
+        # delete-debt metric into spurious compactions. Built from the
+        # narrow projection so no payload bytes move.
         nb = narrow_last
         if already:
             nb = nb.filter(~F.col("_pid").isin(*[int(p) for p in already]))
-        delete_keys = (
-            nb.join(tn, nb[key] == tn["_tk"], "left_outer")
-            .filter(guard)
-            .select("_pid", key)
-        )
+        delete_keys = nb.join(tn, nb[key] == tn["_tk"], "inner").filter(
+            F.col("lsn") > F.col("_tlsn")
+        ).select("_pid", key)
         merged = None
     else:
         b = resolved.alias("b")

@@ -139,7 +139,12 @@ def test_fast_scanner_differential():
         st.sampled_from(
             ["&amp;", "&lt;", "&gt;", "&#65;", "&nbsp;", "&amp", "&bogus;",
              "<", ">", "</", "<!--x-->", "<!doctype html>", "<? pi ?>",
-             "< notatag", "</ >", "a < b", "&", ";"]
+             "< notatag", "</ >", "a < b", "&", ";",
+             # non-ASCII/odd whitespace right after a tag name: html.parser
+             # absorbs it INTO the name (tagfind_tolerant) — the fast
+             # scanner must decline, not match "<p\xa0>" as a <p>
+             "<p\xa0>", "<script\xa0>x</script>", "<title\xa0>T</title>",
+             "<p\x0b>", "<p\x00>", "</p\xa0>", "\xa0", " "]
         ),
         st.builds(lambda t: f"<{t}>", tags),
         st.builds(lambda t: f"</{t}>", tags),

@@ -206,3 +206,31 @@ def test_randomized_strategy_sequences_match_fold(spark, tmp_path, seed):
             df = df.drop("title") if "title" in df.columns else df
         assert apply_epoch(table, df, e, merge_strategy=strat).skipped
     assert table.current_version() == v
+
+
+def test_incremental_read_applies_deletes(spark, tmp_path):
+    """read_incremental must not resurrect MoR-shadowed rows: a key
+    updated via MoR in the range yields exactly its NEW row, and an
+    insert-then-MoR-delete yields nothing."""
+    table = IceTable.create(spark, tmp_path / "t", PAGE_SCHEMA, num_partitions=2)
+    apply_epoch(table, _insert_batch(spark, 50), 0)
+    v0 = table.current_version()
+    # epoch 1 inserts a fresh key k_new (CoW or MoR — force MoR)
+    ins = spark.createDataFrame(
+        [(500, "I", "https://new/x", TS, b"<p>n1</p>", "en")], EV
+    )
+    apply_epoch(table, ins, 1, merge_strategy="mor")
+    # epoch 2: MoR-update an old key and MoR-delete the fresh one
+    batch = spark.createDataFrame(
+        [
+            (600, "U", "https://d1.example.com/1", TS, b"<p>v2</p>", "en"),
+            (601, "D", "https://new/x", TS, None, "en"),
+        ],
+        EV,
+    )
+    apply_epoch(table, batch, 2, merge_strategy="mor")
+    inc = {r["url"]: r for r in table.read_incremental(from_version=v0).collect()}
+    # updated key: exactly one row, the new value (old MoR row shadowed)
+    assert bytes(inc["https://d1.example.com/1"]["html"]) == b"<p>v2</p>"
+    # insert-then-delete inside the range: not resurrected
+    assert "https://new/x" not in inc
