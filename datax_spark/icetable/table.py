@@ -442,9 +442,104 @@ class IceTable:
             deletes=self.delete_entries(to_version),
         )
 
+    def history(self) -> list[dict]:
+        """Snapshot log, oldest → newest (Iceberg's table.history()):
+        one row per still-retained version with its summary. Expired
+        versions are absent — exactly the time-travel horizon."""
+        current = self.current_version()
+        out = []
+        for v in range(current + 1):
+            if not (self.meta_dir / f"v{v}.metadata.json").exists():
+                continue
+            m = self.metadata(v)
+            out.append(
+                {
+                    "version": v,
+                    "parent_version": m["parent_version"],
+                    "schema_id": m["schema_id"],
+                    "summary": m["summary"],
+                }
+            )
+        return out
+
     # ------------------------------------------------------------------ #
     # maintenance (Iceberg-style table services)
     # ------------------------------------------------------------------ #
+    def rebucket(self, new_num_partitions: int) -> int:
+        """Partition-spec evolution: rewrite the whole table under a new
+        partition count (a table that outgrew its bucket count gets hot
+        partitions and oversized files; at 10^10 rows this is the
+        re-bucketing maintenance job, run rarely and deliberately).
+        One full read (deletes applied) → one aligned write → one
+        commit; the idempotence ledger carries over, so epoch replay
+        semantics are untouched. Readers loading after the commit see
+        the new partition_spec atomically."""
+        if new_num_partitions == self.num_partitions:
+            return self.current_version()
+        old_files = self.manifest_entries()
+        old_dels = self.delete_entries()
+        df = self.read(with_lsn=True)
+        meta = self.metadata()
+        # route by the NEW partitioning; stage under the current table
+        # (num_partitions still old) via an explicit repartition
+        df = df.withColumn("_pid", url_partition(self.key_column, new_num_partitions))
+        staging_df = df.repartition(new_num_partitions, F.col(self.key_column))
+        # temporarily publish the new spec AFTER staging files: stage
+        # directly (bypassing stage_data_files' aligned check which uses
+        # the old num_partitions for the repartition width)
+        staging = self.root / f"_staging-rebucket-{uuid.uuid4().hex[:8]}"
+        (
+            staging_df.sortWithinPartitions("_pid", self.key_column)
+            .write.partitionBy("_pid")
+            .mode("overwrite")
+            .parquet(str(staging))
+        )
+        key = self.key_column
+
+        def entry(dest: Path, pid: int, fmeta: "pq.FileMetaData") -> dict:
+            min_url, max_url = _key_stats(fmeta, key)
+            return {
+                "path": str(dest.relative_to(self.root)),
+                "partition_id": pid,
+                "rows": fmeta.num_rows,
+                "min_url": min_url,
+                "max_url": max_url,
+                "added_epoch": meta["summary"].get("last_epoch", 0),
+            }
+
+        new_files = self._publish_staged(staging, "_pid", "rb", entry)
+        self._attach_blooms(new_files)
+        # ONE atomic snapshot: full new manifest set AND the new
+        # partition_spec together — no window where new-layout files pair
+        # with the old spec (pruning under a mismatched spec would probe
+        # wrong partitions)
+        by_pid: dict[int, list[dict]] = {}
+        for f in new_files:
+            by_pid.setdefault(f["partition_id"], []).append(f)
+        manifests = {
+            str(pid): self._write_manifest(pid, entries)
+            for pid, entries in sorted(by_pid.items())
+        }
+        new_version = meta["version"] + 1
+        self._publish(
+            {
+                **meta,
+                "version": new_version,
+                "parent_version": meta["version"],
+                "partition_spec": {
+                    **meta["partition_spec"],
+                    "num_partitions": new_num_partitions,
+                },
+                "manifests": manifests,
+                "summary": {
+                    **meta["summary"],
+                    "total_rows": sum(f["rows"] for f in new_files),
+                    "rebucketed_to": new_num_partitions,
+                },
+            }
+        )
+        return new_version
+
     def compact(self, min_files: int = 2) -> list[int]:
         """Table-service sweep: compact every partition holding at least
         ``min_files`` data files (bloom-pruned merges accumulate small

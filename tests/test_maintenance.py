@@ -188,3 +188,73 @@ def test_driver_delete_debt_triggered_compaction(spark, tmp_path):
     drv._maybe_maintain(epoch=1)
     assert table.delete_entries() == []
     assert table.read().count() == 70
+
+
+def test_history_lists_snapshots(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()), T.StructField("val", T.LongType()),
+    ])
+    t = IceTable.create(spark, tmp_path / "t", schema, num_partitions=2)
+    df = spark.createDataFrame(
+        [("a", 1, 0, 1)], "url string, val long, _pid int, _lsn long"
+    )
+    t.commit(0, {0}, t.stage_data_files(df, 0))
+    h = t.history()
+    assert [x["version"] for x in h] == [0, 1]
+    assert h[1]["parent_version"] == 0 and h[1]["summary"]["total_rows"] == 1
+
+
+def test_rebucket_preserves_content_and_continues_ingest(spark, tmp_path):
+    """Partition-spec evolution: rewrite the table under a new partition
+    count in one atomic snapshot; content identical, pruning works under
+    the new spec, and the CDC apply path keeps working afterwards."""
+    import datetime as dt
+
+    from datax_spark.operators.merge import apply_epoch
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ])
+    ev = "lsn long, op string, url string, warc_ts timestamp, html binary, lang string"
+    ts = dt.datetime(2026, 1, 1)
+    table = IceTable.create(spark, tmp_path / "t", schema, num_partitions=2)
+    apply_epoch(table, spark.createDataFrame(
+        [(1 + i, "I", f"https://d{i % 5}.x/{i}", ts, f"<p>v{i}</p>".encode(), "en")
+         for i in range(120)], ev
+    ), 0)
+    before = {r["url"]: bytes(r["html"]) for r in table.read().collect()}
+    table.rebucket(8)
+    assert table.num_partitions == 8
+    after = {r["url"]: bytes(r["html"]) for r in table.read().collect()}
+    assert before == after
+    # every file sits in its key's NEW partition
+    from datax_spark.functions.hashing import url_partition
+    from pyspark.sql import functions as F
+
+    bad = (
+        table.read()
+        .select(url_partition("url", 8).alias("pid"), "url")
+        .groupBy("pid").count()
+    )
+    assert {r["pid"] for r in bad.collect()} == {
+        f["partition_id"] for f in table.manifest_entries()
+    }
+    # ingest continues under the new spec (epoch ledger carried over)
+    s = apply_epoch(table, spark.createDataFrame(
+        [(1000, "U", "https://d1.x/1", ts, b"<p>new</p>", "en")], ev
+    ), 1)
+    assert not s.skipped
+    assert bytes(
+        {r["url"]: r for r in table.read().collect()}["https://d1.x/1"]["html"]
+    ) == b"<p>new</p>"
+    # replaying epoch 0 after the rebucket stays a no-op
+    assert apply_epoch(table, spark.createDataFrame(
+        [(1, "I", "https://d0.x/0", ts, b"<p>x</p>", "en")], ev
+    ), 0).skipped
