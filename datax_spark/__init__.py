@@ -18,6 +18,14 @@ Everything is DataFrame/SQL-first: Catalyst handles pushdown, pruning and
 join strategy; the only Python on the hot path is Arrow-vectorized.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from datax_spark.session import get_spark  # noqa: F401
+
+# primary public API (lazy submodules remain importable directly)
+from datax_spark.icetable.table import IceTable  # noqa: F401
+from datax_spark.jobspec import run_batch_job, run_cdc_job  # noqa: F401
+from datax_spark.operators.lww import lww_resolve  # noqa: F401
+from datax_spark.operators.merge import apply_epoch  # noqa: F401
+from datax_spark.streaming.driver import EpochDriver, run_structured  # noqa: F401
+from datax_spark.streaming.source import ChangeTailSource  # noqa: F401

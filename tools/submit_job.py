@@ -1,0 +1,60 @@
+"""CLI job runner — the north rule's deployment path made concrete:
+
+    zip -r datax_spark.zip datax_spark
+    spark-submit --master <cluster> --py-files datax_spark.zip \
+        tools/submit_job.py job.json
+
+``job.json`` is a DataX-style job spec (datax_spark/jobspec.py): a batch
+spec (file/jdbc reader → transforms → writer) runs through
+``run_batch_job``; a CDC spec (``reader.type=change_tail`` +
+``writer.type=icetable``) runs the checkpointed epoch loop through
+``run_cdc_job`` and prints per-epoch stats. The icetable writer's
+``schema`` field may be a DDL string ("url string, ..." ) for CLI use.
+
+Exit code 0 on success; non-zero with the error on stderr (an exceeded
+error budget aborts the job, DataX semantics).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main(argv: list[str]) -> int:
+    if len(argv) != 2:
+        print(__doc__, file=sys.stderr)
+        return 2
+    spec = json.loads(Path(argv[1]).read_text())
+    from pyspark.sql import SparkSession, types as T
+
+    from datax_spark.jobspec import run_batch_job, run_cdc_job
+
+    spark = SparkSession.builder.getOrCreate()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    writer = spec.get("writer") or {}
+    if writer.get("type") == "icetable":
+        if isinstance(writer.get("schema"), str):
+            writer["schema"] = T.StructType.fromDDL(writer["schema"])
+        driver = run_cdc_job(spark, spec)
+        for e in driver.recorded_epochs():
+            start, end = driver.offset_range(e)
+            print(f"epoch={e} offsets=({start},{end}] unit={driver.offset_unit(e)}")
+        print(
+            "table_version=%d total_rows=%d"
+            % (
+                driver.table.current_version(),
+                driver.table.metadata()["summary"]["total_rows"],
+            )
+        )
+    else:
+        df = run_batch_job(spark, spec)
+        print(f"rows={df.count()}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv))
