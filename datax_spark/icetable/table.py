@@ -582,6 +582,10 @@ class IceTable:
             new_files,
             removed=files + dels,
             summary_extra={"compacted_pid": partition_id},
+            # the rewrite set was computed against this snapshot; an
+            # interleaved ingest invalidates it → conflict, not silent
+            # row resurrection
+            expected_version=meta["version"],
         )
 
     def expire_snapshots(self, keep_last: int = 2) -> list[str]:
@@ -882,6 +886,7 @@ class IceTable:
         new_schema: T.StructType | None = None,
         summary_extra: dict | None = None,
         added_deletes: list[dict] | None = None,
+        expected_version: int | None = None,
     ) -> int:
         """Publish a new snapshot: per touched partition, manifest = old −
         removed + added (data and equality-delete lists alike); untouched
@@ -900,6 +905,17 @@ class IceTable:
         removed = removed or []
         added_deletes = added_deletes or []
         meta = self.metadata()
+        if expected_version is not None and meta["version"] != expected_version:
+            # optimistic-transaction validation for multi-snapshot
+            # operations (compaction, rebucket): their added/removed sets
+            # were computed against `expected_version`; building them
+            # onto a LATER snapshot could resurrect rows an interleaved
+            # ingest already rewrote. The CAS on _publish only catches
+            # same-version races — this catches stale reads.
+            raise TableCommitConflict(
+                f"table moved to v{meta['version']} since v{expected_version} "
+                "was read — recompute the maintenance operation"
+            )
         new_version = meta["version"] + 1
         removed_by_pid: dict[int, set[str]] = {}
         for f in removed:

@@ -258,3 +258,32 @@ def test_rebucket_preserves_content_and_continues_ingest(spark, tmp_path):
     assert apply_epoch(table, spark.createDataFrame(
         [(1, "I", "https://d0.x/0", ts, b"<p>x</p>", "en")], ev
     ), 0).skipped
+
+
+def test_stale_compaction_conflicts_instead_of_resurrecting_rows(spark, tmp_path):
+    """A compaction whose rewrite set was computed against an older
+    snapshot must CAS-conflict when an ingest interleaved — committing
+    it would resurrect rows the ingest already rewrote."""
+    from datax_spark.icetable.table import TableCommitConflict
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()), T.StructField("val", T.LongType()),
+    ])
+    t = IceTable.create(spark, tmp_path / "t", schema, num_partitions=2)
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "url string, val long, _pid int, _lsn long"
+    )
+    t.commit(0, {0}, t.stage_data_files(mk([("a", 1, 0, 1)]), 0))
+    t.commit(1, {0}, t.stage_data_files(mk([("b", 2, 0, 2)]), 1))
+    stale_files = t.manifest_entries(partition_ids={0})
+    stale_version = t.current_version()
+    # interleaved ingest moves the table forward
+    t.commit(2, {0}, t.stage_data_files(mk([("c", 3, 0, 3)]), 2))
+    with pytest.raises(TableCommitConflict, match="moved to"):
+        t.commit(
+            2, set(),
+            t.stage_data_files(mk([("a", 1, 0, 1), ("b", 2, 0, 2)]), 2),
+            removed=stale_files,
+            expected_version=stale_version,
+        )
