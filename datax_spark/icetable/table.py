@@ -370,25 +370,52 @@ class IceTable:
         if not deletes:
             return _scan(files)
         # merge-on-read: a delete file written at epoch E shadows keys in
-        # data files with added_epoch < E. Group data files by epoch and
-        # anti-join each group against the union of applicable delete
-        # keys — groups stay few because compaction folds deletes. The
-        # delete side is bounded by recent batch keys, so AQE broadcasts
-        # it; the wide data rows never shuffle.
+        # data files with added_epoch < E. ONE scan of every data file
+        # (small files pack into shared splits), each row tagged with its
+        # file's added_epoch from the manifest via the file path; ONE
+        # narrow scan of every delete file reduced to max(delete_epoch)
+        # per key; a single broadcast anti-join on
+        # (key equal AND max_delete_epoch > added_epoch) applies all the
+        # debt — a key survives iff no later delete shadows it, and
+        # "exists epoch > ae" ≡ "max epoch > ae". The earlier shape (one
+        # scan group + anti-join per distinct added_epoch, each re-reading
+        # the overlapping delete tail) cost O(E) scans + O(E²) delete
+        # reads per epoch at E epochs of debt; the endurance drive
+        # measured epochs growing 3s → 230s between compactions from it.
+        # The wide data rows still never shuffle: both joins broadcast.
         key = self.key_column
-        out: DataFrame | None = None
-        for e in sorted({f.get("added_epoch", 0) for f in files}):
-            grp = [f for f in files if f.get("added_epoch", 0) == e]
-            applicable = [d for d in deletes if d["epoch"] > e]
-            df = _scan(grp)
-            if applicable:
-                dk = (
-                    self.spark.read.schema(T.StructType([T.StructField(key, T.StringType())]))
-                    .parquet(*[str(self.root / d["path"]) for d in applicable])
-                )
-                df = df.join(F.broadcast(dk), key, "left_anti")
-            out = df if out is None else out.unionByName(df)
-        return out
+        _file = F.regexp_replace(F.input_file_name(), "^[a-zA-Z]+:(//)?", "")
+        ae_map = F.broadcast(
+            self.spark.createDataFrame(
+                [(str(self.root / f["path"]), int(f.get("added_epoch", 0))) for f in files],
+                "_file string, _ae long",
+            )
+        )
+        # left join: an unmatched path (normalization drift) keeps the
+        # row with _ae null — the null propagates through the anti-join
+        # condition as not-true, so the row survives rather than being
+        # silently dropped
+        df = _scan(files).withColumn("_file", _file).join(ae_map, "_file", "left")
+        de_map = F.broadcast(
+            self.spark.createDataFrame(
+                [(str(self.root / d["path"]), int(d["epoch"])) for d in deletes],
+                "_file string, _de long",
+            )
+        )
+        dk = (
+            self.spark.read.schema(T.StructType([T.StructField(key, T.StringType())]))
+            .parquet(*[str(self.root / d["path"]) for d in deletes])
+            .withColumn("_file", _file)
+            .join(de_map, "_file")
+            .groupBy(F.col(key).alias("_dk"))
+            .agg(F.max("_de").alias("_de"))
+        )
+        return df.join(
+            F.broadcast(dk),
+            (F.col(key) == F.col("_dk"))
+            & (F.col("_de") > F.col("_ae")),
+            "left_anti",
+        ).drop("_file", "_ae")
 
     def read_lineage(self) -> DataFrame:
         if not self.lineage_dir.exists() or not any(self.lineage_dir.iterdir()):
