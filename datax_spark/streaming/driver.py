@@ -44,6 +44,7 @@ class EpochDriver:
         records_per_epoch: int | None = None,
         compact_every: int | None = None,
         max_delete_debt: float | None = 0.5,
+        max_files_per_partition: int | None = None,
     ):
         self.spark = spark
         self.source = source
@@ -69,6 +70,9 @@ class EpochDriver:
         # semantics are untouched (tests/test_mor.py compaction fold).
         self.compact_every = compact_every
         self.max_delete_debt = max_delete_debt
+        # file-count debt bound (see _maybe_maintain): compact a
+        # partition as soon as its live file count exceeds this
+        self.max_files_per_partition = max_files_per_partition
 
     # ---------------- checkpoint log ---------------- #
     def _offset_path(self, epoch: int) -> Path:
@@ -153,6 +157,20 @@ class EpochDriver:
         if self.compact_every and (epoch + 1) % self.compact_every == 0:
             self.table.compact(min_files=2)
             return
+        if self.max_files_per_partition is not None:
+            # file-count debt: compact exactly the partitions whose live
+            # file count exceeds the bound. Cost is O(one partition's
+            # rows) per trigger and triggers self-space (a just-compacted
+            # partition holds 1 file), so the rewrite work spreads across
+            # epochs instead of arriving as periodic full-table sweeps —
+            # and per-epoch scan-planning cost (O(live files)) stays
+            # bounded at any epoch count. Driver-side check only: counts
+            # come from the cached partition manifests.
+            by_pid: dict[int, int] = {}
+            for f in self.table.manifest_entries():
+                by_pid[f["partition_id"]] = by_pid.get(f["partition_id"], 0) + 1
+            for pid in sorted(p for p, n in by_pid.items() if n > self.max_files_per_partition):
+                self.table.compact_partition(pid)
         if self.max_delete_debt is None:
             return
         dels = self.table.delete_entries()

@@ -190,6 +190,54 @@ def test_driver_delete_debt_triggered_compaction(spark, tmp_path):
     assert table.read().count() == 70
 
 
+def test_driver_file_count_triggered_compaction(spark, tmp_path):
+    """max_files_per_partition: many tiny MoR epochs fragment every
+    partition; the file-count trigger compacts exactly the partitions
+    over the bound after each epoch, so live files stay bounded at any
+    epoch count (the endurance drive's residual O(live files) growth)
+    and final state is unchanged."""
+    from datax_spark.datagen.generator import EventLogSpec, generate_event_log
+    from datax_spark.streaming.driver import EpochDriver
+    from datax_spark.streaming.source import ChangeTailSource
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ])
+    spec = EventLogSpec(n_events=600, n_urls=80, n_domains=6, n_epochs=8, seed=7)
+    generate_event_log(tmp_path / "ev", spec)
+    bound = 4
+    table = IceTable.create(spark, tmp_path / "t", schema, num_partitions=3)
+    drv = EpochDriver(
+        spark, ChangeTailSource(spark, tmp_path / "ev"), table, tmp_path / "ckpt",
+        merge_strategy="mor", max_delete_debt=None,
+        max_files_per_partition=bound,
+    )
+    drv.run()
+    by_pid: dict[int, int] = {}
+    for f in table.manifest_entries():
+        by_pid[f["partition_id"]] = by_pid.get(f["partition_id"], 0) + 1
+    # one epoch can add files past the bound before the post-epoch check
+    # compacts; the invariant is bound + one epoch's additions, not bound
+    assert max(by_pid.values()) <= bound + 2, by_pid
+    # state identical to an unmaintained run of the same log
+    ref = IceTable.create(spark, tmp_path / "t2", schema, num_partitions=3)
+    EpochDriver(
+        spark, ChangeTailSource(spark, tmp_path / "ev"), ref, tmp_path / "ckpt2",
+        merge_strategy="mor", max_delete_debt=None,
+    ).run()
+    cols = ["url", "warc_ts", "html", "text", "lang"]
+    got = sorted(map(tuple, table.read().select(cols).collect()))
+    want = sorted(map(tuple, ref.read().select(cols).collect()))
+    assert got == want
+    # replay still a complete no-op after maintenance snapshots
+    assert all(s.skipped for s in drv.replay(0))
+
+
 def test_history_lists_snapshots(spark, tmp_path):
     from pyspark.sql import types as T
 
