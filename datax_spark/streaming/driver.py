@@ -159,17 +159,24 @@ class EpochDriver:
             return
         if self.max_files_per_partition is not None:
             # file-count debt: compact exactly the partitions whose live
-            # file count exceeds the bound. Cost is O(one partition's
-            # rows) per trigger and triggers self-space (a just-compacted
-            # partition holds 1 file), so the rewrite work spreads across
-            # epochs instead of arriving as periodic full-table sweeps —
-            # and per-epoch scan-planning cost (O(live files)) stays
-            # bounded at any epoch count. Driver-side check only: counts
-            # come from the cached partition manifests.
+            # file count exceeds the bound, keeping per-epoch
+            # scan-planning cost (O(live files)) bounded at any epoch
+            # count. Cost is O(one partition's rows) per trigger.
+            # Uniform ingest fragments every partition in lockstep — a
+            # flat bound would fire all partitions in the same epoch,
+            # i.e. a periodic full-table sweep. Each partition therefore
+            # gets a deterministic stagger (bound + pid mod bound), so
+            # thresholds AND re-trigger periods differ per partition and
+            # the rewrite work spreads across epochs permanently.
+            # Driver-side check only: counts come from the cached
+            # partition manifests.
+            bound = self.max_files_per_partition
             by_pid: dict[int, int] = {}
             for f in self.table.manifest_entries():
                 by_pid[f["partition_id"]] = by_pid.get(f["partition_id"], 0) + 1
-            for pid in sorted(p for p, n in by_pid.items() if n > self.max_files_per_partition):
+            for pid in sorted(
+                p for p, n in by_pid.items() if n > bound + p % max(bound, 1)
+            ):
                 self.table.compact_partition(pid)
         if self.max_delete_debt is None:
             return

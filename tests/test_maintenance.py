@@ -221,9 +221,11 @@ def test_driver_file_count_triggered_compaction(spark, tmp_path):
     by_pid: dict[int, int] = {}
     for f in table.manifest_entries():
         by_pid[f["partition_id"]] = by_pid.get(f["partition_id"], 0) + 1
-    # one epoch can add files past the bound before the post-epoch check
-    # compacts; the invariant is bound + one epoch's additions, not bound
-    assert max(by_pid.values()) <= bound + 2, by_pid
+    # per-partition thresholds are staggered to bound + pid % bound (so
+    # uniform ingest doesn't fire every partition in the same epoch),
+    # and one epoch can add files before the post-epoch check compacts;
+    # the invariant is max threshold + one epoch's additions, not bound
+    assert max(by_pid.values()) <= bound + (bound - 1) + 2, by_pid
     # state identical to an unmaintained run of the same log
     ref = IceTable.create(spark, tmp_path / "t2", schema, num_partitions=3)
     EpochDriver(
