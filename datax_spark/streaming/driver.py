@@ -45,6 +45,7 @@ class EpochDriver:
         compact_every: int | None = None,
         max_delete_debt: float | None = 0.5,
         max_files_per_partition: int | None = None,
+        expire_keep_last: int | None = None,
     ):
         self.spark = spark
         self.source = source
@@ -73,6 +74,13 @@ class EpochDriver:
         # file-count debt bound (see _maybe_maintain): compact a
         # partition as soon as its live file count exceeds this
         self.max_files_per_partition = max_files_per_partition
+        # snapshot retention: expire metadata versions (and the data
+        # files / manifests / bloom sidecars only they reference) beyond
+        # the last K after each epoch's maintenance. Without it a long
+        # ingest accumulates every superseded file on disk (the 150-epoch
+        # endurance drive held ~21k physical files for ~1k live ones).
+        # Time travel / incremental reads reach back exactly K snapshots.
+        self.expire_keep_last = expire_keep_last
 
     # ---------------- checkpoint log ---------------- #
     def _offset_path(self, epoch: int) -> Path:
@@ -154,6 +162,11 @@ class EpochDriver:
         return out
 
     def _maybe_maintain(self, epoch: int) -> None:
+        self._maybe_compact(epoch)
+        if self.expire_keep_last is not None:
+            self.table.expire_snapshots(keep_last=self.expire_keep_last)
+
+    def _maybe_compact(self, epoch: int) -> None:
         if self.compact_every and (epoch + 1) % self.compact_every == 0:
             self.table.compact(min_files=2)
             return

@@ -240,6 +240,62 @@ def test_driver_file_count_triggered_compaction(spark, tmp_path):
     assert all(s.skipped for s in drv.replay(0))
 
 
+def test_driver_scheduled_snapshot_expiry(spark, tmp_path):
+    """expire_keep_last: the driver expires old snapshots after each
+    epoch's maintenance — physical files a long ingest would otherwise
+    accumulate (every superseded CoW file) are deleted, the retention
+    window stays readable, state is intact, replay stays a no-op."""
+    from datax_spark.datagen.generator import EventLogSpec, generate_event_log
+    from datax_spark.streaming.driver import EpochDriver
+    from datax_spark.streaming.source import ChangeTailSource
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ])
+    spec = EventLogSpec(n_events=500, n_urls=60, n_domains=6, n_epochs=5, seed=9)
+    generate_event_log(tmp_path / "ev", spec)
+
+    def drive(root, **kw):
+        t = IceTable.create(spark, root / "t", schema, num_partitions=3)
+        d = EpochDriver(
+            spark, ChangeTailSource(spark, tmp_path / "ev"), t, root / "ckpt", **kw
+        )
+        d.run()
+        return t, d
+
+    table, drv = drive(tmp_path / "kept", expire_keep_last=2)
+    ref, _ = drive(tmp_path / "ref")
+
+    # only the last 2 metadata versions remain; older data files are gone
+    versions = sorted(
+        int(p.name[1:].split(".")[0]) for p in table.meta_dir.glob("v*.metadata.json")
+    )
+    assert versions == [table.current_version() - 1, table.current_version()], versions
+    live = {f["path"] for f in table.manifest_entries()} | {
+        d["path"] for d in table.delete_entries()
+    }
+    # previous retained snapshot may hold files the current one dropped
+    live |= {f["path"] for f in table.manifest_entries(versions[0])} | {
+        d["path"] for d in table.delete_entries(versions[0])
+    }
+    on_disk = {
+        str(p.relative_to(table.root))
+        for p in table.root.glob("data/pid=*/*.parquet")
+    }
+    assert on_disk == live, on_disk ^ live
+
+    cols = ["url", "warc_ts", "html", "text", "lang"]
+    got = sorted(map(tuple, table.read().select(cols).collect()))
+    want = sorted(map(tuple, ref.read().select(cols).collect()))
+    assert got == want
+    assert all(s.skipped for s in drv.replay(0))
+
+
 def test_history_lists_snapshots(spark, tmp_path):
     from pyspark.sql import types as T
 
