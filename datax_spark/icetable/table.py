@@ -629,11 +629,24 @@ class IceTable:
             live |= {f["path"] for f in self.manifest_entries(v)}
             live |= {d["path"] for d in self.delete_entries(v)}
         deleted: list[str] = []
-        for v in range(cutoff):
-            if not (self.meta_dir / f"v{v}.metadata.json").exists():
-                continue  # already expired earlier
+        # enumerate versions from the directory, not range(cutoff): after
+        # K expiries only ~keep_last versions exist, and a per-epoch
+        # expiry schedule must not pay O(all epochs ever) stat calls
+        expired = sorted(
+            v
+            for p in self.meta_dir.glob("v*.metadata.json")
+            if (v := int(p.name[1:].split(".")[0])) < cutoff
+        )
+        for v in expired:
             for mrel in self.metadata(v)["manifests"].values():
-                doc = self._load_manifest_doc(mrel)
+                try:
+                    doc = self._load_manifest_doc(mrel)
+                except FileNotFoundError:
+                    # manifest shared with an earlier-expired version
+                    # (single-partition maintenance commits leave the
+                    # other partitions' manifests untouched); its files
+                    # were already swept when it was first expired
+                    continue
                 for f in doc["files"] + doc["deletes"]:
                     if f["path"] not in live and (self.root / f["path"]).exists():
                         (self.root / f["path"]).unlink()

@@ -295,6 +295,22 @@ def test_driver_scheduled_snapshot_expiry(spark, tmp_path):
     assert got == want
     assert all(s.skipped for s in drv.replay(0))
 
+    # expiry must also survive manifests SHARED across expired versions:
+    # a single-partition maintenance commit (file-count trigger) leaves
+    # the other partitions' manifests untouched, so consecutive expired
+    # versions reference the same manifest file — the first expiry
+    # deletes it, the next must skip it, not crash
+    t2, d2 = drive(
+        tmp_path / "shared",
+        expire_keep_last=2,
+        max_files_per_partition=1,
+        max_delete_debt=None,
+        merge_strategy="mor",
+    )
+    got2 = sorted(map(tuple, t2.read().select(cols).collect()))
+    assert got2 == want
+    assert all(s.skipped for s in d2.replay(0))
+
 
 def test_history_lists_snapshots(spark, tmp_path):
     from pyspark.sql import types as T
