@@ -65,12 +65,21 @@ def run(n_events: int, n_epochs: int, maintain: bool) -> dict:
     work = Path(tempfile.mkdtemp(prefix=f"datax_endur{n_epochs}_"))
     try:
         table = IceTable.create(spark, work / "t", schema, num_partitions=32)
+        # production maintenance shape (BENCH/BASELINE.md "Endurance"):
+        # staggered per-partition file-count compaction + per-epoch
+        # snapshot expiry — bounds per-epoch wall AND disk at any epoch
+        # count. compact-every-K measured worse tail latency (sweeps).
+        maintenance = (
+            dict(max_files_per_partition=16, expire_keep_last=4)
+            if maintain
+            else {}
+        )
         drv = EpochDriver(
             spark,
             ChangeTailSource(spark, events_dir),
             table,
             work / "ckpt",
-            compact_every=25 if maintain else None,
+            **maintenance,
         )
         t0 = time.monotonic()
         stats = drv.run()
