@@ -123,6 +123,7 @@ def train_kmeans_cells(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_fraction: float = 1.0,
 ) -> DataFrame:
     """Spherical k-means coarse quantizer as DataFrame iterations:
     returns (id, cell) — the trained IVF cell assignment.
@@ -133,24 +134,34 @@ def train_kmeans_cells(
     mean. Cells that lose all members drop out (no re-seeding) — same
     rule a SQL oracle reproduces. Each iteration is one broadcast
     crossJoin (|corpus| × n_cells score rows) plus one (cell, pos)
-    aggregate; only the n_cells centroids ever reach the driver. At
-    10^9 vectors you train on a sample and broadcast the same centroid
-    table — the loop body is unchanged.
+    aggregate; only the n_cells centroids ever reach the driver.
+
+    ``train_fraction < 1`` is the 10^9-vector path: the iteration loop
+    runs on a deterministic hash-gated sample (``xxhash64(id) mod 10^6 <
+    fraction·10^6`` — no RNG, replay-stable), then ONE final assignment
+    pass tags the FULL corpus with the trained centroids. Training cost
+    drops to O(|corpus|·fraction·n_iter) + one full pass; the quantizer
+    quality degrades gracefully (centroids are means — a uniform sample
+    estimates them with √(1/fraction) noise). ``train_fraction=1``
+    keeps the exact legacy output (the SQL-oracle contract path).
     """
     spark = corpus.sparkSession
     vecs = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
-    init = vecs.orderBy(id_col).limit(n_cells).collect()
+    train = vecs
+    if train_fraction < 1.0:
+        gate = int(train_fraction * 1_000_000)
+        train = vecs.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000)) < F.lit(gate)
+        )
+    init = train.orderBy(id_col).limit(n_cells).collect()
     cents = [(i, list(r["v"])) for i, r in enumerate(init)]
     aw = Window.partitionBy(id_col).orderBy(
         F.round(F.col("ccs"), 6).desc(), F.col("cell").asc()
     )
-    assign = None
-    for _ in range(n_iter):
-        cdf = F.broadcast(
-            spark.createDataFrame(cents, "cell int, centroid array<double>")
-        )
-        assign = (
-            vecs.crossJoin(cdf)
+
+    def _assign(frame: DataFrame, cdf: DataFrame) -> DataFrame:
+        return (
+            frame.crossJoin(cdf)
             .select(
                 id_col, "v", "cell", cosine(F.col("v"), F.col("centroid")).alias("ccs")
             )
@@ -158,6 +169,13 @@ def train_kmeans_cells(
             .filter(F.col("rn") == 1)
             .select(id_col, "v", "cell")
         )
+
+    assign, cdf = None, None
+    for _ in range(n_iter):
+        cdf = F.broadcast(
+            spark.createDataFrame(cents, "cell int, centroid array<double>")
+        )
+        assign = _assign(train, cdf)
         new_cents = (
             assign.select("cell", F.posexplode(F.col("v")).alias("pos", "x"))
             .groupBy("cell", "pos")
@@ -172,6 +190,10 @@ def train_kmeans_cells(
             .collect()
         )
         cents = sorted((r["cell"], list(r["centroid"])) for r in new_cents)
+    if train_fraction < 1.0:
+        # tag the full corpus with the same centroid table the sample's
+        # final assignment used — parallel semantics to the exact path
+        assign = _assign(vecs, cdf)
     return assign.select(id_col, "cell")
 
 
@@ -184,13 +206,18 @@ def ivf_trained_topk(
     n_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_fraction: float = 1.0,
 ) -> DataFrame:
     """IVF with a TRAINED k-means quantizer instead of a pre-assigned
     label column: train cells, tag the corpus, then probe exactly like
     ``ivf_topk`` (centroids re-derived as member means of the final
     assignment, which is one more k-means half-step — and what makes
-    the DuckDB oracle a mechanical unroll)."""
-    cells = train_kmeans_cells(corpus, n_cells, n_iter, id_col, vec_col)
+    the DuckDB oracle a mechanical unroll). ``train_fraction < 1``
+    trains the quantizer on a deterministic sample (the 10^9-vector
+    path; see ``train_kmeans_cells``)."""
+    cells = train_kmeans_cells(
+        corpus, n_cells, n_iter, id_col, vec_col, train_fraction=train_fraction
+    )
     tagged = corpus.join(cells, id_col).withColumnRenamed("cell", "_ivf_cell")
     return ivf_topk(
         tagged, queries, k=k, id_col=id_col, vec_col=vec_col,

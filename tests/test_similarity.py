@@ -120,3 +120,57 @@ def test_trained_kmeans_cells_deterministic(spark, sf_dir):
     b = {r["vec_id"]: r["cell"] for r in train_kmeans_cells(emb, 8, 2).collect()}
     assert a == b
     assert len(a) == emb.count()  # every vector assigned exactly once
+
+
+def test_sampled_kmeans_training(spark, sf_dir):
+    """train_fraction < 1 (the 10^9-vector path): the quantizer trains
+    on a deterministic hash-gated ~half of the corpus, yet every vector
+    gets exactly one cell, the assignment is replay-stable, and the
+    trained IVF still clears the 0.9 recall bound — at n_probe=8/16
+    instead of the full-train test's 6/16 (sampled centroids are
+    noisier, so the same recall costs a wider probe; measured 0.83 at
+    6/16 on this fixture)."""
+    from datax_spark.operators.similarity import (
+        bruteforce_topk,
+        ivf_trained_topk,
+        train_kmeans_cells,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = {
+        r["vec_id"]: r["cell"]
+        for r in train_kmeans_cells(emb, 8, 2, train_fraction=0.5).collect()
+    }
+    b = {
+        r["vec_id"]: r["cell"]
+        for r in train_kmeans_cells(emb, 8, 2, train_fraction=0.5).collect()
+    }
+    assert a == b  # hash gate, not RNG: bit-stable across runs
+    assert len(a) == emb.count()  # full corpus tagged despite sampled training
+
+    q = emb.filter(F.col("vec_id") < 20)
+    truth = {
+        (r["query_id"], r["neighbor_id"]) for r in bruteforce_topk(emb, q, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_trained_topk(
+            emb, q, k=5, n_cells=16, n_iter=2, n_probe=8, train_fraction=0.5
+        ).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, recall
+
+
+def test_full_fraction_matches_legacy_path(spark, sf_dir):
+    """train_fraction=1.0 takes the exact legacy code path (no final
+    re-assignment pass) — the SQL-oracle contract output is unchanged."""
+    from datax_spark.operators.similarity import train_kmeans_cells
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    legacy = {r["vec_id"]: r["cell"] for r in train_kmeans_cells(emb, 8, 2).collect()}
+    full = {
+        r["vec_id"]: r["cell"]
+        for r in train_kmeans_cells(emb, 8, 2, train_fraction=1.0).collect()
+    }
+    assert legacy == full
