@@ -13,8 +13,9 @@ Layout::
                                            per-partition manifest refs)
     <root>/metadata/manifests/m-<..>.json  immutable per-partition
                                            manifest (file entry list)
-    <root>/metadata/blooms/<..>.bloom.json per-data-file key bloom
-                                           sidecar (puffin-style)
+    <root>/metadata/blooms/<..>.bloom.parquet per-data-file key bloom
+                                           sidecar (puffin-style;
+                                           probed as a JVM-side scan)
     <root>/metadata/version-hint.text      current version pointer
     <root>/lineage/epoch=<E>/*.parquet     per-partition lineage metrics
 
@@ -60,6 +61,7 @@ from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 from typing import Any
 
+import pyarrow as pa
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -796,10 +798,13 @@ class IceTable:
     # of the batch's keys" per file. Build and probe both run as Spark
     # jobs over the SAME hash expressions (xxhash64(key, i)), so no
     # Python-side hash reimplementation exists to drift. The word arrays
-    # live in per-data-file sidecar (puffin-style) JSON files under
+    # live in per-data-file sidecar (puffin-style) PARQUET files under
     # metadata/blooms/, referenced by path from manifest entries —
-    # snapshot and manifest JSON stay small, and a sidecar is read only
-    # when a MERGE actually probes that file.
+    # snapshot and manifest JSON stay small, a sidecar is read only when
+    # a MERGE actually probes that file, and the probe reads sidecars as
+    # a distributed parquet scan (word maps never transit the driver).
+    # Legacy .bloom.json sidecars from older tables still probe via the
+    # driver-built fallback in bloom_prune.
     BLOOM_K = 4
     BLOOM_BITS_PER_KEY = 10
     BLOOM_MAX_BITS = 1 << 20
@@ -851,18 +856,30 @@ class IceTable:
             sparse = by_file.get(full)
             if sparse is None:
                 continue
-            payload = {
-                "m": m_by_path[e["path"]],
-                "k": self.BLOOM_K,
-                # sparse word map {word_index: bits}; JSON keys are strings
-                "words": {str(int(w)): int(b) for w, b in sparse.items()},
-            }
-            name = Path(e["path"]).name.replace(".parquet", "") + ".bloom.json"
+            # parquet sidecar, one row: the PROBE side reads sidecars as
+            # a distributed JVM-side scan (map_from_arrays over the two
+            # word columns) instead of round-tripping every candidate
+            # file's word map through the driver each epoch — at E live
+            # files that transfer was O(E · bloom bytes) Python→JVM per
+            # MERGE, the dominant residual per-epoch driver cost the
+            # endurance drive measured between compactions
+            idx = sorted(int(w) for w in sparse)
+            tbl = pa.table(
+                {
+                    "path": pa.array([e["path"]], pa.string()),
+                    "pid": pa.array([e["partition_id"]], pa.int32()),
+                    "m": pa.array([m_by_path[e["path"]]], pa.int64()),
+                    "k": pa.array([self.BLOOM_K], pa.int32()),
+                    "word_idx": pa.array([idx], pa.list_(pa.int64())),
+                    "bits": pa.array(
+                        [[int(sparse[w]) for w in idx]], pa.list_(pa.int64())
+                    ),
+                }
+            )
+            name = Path(e["path"]).name.replace(".parquet", "") + ".bloom.parquet"
             sidecar = self.bloom_dir / name
-            sidecar.write_text(json.dumps(payload))
-            rel = str(sidecar.relative_to(self.root))
-            self._bloom_cache[rel] = payload
-            e["bloom"] = rel  # sidecar reference, not inline bits
+            pq.write_table(tbl, sidecar)
+            e["bloom"] = str(sidecar.relative_to(self.root))
 
     def bloom_prune(self, files: list[dict], keys_df: DataFrame) -> list[dict]:
         """Drop files whose bloom proves they contain NONE of the batch
@@ -874,29 +891,61 @@ class IceTable:
             return files
         key = self.key_column
 
-        def _bloom(rel: str) -> dict:
-            b = self._bloom_cache.get(rel)
-            if b is None:
-                b = json.loads((self.root / rel).read_text())
-                self._bloom_cache[rel] = b
-            return b
-
-        rows = []
-        for f in testable:
-            b = _bloom(f["bloom"])
-            rows.append(
-                (
-                    f["path"],
-                    f["partition_id"],
-                    b["m"],
-                    {int(w): int(x) for w, x in b["words"].items()},
+        # parquet sidecars (current format): the word maps stay JVM-side
+        # — one distributed scan of exactly the probed files' sidecars,
+        # no per-epoch Python→JVM transfer of O(candidate files · bloom
+        # bytes). JSON sidecars (legacy tables) fall back to the
+        # driver-built rows.
+        pq_side = [f for f in testable if f["bloom"].endswith(".parquet")]
+        js_side = [f for f in testable if not f["bloom"].endswith(".parquet")]
+        parts: list[DataFrame] = []
+        if pq_side:
+            sidecar_schema = T.StructType(
+                [
+                    T.StructField("path", T.StringType()),
+                    T.StructField("pid", T.IntegerType()),
+                    T.StructField("m", T.LongType()),
+                    T.StructField("word_idx", T.ArrayType(T.LongType())),
+                    T.StructField("bits", T.ArrayType(T.LongType())),
+                ]
+            )
+            parts.append(
+                self.spark.read.schema(sidecar_schema)
+                .parquet(*[str(self.root / f["bloom"]) for f in pq_side])
+                .select(
+                    "path",
+                    "pid",
+                    "m",
+                    F.map_from_arrays("word_idx", "bits").alias("words"),
                 )
             )
-        blooms = F.broadcast(
-            self.spark.createDataFrame(
-                rows, "path string, pid int, m long, words map<long,bigint>"
+        if js_side:
+
+            def _bloom(rel: str) -> dict:
+                b = self._bloom_cache.get(rel)
+                if b is None:
+                    b = json.loads((self.root / rel).read_text())
+                    self._bloom_cache[rel] = b
+                return b
+
+            rows = []
+            for f in js_side:
+                b = _bloom(f["bloom"])
+                rows.append(
+                    (
+                        f["path"],
+                        f["partition_id"],
+                        b["m"],
+                        {int(w): int(x) for w, x in b["words"].items()},
+                    )
+                )
+            parts.append(
+                self.spark.createDataFrame(
+                    rows, "path string, pid int, m long, words map<long,bigint>"
+                )
             )
-        )
+        blooms = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        blooms = F.broadcast(blooms)
         keys = keys_df.select(
             F.col(key), url_partition(F.col(key), self.num_partitions).alias("pid")
         )
