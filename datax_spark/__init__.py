@@ -29,3 +29,8 @@ from datax_spark.operators.lww import lww_resolve  # noqa: F401
 from datax_spark.operators.merge import apply_epoch  # noqa: F401
 from datax_spark.streaming.driver import EpochDriver, run_structured  # noqa: F401
 from datax_spark.streaming.source import ChangeTailSource  # noqa: F401
+from datax_spark.cluster import (  # noqa: F401
+    IcebergCatalogConfig,
+    IcebergMergePlan,
+    KafkaSourcePlan,
+)
