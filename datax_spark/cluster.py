@@ -189,3 +189,68 @@ def compile_iceberg_writer(writer: dict[str, Any]) -> IcebergMergePlan:
         key_column=writer.get("keyColumn", "url"),
         batch_view=writer.get("batchView", "dx_batch"),
     )
+
+
+def compile_cluster_cdc_job(
+    spec: dict[str, Any],
+) -> tuple[KafkaSourcePlan, IcebergMergePlan, str]:
+    """The cluster CDC job spec (reader.type=kafka + writer.type=iceberg,
+    same JSON vocabulary tools/submit_job.py accepts for the native
+    change_tail/icetable pair) → its two endpoint plans + checkpoint."""
+    reader, writer = spec["reader"], spec["writer"]
+    if reader.get("type") != "kafka" or writer.get("type") != "iceberg":
+        raise ValueError(
+            "cluster cdc job needs reader.type=kafka, writer.type=iceberg"
+        )
+    return (
+        compile_kafka_reader(reader),
+        compile_iceberg_writer(writer),
+        spec["checkpoint"],
+    )
+
+
+def resolve_cluster_batch(
+    batch: DataFrame, key: str = "url", extract: bool = True
+) -> DataFrame:
+    """The per-epoch transform stage of the cluster pipeline — identical
+    semantics to merge.apply_epoch's pre-merge half, reused verbatim
+    from the engine: dirty split, Window-over-LSN LWW (one row per key
+    BEFORE the expensive UDF), then Arrow-vectorized extraction. This
+    part executes fine offline (it is tested against a real DataFrame);
+    only the surrounding Kafka read / Iceberg MERGE need a cluster.
+    """
+    from pyspark.sql import functions as F
+
+    from datax_spark.functions.extract import extract_text_udf
+    from datax_spark.operators.lww import lww_resolve
+    from datax_spark.operators.quarantine import split_dirty
+
+    clean, _dirty = split_dirty(batch)
+    resolved = lww_resolve(clean, key=key, order="lsn", strategy="window")
+    if extract and "html" in resolved.columns:
+        resolved = resolved.withColumn("text", extract_text_udf(F.col("html")))
+    return resolved
+
+
+def run_cluster_cdc_job(
+    spark: SparkSession,
+    spec: dict[str, Any],
+    event_schema,
+    extract: bool = True,
+) -> None:
+    """Execute the cluster CDC loop (cluster-only: Kafka + Iceberg jars):
+    readStream(kafka) → resolve_cluster_batch → MERGE INTO, with
+    Structured Streaming's checkpoint providing the offset/commit log
+    the native EpochDriver keeps itself."""
+    source, sink, checkpoint = compile_cluster_cdc_job(spec)
+    stream = source.load(spark, event_schema)
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        sink.apply(spark, resolve_cluster_batch(batch_df, sink.key_column, extract))
+
+    (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .start()
+        .awaitTermination()
+    )

@@ -89,3 +89,49 @@ def test_writer_vocabulary_round_trip():
     assert plan.table == "lake.web.pages"
     assert plan.key_column == "url"
     assert plan.merge_sql(["url"]).startswith("MERGE INTO lake.web.pages t")
+
+
+def test_cluster_job_spec_compiles_both_endpoints():
+    from datax_spark.cluster import compile_cluster_cdc_job
+
+    src, sink, ckpt = compile_cluster_cdc_job(
+        {
+            "reader": {"type": "kafka", "bootstrapServers": "b:9092", "topic": "t"},
+            "writer": {"type": "iceberg", "table": "lake.db.t"},
+            "checkpoint": "/ckpt",
+        }
+    )
+    assert src.topic == "t" and sink.table == "lake.db.t" and ckpt == "/ckpt"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        compile_cluster_cdc_job(
+            {"reader": {"type": "change_tail"}, "writer": {"type": "iceberg"}}
+        )
+
+
+def test_resolve_cluster_batch_matches_engine_semantics(spark):
+    """The cluster pipeline's transform stage is the engine's own
+    split_dirty → LWW → Arrow extraction; this executes offline against
+    a real DataFrame: one row per key, max-lsn wins, dirty rows
+    dropped, text extracted from the surviving html bytes."""
+    import datetime as dt
+
+    from datax_spark.cluster import resolve_cluster_batch
+    from datax_spark.functions.extract import extract_text
+
+    ts = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, "I", "https://a/1", ts, b"<p>old</p>", "en"),
+        (5, "U", "https://a/1", ts, b"<p>new</p>", "en"),
+        (2, "I", "https://a/2", ts, b"<p>two</p>", "en"),
+        (3, "I", None, ts, b"<p>dirty</p>", "en"),  # null key -> dirty
+    ]
+    batch = spark.createDataFrame(
+        rows, "lsn long, op string, url string, warc_ts timestamp, html binary, lang string"
+    )
+    out = {r["url"]: r for r in resolve_cluster_batch(batch).collect()}
+    assert set(out) == {"https://a/1", "https://a/2"}
+    assert out["https://a/1"]["lsn"] == 5  # last writer won
+    assert out["https://a/1"]["text"] == extract_text(b"<p>new</p>")
+    assert out["https://a/2"]["text"] == extract_text(b"<p>two</p>")

@@ -36,6 +36,14 @@ def main(argv: list[str]) -> int:
     spark = SparkSession.builder.getOrCreate()
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     writer = spec.get("writer") or {}
+    if writer.get("type") == "iceberg":
+        # real-cluster endpoints (needs spark-sql-kafka +
+        # iceberg-spark-runtime on the classpath; datax_spark/cluster.py)
+        from datax_spark.cluster import run_cluster_cdc_job
+
+        schema = T.StructType.fromDDL(spec["reader"]["eventSchema"])
+        run_cluster_cdc_job(spark, spec, schema)
+        return 0
     if writer.get("type") == "icetable":
         if isinstance(writer.get("schema"), str):
             writer["schema"] = T.StructType.fromDDL(writer["schema"])
