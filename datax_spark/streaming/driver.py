@@ -64,9 +64,11 @@ class EpochDriver:
         self.records_per_epoch = records_per_epoch
         self.unit = "row" if records_per_epoch is not None else "shard"
         # table-service scheduling: compact every K epochs, and/or
-        # whenever merge-on-read delete debt (shadowed-key rows as a
-        # fraction of physical table rows) exceeds max_delete_debt —
-        # keeps the read-side anti-join bounded without operator action.
+        # whenever a PARTITION's merge-on-read delete debt (its
+        # delete-file rows as a fraction of its physical data rows)
+        # exceeds a staggered threshold in [max_delete_debt,
+        # 2*max_delete_debt) — keeps the read-side anti-join bounded
+        # without operator action, without synchronized full sweeps.
         # Maintenance commits carry no idempotence keys, so replay
         # semantics are untouched (tests/test_mor.py compaction fold).
         self.compact_every = compact_every
@@ -196,9 +198,29 @@ class EpochDriver:
         dels = self.table.delete_entries()
         if not dels:
             return
-        total = self.table.metadata()["summary"]["total_rows"]
-        if total and sum(d["rows"] for d in dels) / total > self.max_delete_debt:
-            for pid in sorted({d["partition_id"] for d in dels}):
+        # Per-partition shadowed-row debt with a staggered threshold.
+        # The earlier form compared GLOBAL delete rows to GLOBAL table
+        # rows and, on crossing, compacted every delete-bearing
+        # partition at once — under uniform ingest that is a periodic
+        # full-table sweep by construction (and each compact_partition
+        # commit is a metadata version, so the next expiry also sweeps
+        # ~P versions in one epoch). The 400-epoch endurance drive
+        # measured the coincidence as a 56.8s worst epoch vs a 13s p50.
+        # Per-partition ratios with thresholds staggered across
+        # [bound, 2*bound) — same shape as the file-count trigger —
+        # fire partitions one or two per epoch instead, bounding the
+        # read-side anti-join per partition (which is what the debt
+        # bound actually protects) with the same total work.
+        data_rows: dict[int, int] = {}
+        for f in self.table.manifest_entries():
+            data_rows[f["partition_id"]] = data_rows.get(f["partition_id"], 0) + f["rows"]
+        del_rows: dict[int, int] = {}
+        for d in dels:
+            del_rows[d["partition_id"]] = del_rows.get(d["partition_id"], 0) + d["rows"]
+        bound = self.max_delete_debt
+        mod = max(self.table.num_partitions, 1)
+        for pid in sorted(del_rows):
+            if del_rows[pid] / max(data_rows.get(pid, 0), 1) > bound * (1 + (pid % mod) / mod):
                 self.table.compact_partition(pid)
 
     def replay(self, from_epoch: int = 0) -> list[EpochStats]:

@@ -190,6 +190,57 @@ def test_driver_delete_debt_triggered_compaction(spark, tmp_path):
     assert table.read().count() == 70
 
 
+def test_delete_debt_trigger_is_staggered(spark, tmp_path):
+    """Per-partition delete-debt thresholds are staggered across
+    [bound, 2*bound): uniform delete debt fires partitions in
+    DIFFERENT epochs, never all partitions in one epoch (the earlier
+    global-ratio form compacted every delete-bearing partition at
+    once — a periodic full-table sweep; the 400-epoch endurance drive
+    measured the sweep+expiry coincidence as a 56.8s worst epoch)."""
+    import datetime as dt
+
+    from datax_spark.operators.merge import apply_epoch
+
+    ev = "lsn long, op string, url string, warc_ts timestamp, html binary, lang string"
+    ts = dt.datetime(2026, 1, 1)
+    table = IceTable.create(spark, tmp_path / "t", PAGE_SCHEMA, num_partitions=4)
+    urls = [f"https://d/{i}" for i in range(400)]
+    apply_epoch(
+        table,
+        spark.createDataFrame(
+            [(1 + i, "I", u, ts, b"<p>x</p>", "en") for i, u in enumerate(urls)], ev
+        ),
+        0,
+    )
+    drv = EpochDriver(
+        spark, ChangeTailSource(spark, tmp_path / "noev"), table, tmp_path / "ckpt",
+        max_delete_debt=0.1,
+    )
+    fired: list[tuple[int, int]] = []
+    orig = table.compact_partition
+    epoch = 0
+    table.compact_partition = lambda pid: fired.append((epoch, pid)) or orig(pid)
+    for epoch in range(1, 7):
+        # delete 20 previously-untouched urls per epoch: debt grows
+        # ~5%/epoch in every partition regardless of hash skew
+        batch = [
+            (10_000 + 100 * epoch + j, "D", urls[(epoch - 1) * 20 + j], ts, None, "en")
+            for j in range(20)
+        ]
+        apply_epoch(table, spark.createDataFrame(batch, ev), epoch, merge_strategy="mor")
+        drv._maybe_maintain(epoch)
+    assert fired, "debt trigger never fired"
+    by_epoch: dict[int, set[int]] = {}
+    for e, pid in fired:
+        by_epoch.setdefault(e, set()).add(pid)
+    # never a full-table sweep in one epoch
+    assert all(len(pids) < 4 for pids in by_epoch.values()), by_epoch
+    # thresholds differ per partition, so first crossings spread out
+    assert len(by_epoch) >= 2, by_epoch
+    # final state correct: deleted keys gone, the rest intact
+    assert table.read().count() == 400 - 120
+
+
 def test_driver_file_count_triggered_compaction(spark, tmp_path):
     """max_files_per_partition: many tiny MoR epochs fragment every
     partition; the file-count trigger compacts exactly the partitions
