@@ -112,7 +112,11 @@ def run(n_events: int, n_epochs: int, maintain: bool) -> dict:
             # that scheduled compaction bounds
             "min_epoch_sec": round(per_epoch[0], 3),
             "p50_epoch_sec": round(per_epoch[len(per_epoch) // 2], 3),
+            "p90_epoch_sec": round(per_epoch[(len(per_epoch) * 9) // 10], 3),
             "max_epoch_sec": round(per_epoch[-1], 3),
+            # chronological, epoch 0 (warmup) included — lets a reader
+            # see WHERE tail epochs cluster, not just that they exist
+            "epoch_durations_sec": [round(s.wall_ms / 1000, 2) for s in stats],
             "ledger_exact_entries": len(meta["commits"]),
             "ledger_watermark": meta.get("commit_epoch_watermark", -1),
             "snapshot_bytes": meta_bytes,
