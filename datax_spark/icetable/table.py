@@ -123,6 +123,7 @@ class IceTable:
         # so caching by path is always safe
         self._manifest_cache: dict[str, list[dict]] = {}
         self._bloom_cache: dict[str, dict] = {}
+        self._bloom_words_cache: dict[str, tuple[int, dict[int, int]]] = {}
 
     # ------------------------------------------------------------------ #
     # lifecycle
@@ -666,7 +667,12 @@ class IceTable:
     # write path
     # ------------------------------------------------------------------ #
     def stage_data_files(
-        self, df: DataFrame, epoch: int, pid_column: str = "_pid", aligned: bool = False
+        self,
+        df: DataFrame,
+        epoch: int,
+        pid_column: str = "_pid",
+        aligned: bool = False,
+        bloom_compose: tuple[DataFrame, dict[int, list[dict]]] | None = None,
     ) -> list[dict]:
         """Write ``df`` (sorted within partitions by key) as immutable data
         files under data/, one directory per partition id; returns manifest
@@ -719,7 +725,7 @@ class IceTable:
             }
 
         entries = self._publish_staged(staging, pid_column, f"e{epoch:05d}", entry)
-        self._attach_blooms(entries)
+        self._attach_blooms(entries, compose=bloom_compose)
         return entries
 
     def _publish_staged(
@@ -814,17 +820,146 @@ class IceTable:
             F.pmod(F.xxhash64(key_col, F.lit(i)), m_col) for i in range(self.BLOOM_K)
         ]
 
-    def _attach_blooms(self, entries: list[dict]) -> None:
+    def _bloom_m_for_rows(self, rows: int) -> int:
+        return min(
+            max(1 << (rows * self.BLOOM_BITS_PER_KEY - 1).bit_length(), 1024),
+            self.BLOOM_MAX_BITS,
+        )
+
+    def _load_sidecar_words(self, rel: str) -> tuple[int, dict[int, int]] | None:
+        """Driver-side read of one bloom sidecar → (m, sparse word map),
+        or None if the sidecar is gone. Cached (sidecars are immutable).
+        Used only by bloom COMPOSITION, which touches O(rewritten files)
+        sidecars per epoch — the probe path never comes through here."""
+        cached = self._bloom_words_cache.get(rel)
+        if cached is not None:
+            return cached
+        p = self.root / rel
+        if not p.exists():
+            return None
+        if rel.endswith(".parquet"):
+            t = pq.read_table(p, columns=["m", "word_idx", "bits"])
+            m = t.column("m")[0].as_py()
+            words = dict(
+                zip(t.column("word_idx")[0].as_py(), t.column("bits")[0].as_py())
+            )
+        else:  # legacy .bloom.json
+            b = json.loads(p.read_text())
+            m = int(b["m"])
+            words = {int(w): int(x) for w, x in b["words"].items()}
+        self._bloom_words_cache[rel] = (m, words)
+        return (m, words)
+
+    def _bloom_words_for_keys(
+        self, keys_df: DataFrame, m_by_pid: dict[int, int]
+    ) -> dict[int, dict[int, int]]:
+        """One narrow Spark job: bloom word maps of the batch's keys per
+        partition id, sized per-pid. Same hash expressions as build and
+        probe — no Python-side hash reimplementation."""
+        if not m_by_pid:
+            return {}
+        key = self.key_column
+        m_map = F.create_map(
+            *[x for pid, m in m_by_pid.items() for x in (F.lit(pid), F.lit(m))]
+        )
+        df = (
+            keys_df.select(F.col("_pid"), F.col(key))
+            .withColumn("_m", F.element_at(m_map, F.col("_pid")))
+            .filter(F.col("_m").isNotNull())
+        )
+        pos = F.explode(F.array(*self._bloom_positions(F.col(key), F.col("_m")))).alias("_pos")
+        rows = (
+            df.select("_pid", pos)
+            .select(
+                "_pid",
+                (F.col("_pos") / 64).cast("long").alias("_w"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))").alias("_b"),
+            )
+            .groupBy("_pid", "_w")
+            .agg(F.bit_or("_b").alias("_bits"))
+            .collect()
+        )
+        out: dict[int, dict[int, int]] = {}
+        for r in rows:
+            out.setdefault(r["_pid"], {})[int(r["_w"])] = int(r["_bits"])
+        return out
+
+    def _write_bloom_sidecar(self, e: dict, m: int, sparse: dict[int, int]) -> None:
+        self.bloom_dir.mkdir(parents=True, exist_ok=True)
+        idx = sorted(sparse)
+        tbl = pa.table(
+            {
+                "path": pa.array([e["path"]], pa.string()),
+                "pid": pa.array([e["partition_id"]], pa.int32()),
+                "m": pa.array([m], pa.int64()),
+                "k": pa.array([self.BLOOM_K], pa.int32()),
+                "word_idx": pa.array([idx], pa.list_(pa.int64())),
+                "bits": pa.array([[int(sparse[w]) for w in idx]], pa.list_(pa.int64())),
+            }
+        )
+        name = Path(e["path"]).name.replace(".parquet", "") + ".bloom.parquet"
+        sidecar = self.bloom_dir / name
+        pq.write_table(tbl, sidecar)
+        e["bloom"] = str(sidecar.relative_to(self.root))
+
+    def _attach_blooms(
+        self,
+        entries: list[dict],
+        compose: tuple[DataFrame, dict[int, list[dict]]] | None = None,
+    ) -> None:
+        """Write a key-bloom sidecar per new data file.
+
+        Default path: one Spark job re-reading the new files' key column.
+        With ``compose=(batch_keys_df, rewritten_by_pid)`` — the MERGE
+        path — a new file's bloom is instead the bitwise OR of the
+        rewritten old files' sidecars and the batch keys' bloom: the new
+        file's keys are exactly (old files' keys ∖ deletes) ∪ batch
+        keys, so the OR is a conservative superset (deleted keys linger
+        as false-positive bits until compaction rebuilds from a real
+        scan). Cost is O(batch keys) + O(rewritten sidecar bytes) per
+        epoch instead of re-reading every rewritten partition's key
+        column — at 100 TB a CoW epoch rewrites multi-hundred-MB files
+        whose keys would otherwise be re-hashed every epoch. Falls back
+        to the scan for any file whose old sidecars are missing or sized
+        differently (word positions are mod m, so OR requires equal m —
+        a partition crossing a power-of-two size re-scans once).
+        """
         if not entries:
             return
         key = self.key_column
-        m_by_path = {
-            e["path"]: min(
-                max(1 << (e["rows"] * self.BLOOM_BITS_PER_KEY - 1).bit_length(), 1024),
-                self.BLOOM_MAX_BITS,
-            )
-            for e in entries
-        }
+        m_by_path = {e["path"]: self._bloom_m_for_rows(e["rows"]) for e in entries}
+        rescan = entries
+        if compose is not None:
+            keys_df, old_by_pid = compose
+            composable: list[tuple[dict, int, list[dict[int, int]]]] = []
+            rescan = []
+            for e in entries:
+                m_e = m_by_path[e["path"]]
+                maps: list[dict[int, int]] = []
+                ok = True
+                for o in old_by_pid.get(e["partition_id"], []):
+                    side = o.get("bloom") and self._load_sidecar_words(o["bloom"])
+                    if not side or side[0] != m_e:
+                        ok = False
+                        break
+                    maps.append(side[1])
+                if ok:
+                    composable.append((e, m_e, maps))
+                else:
+                    rescan.append(e)
+            if composable:
+                batch_words = self._bloom_words_for_keys(
+                    keys_df, {e["partition_id"]: m for e, m, _ in composable}
+                )
+                for e, m_e, maps in composable:
+                    words: dict[int, int] = {}
+                    for wm in maps + [batch_words.get(e["partition_id"], {})]:
+                        for w, bits in wm.items():
+                            words[w] = words.get(w, 0) | bits
+                    self._write_bloom_sidecar(e, m_e, words)
+            if not rescan:
+                return
+            m_by_path = {e["path"]: m_by_path[e["path"]] for e in rescan}
         paths = [str(self.root / p) for p in m_by_path]
         df = self.spark.read.parquet(*paths).select(
             # normalize the file URI (input_file_name yields file://...)
@@ -850,36 +985,19 @@ class IceTable:
             .collect()
         )
         by_file = {r["_file"]: r["_words"] for r in words}
-        self.bloom_dir.mkdir(parents=True, exist_ok=True)
-        for e in entries:
-            full = str(self.root / e["path"])
-            sparse = by_file.get(full)
-            if sparse is None:
-                continue
-            # parquet sidecar, one row: the PROBE side reads sidecars as
-            # a distributed JVM-side scan (map_from_arrays over the two
-            # word columns) instead of round-tripping every candidate
-            # file's word map through the driver each epoch — at E live
-            # files that transfer was O(E · bloom bytes) Python→JVM per
-            # MERGE, the dominant residual per-epoch driver cost the
-            # endurance drive measured between compactions
-            idx = sorted(int(w) for w in sparse)
-            tbl = pa.table(
-                {
-                    "path": pa.array([e["path"]], pa.string()),
-                    "pid": pa.array([e["partition_id"]], pa.int32()),
-                    "m": pa.array([m_by_path[e["path"]]], pa.int64()),
-                    "k": pa.array([self.BLOOM_K], pa.int32()),
-                    "word_idx": pa.array([idx], pa.list_(pa.int64())),
-                    "bits": pa.array(
-                        [[int(sparse[w]) for w in idx]], pa.list_(pa.int64())
-                    ),
-                }
-            )
-            name = Path(e["path"]).name.replace(".parquet", "") + ".bloom.parquet"
-            sidecar = self.bloom_dir / name
-            pq.write_table(tbl, sidecar)
-            e["bloom"] = str(sidecar.relative_to(self.root))
+        # parquet sidecar, one row per file: the PROBE side reads
+        # sidecars as a distributed JVM-side scan (map_from_arrays over
+        # the two word columns) instead of round-tripping every candidate
+        # file's word map through the driver each epoch — at E live
+        # files that transfer was O(E · bloom bytes) Python→JVM per
+        # MERGE, the dominant residual per-epoch driver cost the
+        # endurance drive measured between compactions
+        for e in rescan:
+            sparse = by_file.get(str(self.root / e["path"]))
+            if sparse is not None:
+                self._write_bloom_sidecar(
+                    e, m_by_path[e["path"]], {int(w): int(b) for w, b in sparse.items()}
+                )
 
     def bloom_prune(self, files: list[dict], keys_df: DataFrame) -> list[dict]:
         """Drop files whose bloom proves they contain NONE of the batch

@@ -354,12 +354,31 @@ def apply_epoch(
     }
     conf.set("spark.sql.shuffle.partitions", str(num_p))
     conf.set("spark.sql.adaptive.enabled", "false")
+    # bloom maintenance stays O(batch): a new file's keys are exactly
+    # (rewritten files' keys ∖ deletes) ∪ batch keys, so its bloom is
+    # composed from the rewritten sidecars OR'd with a bloom of the
+    # batch keys (one narrow job over narrow_last) instead of re-reading
+    # the rewritten partitions' key column — at 100 TB that re-read is
+    # O(partition rows) per CoW epoch. Deleted keys linger as
+    # false-positive bits until compaction's scan-path rebuild purges
+    # them (conservative: blooms only ever over-keep files).
+    bloom_keys = narrow_last.select("_pid", key)
+    if already:
+        bloom_keys = bloom_keys.filter(~F.col("_pid").isin(*[int(p) for p in already]))
+    old_by_pid: dict[int, list[dict]] = {}
+    if not use_mor:
+        for f in rewrite_files:
+            old_by_pid.setdefault(f["partition_id"], []).append(f)
     try:
         if use_mor:
-            new_files = table.stage_data_files(data_rows, epoch, aligned=True)
+            new_files = table.stage_data_files(
+                data_rows, epoch, aligned=True, bloom_compose=(bloom_keys, old_by_pid)
+            )
             new_deletes = table.stage_delete_files(delete_keys, epoch, aligned=True)
         else:
-            new_files = table.stage_data_files(merged, epoch, aligned=True)
+            new_files = table.stage_data_files(
+                merged, epoch, aligned=True, bloom_compose=(bloom_keys, old_by_pid)
+            )
             new_deletes = []
     finally:
         for k, v in saved.items():

@@ -112,3 +112,86 @@ def test_bloom_keeps_files_for_updates(spark, tmp_path):
     rows = {r["url"]: r for r in table.read(with_lsn=True).collect()}
     assert rows["https://a/2"]["_lsn"] == 100
     assert len(rows) == 2
+
+
+def _sidecar_words(table, entry):
+    table._bloom_words_cache.clear()
+    return table._load_sidecar_words(entry["bloom"])
+
+
+def test_composed_bloom_equals_scan_bloom_without_deletes(spark, tmp_path):
+    """A CoW update epoch composes the new file's bloom (old sidecars OR
+    batch keys) instead of re-scanning the rewritten partition. With no
+    deletes the composed bits must be EXACTLY the scan-built bits: the
+    new file's key set is old ∪ batch and m is unchanged."""
+    table = IceTable.create(spark, tmp_path / "t", PAGE_SCHEMA, num_partitions=1)
+    apply_epoch(table, _batch(spark, [f"https://a/{i}" for i in range(40)], 1), 0)
+    apply_epoch(
+        table,
+        _batch(spark, [f"https://a/{i}" for i in range(35, 45)], 1000, op="U"),
+        1,
+        merge_strategy="cow",
+    )
+    files = table.manifest_entries()
+    assert len(files) == 1
+    composed = _sidecar_words(table, files[0])
+    # rebuild the same file's bloom through the scan path and compare
+    rebuilt = dict(files[0])
+    rebuilt.pop("bloom")
+    table._attach_blooms([rebuilt])
+    scanned = _sidecar_words(table, rebuilt)
+    assert composed == scanned
+
+
+def test_compose_falls_back_to_scan_when_m_grows(spark, tmp_path):
+    """A partition crossing a bloom-size power-of-two can't OR the old
+    sidecar (word positions are mod m) — that file must re-scan, and the
+    result still has no false negatives."""
+    table = IceTable.create(spark, tmp_path / "t", PAGE_SCHEMA, num_partitions=1)
+    apply_epoch(table, _batch(spark, [f"https://a/{i:04d}" for i in range(50)], 1), 0)
+    (old,) = table.manifest_entries()
+    assert _sidecar_words(table, old)[0] == 1024
+    # updates to every existing key force the old file into the rewrite
+    # set; 2000 inserts push the merged file past the next power-of-two
+    urls2 = [f"https://a/{i:04d}" for i in range(50)] + [
+        f"https://b/{i:04d}" for i in range(2000)
+    ]
+    apply_epoch(table, _batch(spark, urls2, 1000), 1, merge_strategy="cow")
+    (new,) = table.manifest_entries()
+    m, _ = _sidecar_words(table, new)
+    assert m == table._bloom_m_for_rows(new["rows"]) > 1024
+    all_urls = urls2
+    keys = spark.createDataFrame([(u,) for u in all_urls], "url string")
+    kept = table.bloom_prune([new], keys)
+    assert kept == [new]
+
+
+def test_composed_bloom_conservative_across_mor_and_deletes(spark, tmp_path):
+    """Across MoR epochs and deletes, composed blooms may keep dead bits
+    but must never miss a live key (no false negatives anywhere)."""
+    table = IceTable.create(spark, tmp_path / "t", PAGE_SCHEMA, num_partitions=2)
+    base = [f"https://a/{i}" for i in range(60)]
+    apply_epoch(table, _batch(spark, base, 1), 0)
+    # sparse update → auto picks merge-on-read; new data file bloom is
+    # composed from batch keys only
+    s1 = apply_epoch(table, _batch(spark, base[:3], 1000, op="U"), 1)
+    assert s1.merge_mode == "mor"
+    s2 = apply_epoch(table, _batch(spark, base[3:6], 2000, op="D"), 2)
+    live = {r["url"] for r in table.read().collect()}
+    assert live == set(base) - set(base[3:6])
+    files = table.manifest_entries()
+    assert all(f.get("bloom") for f in files)
+    for u in sorted(live):
+        keys = spark.createDataFrame([(u,)], "url string")
+        kept = {f["path"] for f in table.bloom_prune(files, keys)}
+        holding = {
+            f["path"]
+            for f in files
+            if any(
+                r["url"] == u
+                for r in spark.read.parquet(str(table.root / f["path"]))
+                .select("url")
+                .collect()
+            )
+        }
+        assert holding <= kept, f"bloom false negative for {u}"
