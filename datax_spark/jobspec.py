@@ -32,7 +32,8 @@ compiling to declarative Spark plans, so Catalyst owns optimization:
     "errorLimit": {"percentage": 0.05},   # quarantine budget (P5)
     "speed": {"recordPerEpoch": 100000,   # HARD per-epoch record bound
                                           # (row-granular offsets, ST5)
-              "shardsPerEpoch": 1}        # file-granular alternative
+              "shardsPerEpoch": 1,        # file-granular alternative
+              "bytePerEpoch": null}       # byte bound on shard offsets
   }
 }
 ```
@@ -368,6 +369,8 @@ def run_cdc_job(spark: SparkSession, spec: dict[str, Any]):
         shards_per_epoch=settings.get("speed", {}).get("shardsPerEpoch", 1),
         # DataX speed.record: hard per-epoch record bound (row offsets)
         records_per_epoch=settings.get("speed", {}).get("recordPerEpoch"),
+        # DataX speed.byte: per-epoch byte bound (shard granular)
+        bytes_per_epoch=settings.get("speed", {}).get("bytePerEpoch"),
         error_budget=err,
         merge_strategy=writer.get("mergeStrategy", "auto"),
     )

@@ -42,6 +42,7 @@ class EpochDriver:
         extract: bool = True,
         merge_strategy: str = "auto",
         records_per_epoch: int | None = None,
+        bytes_per_epoch: int | None = None,
         compact_every: int | None = None,
         max_delete_debt: float | None = 0.5,
         max_files_per_partition: int | None = None,
@@ -63,6 +64,14 @@ class EpochDriver:
         # otherwise offsets are shard indices (maxFilesPerTrigger-style)
         self.records_per_epoch = records_per_epoch
         self.unit = "row" if records_per_epoch is not None else "shard"
+        # DataX speed.byte analogue: with shard offsets, an epoch stops
+        # adding shards once their cumulative on-disk bytes would exceed
+        # this bound (always consumes at least one shard so the stream
+        # advances). Offsets stay shard-granular — resume-compatible.
+        if bytes_per_epoch is not None and self.unit != "shard":
+            raise ValueError("bytesPerEpoch applies to shard offsets; "
+                             "it cannot combine with recordPerEpoch")
+        self.bytes_per_epoch = bytes_per_epoch
         # table-service scheduling: compact every K epochs, and/or
         # whenever a PARTITION's merge-on-read delete debt (its
         # delete-file rows as a fraction of its physical data rows)
@@ -152,10 +161,23 @@ class EpochDriver:
         else:
             latest = self.source.latest_offset()
             step = self.shards_per_epoch
+        sizes = (
+            self.source.shard_byte_sizes()
+            if (self.unit == "shard" and self.bytes_per_epoch is not None)
+            else None
+        )
         while consumed < latest:
             if max_epochs is not None and len(out) >= max_epochs:
                 break
             end = min(consumed + step, latest)
+            if sizes is not None:
+                total, e = 0, consumed
+                while e < end:
+                    total += sizes[e]
+                    if total > self.bytes_per_epoch and e > consumed:
+                        break
+                    e += 1
+                end = e
             self._record_offsets(next_epoch, consumed, end)
             out.append(self._apply(next_epoch, consumed, end))
             self._maybe_maintain(next_epoch)

@@ -55,6 +55,12 @@ class ChangeTailSource:
             .parquet(*[str(s) for s in shards])
         )
 
+    def shard_byte_sizes(self) -> list[int]:
+        """On-disk bytes per shard (one stat each; shards are immutable
+        so sizes never change once seen). Basis for the DataX
+        ``speed.byte`` analogue: byte-bounded epoch sizing."""
+        return [s.stat().st_size for s in self._shards()]
+
     # ---------------- row-granular offsets (ST5 record limit) ---------- #
     def shard_row_counts(self) -> list[int]:
         """Rows per shard, from parquet footers only (no data pages)."""

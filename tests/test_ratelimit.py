@@ -112,3 +112,50 @@ def test_boundary_slices_are_deterministic(spark, tmp_path, three_shards):
     assert s1 == s2  # deterministic slice naming
     for n in s1:
         assert (tmp_path / "s1" / n).read_bytes() == (tmp_path / "s2" / n).read_bytes()
+
+
+def test_byte_bound_limits_shards_per_epoch(spark, tmp_path, three_shards):
+    """DataX speed.byte analogue: with a byte bound below two shards'
+    size, each epoch consumes exactly one shard even though
+    shards_per_epoch allows three; a bound below ONE shard still makes
+    progress (one shard per epoch, never zero)."""
+    src = ChangeTailSource(spark, three_shards)
+    sizes = src.shard_byte_sizes()
+    assert len(sizes) == 3 and all(s > 0 for s in sizes)
+
+    table = IceTable.create(spark, tmp_path / "t1", PAGE_SCHEMA, num_partitions=4)
+    drv = EpochDriver(
+        spark, src, table, tmp_path / "ck1",
+        shards_per_epoch=3, bytes_per_epoch=sizes[0],
+    )
+    drv.run()
+    ranges = [drv.offset_range(e) for e in drv.recorded_epochs()]
+    assert ranges == [(0, 1), (1, 2), (2, 3)]
+    assert all(drv.offset_unit(e) == "shard" for e in drv.recorded_epochs())
+
+    # bound big enough for two shards but not three → epochs of 2 then 1
+    table2 = IceTable.create(spark, tmp_path / "t2", PAGE_SCHEMA, num_partitions=4)
+    drv2 = EpochDriver(
+        spark, ChangeTailSource(spark, three_shards), table2, tmp_path / "ck2",
+        shards_per_epoch=3, bytes_per_epoch=sizes[0] + sizes[1],
+    )
+    drv2.run()
+    assert [drv2.offset_range(e) for e in drv2.recorded_epochs()] == [(0, 2), (2, 3)]
+
+    # tiny bound: at least one shard per epoch (progress guaranteed)
+    table3 = IceTable.create(spark, tmp_path / "t3", PAGE_SCHEMA, num_partitions=4)
+    drv3 = EpochDriver(
+        spark, ChangeTailSource(spark, three_shards), table3, tmp_path / "ck3",
+        shards_per_epoch=3, bytes_per_epoch=1,
+    )
+    drv3.run()
+    assert [drv3.offset_range(e) for e in drv3.recorded_epochs()] == [(0, 1), (1, 2), (2, 3)]
+
+
+def test_byte_bound_rejects_row_unit(spark, tmp_path, three_shards):
+    table = IceTable.create(spark, tmp_path / "t", PAGE_SCHEMA, num_partitions=4)
+    with pytest.raises(ValueError, match="bytesPerEpoch"):
+        EpochDriver(
+            spark, ChangeTailSource(spark, three_shards), table, tmp_path / "ck",
+            records_per_epoch=50, bytes_per_epoch=1000,
+        )
