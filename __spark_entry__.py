@@ -416,6 +416,21 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-default MinHash LSH: xxhash64 signatures (one JVM op
+    per (token, seed) vs 8 md5 string hashes in the md5 contract form).
+    No SQL oracle — DuckDB has no xxhash64, so the driver records the
+    rows-only check; the md5 twin above stays the value-checked
+    contract."""
+    return DD.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        k=8,
+        bands=4,
+        jaccard_threshold=0.7,
+        hash_fn="xxhash64",
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash near-dup classes."""
     return DD.simhash_dedup(_t(spark, sf_dir, "documents"))
@@ -589,6 +604,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_normalized": q_dedup_normalized,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_minhash_lsh_fast": q_dedup_minhash_lsh_fast,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,

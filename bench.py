@@ -45,6 +45,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_fast",
     "dedup_simhash",
     "text_stats",
     "lang_id_confusion",

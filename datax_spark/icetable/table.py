@@ -63,7 +63,7 @@ from typing import Any
 
 import pyarrow as pa
 import pyarrow.parquet as pq
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -666,6 +666,85 @@ class IceTable:
     # ------------------------------------------------------------------ #
     # write path
     # ------------------------------------------------------------------ #
+    def bulk_overwrite(
+        self,
+        df: DataFrame,
+        epoch: int,
+        lsn_col: str | None = None,
+        base_lsn: int = 0,
+    ) -> int:
+        """ADS-style bulk load (DataX S7: one-shot LOAD OVERWRITE into an
+        analytics table): atomically replace the table's entire contents
+        with ``df`` in one snapshot. Returns the new version.
+
+        The load keeps every layout invariant the incremental path
+        relies on — url-hash partitioning, within-partition key sort,
+        key blooms, per-key ``_lsn`` — so CDC merges can resume on top
+        of a bulk-loaded table. ``base_lsn`` (or ``lsn_col``) stamps the
+        snapshot's logical position in the change stream: later change
+        events apply iff their lsn exceeds it. Duplicate keys in ``df``
+        are LWW-resolved by lsn before writing. Columns absent from
+        ``df`` null-fill; new columns evolve the schema additively.
+        Time travel to the pre-load version keeps working until expiry;
+        replaying the same epoch is a metadata no-op. Cost: one
+        key-hash exchange of ``df`` + O(old files + P) commit metadata —
+        never a read of the old data.
+        """
+        if self.is_epoch_committed(epoch):
+            return self.current_version()
+        key = self.key_column
+        if key not in df.columns:
+            raise ValueError(f"bulk_overwrite input lacks key column {key!r}")
+        lsn = (
+            F.col(lsn_col).cast("long")
+            if lsn_col
+            else F.lit(int(base_lsn)).cast("long")
+        )
+        table_schema = self.schema()
+        table_cols = [f.name for f in table_schema.fields]
+        extra = [
+            f
+            for f in df.schema.fields
+            if f.name not in table_cols and f.name != lsn_col
+        ]
+        new_schema = T.StructType(
+            list(table_schema.fields)
+            + [T.StructField(f.name, f.dataType, True) for f in extra]
+        )
+        out = df.select(
+            *[
+                (F.col(f.name) if f.name in df.columns else F.lit(None).cast(f.dataType)).alias(
+                    f.name
+                )
+                for f in new_schema.fields
+            ],
+            lsn.alias("_lsn"),
+        )
+        # ONE exchange for the whole load: repartition to the table's
+        # key-hash layout first; the LWW window needs only clustering by
+        # key, which hash(key)%P already satisfies, so it adds a sort
+        # within partitions and no second shuffle — and the write stages
+        # aligned (task index == storage pid) with no exchange either.
+        out = out.repartition(self.num_partitions, F.col(key))
+        w = Window.partitionBy(key).orderBy(F.col("_lsn").desc())
+        out = (
+            out.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .withColumn("_pid", url_partition(key, self.num_partitions))
+        )
+        old = self.metadata()
+        entries = self.stage_data_files(out, epoch, aligned=True)
+        return self.commit(
+            epoch,
+            set(range(self.num_partitions)),
+            entries,
+            removed=self.manifest_entries() + self.delete_entries(),
+            new_schema=new_schema,
+            summary_extra={"bulk_overwrite": True, "base_lsn": int(base_lsn)},
+            expected_version=old["version"],
+        )
+
     def stage_data_files(
         self,
         df: DataFrame,
@@ -814,6 +893,9 @@ class IceTable:
     BLOOM_K = 4
     BLOOM_BITS_PER_KEY = 10
     BLOOM_MAX_BITS = 1 << 20
+    # cap on cached sidecar word maps (compose path): bounds driver
+    # memory at ~cache_max × 128 KB regardless of epoch count
+    BLOOM_WORDS_CACHE_MAX = 256
 
     def _bloom_positions(self, key_col, m_col):
         return [
@@ -828,9 +910,12 @@ class IceTable:
 
     def _load_sidecar_words(self, rel: str) -> tuple[int, dict[int, int]] | None:
         """Driver-side read of one bloom sidecar → (m, sparse word map),
-        or None if the sidecar is gone. Cached (sidecars are immutable).
-        Used only by bloom COMPOSITION, which touches O(rewritten files)
-        sidecars per epoch — the probe path never comes through here."""
+        or None if the sidecar is gone. Cached (sidecars are immutable),
+        FIFO-capped: a rewritten file's sidecar is composed once and the
+        file dies, so over a long ingest an uncapped map is pure driver
+        growth (~128 KB per max-size entry). Used only by bloom
+        COMPOSITION, which touches O(rewritten files) sidecars per
+        epoch — the probe path never comes through here."""
         cached = self._bloom_words_cache.get(rel)
         if cached is not None:
             return cached
@@ -847,6 +932,8 @@ class IceTable:
             b = json.loads(p.read_text())
             m = int(b["m"])
             words = {int(w): int(x) for w, x in b["words"].items()}
+        while len(self._bloom_words_cache) >= self.BLOOM_WORDS_CACHE_MAX:
+            self._bloom_words_cache.pop(next(iter(self._bloom_words_cache)))
         self._bloom_words_cache[rel] = (m, words)
         return (m, words)
 

@@ -50,6 +50,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from dataclasses import dataclass, field
 
@@ -274,6 +275,37 @@ def _write_batch_output(spark: SparkSession, df: DataFrame, writer: dict[str, An
             if writer.get("path"):
                 w = w.option("path", str(writer["path"]))  # external table
             w.saveAsTable(writer["table"])
+        elif wtype == "icetable":
+            # ADS bulk load (DataX S7): one-shot LOAD OVERWRITE into the
+            # lake table, atomic snapshot replace with the same layout
+            # invariants (url-hash pids, key sort, blooms, _lsn) the CDC
+            # merge path needs to resume on top of it
+            from datax_spark.icetable.table import IceTable
+
+            root = Path(writer["path"])
+            if (root / "metadata" / "version-hint.text").exists():
+                tbl = IceTable.load(spark, root)
+            else:
+                schema = T.StructType(
+                    [
+                        T.StructField(f.name, f.dataType, True)
+                        for f in df.schema.fields
+                        if f.name != writer.get("lsnColumn")
+                    ]
+                )
+                tbl = IceTable.create(
+                    spark,
+                    root,
+                    schema,
+                    num_partitions=int(writer.get("numPartitions", 32)),
+                    key_column=writer.get("keyColumn", "url"),
+                )
+            tbl.bulk_overwrite(
+                df,
+                epoch=int(writer.get("epoch", 0)),
+                lsn_col=writer.get("lsnColumn"),
+                base_lsn=int(writer.get("baseLsn", 0)),
+            )
         elif wtype == "noop":
             df.write.format("noop").mode("overwrite").save()
         else:
