@@ -875,6 +875,85 @@ class IceTable:
 
         return self._publish_staged(staging, pid_column, f"d-e{epoch:05d}", entry)
 
+    def stage_data_and_delete_files(
+        self,
+        df: DataFrame,
+        delete_keys: DataFrame,
+        epoch: int,
+        pid_column: str = "_pid",
+        aligned: bool = False,
+        bloom_compose: tuple[DataFrame, dict[int, list[dict]]] | None = None,
+    ) -> tuple[list[dict], list[dict]]:
+        """Fused MoR epoch write: data rows AND equality-delete keys in
+        ONE staged Spark job (``partitionBy(_dl, pid)``) instead of two —
+        each job repeats the full per-epoch fixed cost (scheduling, the
+        narrow pruned-target guard scan, Python worker spin-up), which
+        dominates small epochs. The union's legs keep their own physical
+        partitioning (Spark unions concatenate partitions), so with
+        ``aligned=True`` every task still writes exactly one leaf
+        directory and no exchange is added. Delete-leg files carry the
+        data schema with nulls outside the key — the read path's delete
+        scan names an explicit key-only schema (``_read_files``), so the
+        wider footprint is read-identical to ``stage_delete_files``
+        output at a few null-column bytes per file. Returns
+        (data manifest entries, delete entries)."""
+        key = self.key_column
+        del_leg = delete_keys.select(
+            *[
+                (
+                    F.col(f.name)
+                    if f.name in delete_keys.columns
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in df.schema.fields
+            ],
+            F.lit(1).alias("_dl"),
+        )
+        both = df.withColumn("_dl", F.lit(0)).unionByName(del_leg)
+        if not aligned:
+            both = both.repartition(self.num_partitions, F.col(key))
+        staging = self.root / f"_staging-e{epoch:05d}-{uuid.uuid4().hex[:8]}"
+        # sort leads with the partition columns (_dl, pid): the dynamic-
+        # partition writer requires that ordering and would insert its
+        # own local sort — dropping the within-file key sort — if ours
+        # didn't already satisfy it
+        (
+            both.sortWithinPartitions("_dl", pid_column, key)
+            .write.partitionBy("_dl", pid_column)
+            .mode("overwrite")
+            .parquet(str(staging))
+        )
+
+        def data_entry(dest: Path, pid: int, meta: "pq.FileMetaData") -> dict:
+            min_url, max_url = _key_stats(meta, key)
+            return {
+                "path": str(dest.relative_to(self.root)),
+                "partition_id": pid,
+                "rows": meta.num_rows,
+                "min_url": min_url,
+                "max_url": max_url,
+                "added_epoch": epoch,
+            }
+
+        def del_entry(dest: Path, pid: int, meta: "pq.FileMetaData") -> dict:
+            return {
+                "path": str(dest.relative_to(self.root)),
+                "partition_id": pid,
+                "rows": meta.num_rows,
+                "epoch": epoch,
+                "content": "equality-deletes",
+            }
+
+        entries = self._publish_staged(
+            staging / "_dl=0", pid_column, f"e{epoch:05d}", data_entry
+        )
+        dels = self._publish_staged(
+            staging / "_dl=1", pid_column, f"d-e{epoch:05d}", del_entry
+        )
+        shutil.rmtree(staging, ignore_errors=True)
+        self._attach_blooms(entries, compose=bloom_compose)
+        return entries, dels
+
     # ------------------------------------------------------------------ #
     # per-file key bloom filters (manifest-level secondary index)
     # ------------------------------------------------------------------ #

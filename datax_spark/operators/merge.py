@@ -371,10 +371,17 @@ def apply_epoch(
             old_by_pid.setdefault(f["partition_id"], []).append(f)
     try:
         if use_mor:
-            new_files = table.stage_data_files(
-                data_rows, epoch, aligned=True, bloom_compose=(bloom_keys, old_by_pid)
+            # fused write: data rows + equality-delete keys in ONE Spark
+            # job — the second job repeated the whole per-epoch fixed
+            # cost (scheduling, the narrow guard scan, worker spin-up),
+            # ~2.6s/epoch of pure overhead at small batches
+            new_files, new_deletes = table.stage_data_and_delete_files(
+                data_rows,
+                delete_keys,
+                epoch,
+                aligned=True,
+                bloom_compose=(bloom_keys, old_by_pid),
             )
-            new_deletes = table.stage_delete_files(delete_keys, epoch, aligned=True)
         else:
             new_files = table.stage_data_files(
                 merged, epoch, aligned=True, bloom_compose=(bloom_keys, old_by_pid)

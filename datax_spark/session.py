@@ -40,6 +40,16 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # IceTable scans pass explicit LEAF-FILE paths (the pruned file
+        # set), never directories to recurse — above this threshold Spark
+        # schedules a distributed listing JOB per relation, a full
+        # job round-trip (~0.4s here) paid on every pruned scan of every
+        # epoch. Driver-side listing of explicit files is one stat()
+        # each: strictly cheaper on POSIX metadata and still fine on an
+        # object store at bounded live-file counts (compaction's
+        # file-count trigger is what bounds them). Lower this only for
+        # huge directory-recursive scans on slow object stores.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "100000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("DATAX_DRIVER_MEM", "8g"))
     )
