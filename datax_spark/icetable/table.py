@@ -751,7 +751,7 @@ class IceTable:
         epoch: int,
         pid_column: str = "_pid",
         aligned: bool = False,
-        bloom_compose: tuple[DataFrame, dict[int, list[dict]]] | None = None,
+        bloom_compose: tuple[DataFrame, dict[int, list[dict]], dict[int, int]] | None = None,
     ) -> list[dict]:
         """Write ``df`` (sorted within partitions by key) as immutable data
         files under data/, one directory per partition id; returns manifest
@@ -786,6 +786,7 @@ class IceTable:
         num_p = self.num_partitions
         if not aligned:
             df = df.repartition(num_p, F.col(key))
+        pre = self._begin_bloom_compose(bloom_compose)
         (
             df.sortWithinPartitions(pid_column, key)
             .write.partitionBy(pid_column)
@@ -804,7 +805,7 @@ class IceTable:
             }
 
         entries = self._publish_staged(staging, pid_column, f"e{epoch:05d}", entry)
-        self._attach_blooms(entries, compose=bloom_compose)
+        self._attach_blooms(entries, pre=pre)
         return entries
 
     def _publish_staged(
@@ -882,7 +883,7 @@ class IceTable:
         epoch: int,
         pid_column: str = "_pid",
         aligned: bool = False,
-        bloom_compose: tuple[DataFrame, dict[int, list[dict]]] | None = None,
+        bloom_compose: tuple[DataFrame, dict[int, list[dict]], dict[int, int]] | None = None,
     ) -> tuple[list[dict], list[dict]]:
         """Fused MoR epoch write: data rows AND equality-delete keys in
         ONE staged Spark job (``partitionBy(_dl, pid)``) instead of two —
@@ -912,6 +913,7 @@ class IceTable:
         both = df.withColumn("_dl", F.lit(0)).unionByName(del_leg)
         if not aligned:
             both = both.repartition(self.num_partitions, F.col(key))
+        pre = self._begin_bloom_compose(bloom_compose)
         staging = self.root / f"_staging-e{epoch:05d}-{uuid.uuid4().hex[:8]}"
         # sort leads with the partition columns (_dl, pid): the dynamic-
         # partition writer requires that ordering and would insert its
@@ -951,7 +953,7 @@ class IceTable:
             staging / "_dl=1", pid_column, f"d-e{epoch:05d}", del_entry
         )
         shutil.rmtree(staging, ignore_errors=True)
-        self._attach_blooms(entries, compose=bloom_compose)
+        self._attach_blooms(entries, pre=pre)
         return entries, dels
 
     # ------------------------------------------------------------------ #
@@ -1068,61 +1070,94 @@ class IceTable:
         pq.write_table(tbl, sidecar)
         e["bloom"] = str(sidecar.relative_to(self.root))
 
-    def _attach_blooms(
+    def _begin_bloom_compose(
         self,
-        entries: list[dict],
-        compose: tuple[DataFrame, dict[int, list[dict]]] | None = None,
-    ) -> None:
+        compose: tuple[DataFrame, dict[int, list[dict]], dict[int, int]] | None,
+    ):
+        """Start the bloom-compose batch-keys job BEFORE the epoch's data
+        write so the two Spark jobs overlap — run serially, the narrow
+        words job added ~0.5-1s of pure wall per epoch, the dominant
+        residual fixed cost at small (endurance-shape) epochs.
+
+        The per-pid bloom size m must be known before the write for that
+        to work, so it is predicted instead of derived from the written
+        file's row count: pids with rewritten old files use the old
+        sidecars' common m (OR-composition requires equal m anyway);
+        fresh pids use the batch key count, an upper bound on the new
+        file's rows (sparse word maps store set bits only, so a
+        too-large m costs nothing). ``_finish`` falls back to the scan
+        path for any file whose prediction was unusable or badly
+        undersized.
+
+        Returns ``(m_by_pid, maps_by_pid, words_future)`` or None.
+        """
+        if compose is None:
+            return None
+        keys_df, old_by_pid, n_keys_by_pid = compose
+        m_by_pid: dict[int, int] = {}
+        maps_by_pid: dict[int, list[dict[int, int]]] = {}
+        for pid, olds in old_by_pid.items():
+            maps: list[dict[int, int]] = []
+            m: int | None = None
+            for o in olds:
+                side = o.get("bloom") and self._load_sidecar_words(o["bloom"])
+                if not side or (m is not None and side[0] != m):
+                    m = None
+                    break
+                m = side[0]
+                maps.append(side[1])
+            if m is not None:
+                m_by_pid[pid], maps_by_pid[pid] = m, maps
+        for pid, nk in n_keys_by_pid.items():
+            if pid not in old_by_pid:
+                m_by_pid[pid] = self._bloom_m_for_rows(nk)
+                maps_by_pid[pid] = []
+        ex = ThreadPoolExecutor(max_workers=1)
+        fut = ex.submit(self._bloom_words_for_keys, keys_df, m_by_pid)
+        ex.shutdown(wait=False)  # future still completes; no cleanup path
+        return (m_by_pid, maps_by_pid, fut)
+
+    def _attach_blooms(self, entries: list[dict], pre=None) -> None:
         """Write a key-bloom sidecar per new data file.
 
         Default path: one Spark job re-reading the new files' key column.
-        With ``compose=(batch_keys_df, rewritten_by_pid)`` — the MERGE
-        path — a new file's bloom is instead the bitwise OR of the
-        rewritten old files' sidecars and the batch keys' bloom: the new
-        file's keys are exactly (old files' keys ∖ deletes) ∪ batch
-        keys, so the OR is a conservative superset (deleted keys linger
-        as false-positive bits until compaction rebuilds from a real
+        With ``pre`` (from ``_begin_bloom_compose``) — the MERGE path —
+        a new file's bloom is instead the bitwise OR of the rewritten
+        old files' sidecars and the batch keys' bloom: the new file's
+        keys are exactly (old files' keys ∖ deletes) ∪ batch keys, so
+        the OR is a conservative superset (deleted keys linger as
+        false-positive bits until compaction rebuilds from a real
         scan). Cost is O(batch keys) + O(rewritten sidecar bytes) per
         epoch instead of re-reading every rewritten partition's key
         column — at 100 TB a CoW epoch rewrites multi-hundred-MB files
-        whose keys would otherwise be re-hashed every epoch. Falls back
-        to the scan for any file whose old sidecars are missing or sized
-        differently (word positions are mod m, so OR requires equal m —
-        a partition crossing a power-of-two size re-scans once).
+        whose keys would otherwise be re-hashed every epoch — and the
+        batch-keys job already ran concurrently with the data write.
+        Falls back to the scan for any file whose old sidecars were
+        missing or mismatched, or whose predicted m is >4× undersized
+        for the rows actually written (compaction folding many files
+        into one; the guard keeps the composed bloom's false-positive
+        rate useful rather than letting it decay toward always-hit).
         """
         if not entries:
             return
         key = self.key_column
         m_by_path = {e["path"]: self._bloom_m_for_rows(e["rows"]) for e in entries}
         rescan = entries
-        if compose is not None:
-            keys_df, old_by_pid = compose
-            composable: list[tuple[dict, int, list[dict[int, int]]]] = []
+        if pre is not None:
+            m_by_pid, maps_by_pid, fut = pre
+            batch_words = fut.result()
             rescan = []
             for e in entries:
-                m_e = m_by_path[e["path"]]
-                maps: list[dict[int, int]] = []
-                ok = True
-                for o in old_by_pid.get(e["partition_id"], []):
-                    side = o.get("bloom") and self._load_sidecar_words(o["bloom"])
-                    if not side or side[0] != m_e:
-                        ok = False
-                        break
-                    maps.append(side[1])
-                if ok:
-                    composable.append((e, m_e, maps))
-                else:
+                pid = e["partition_id"]
+                m_e = m_by_pid.get(pid)
+                if m_e is None or self._bloom_m_for_rows(e["rows"]) > 4 * m_e:
                     rescan.append(e)
-            if composable:
-                batch_words = self._bloom_words_for_keys(
-                    keys_df, {e["partition_id"]: m for e, m, _ in composable}
-                )
-                for e, m_e, maps in composable:
-                    words: dict[int, int] = {}
-                    for wm in maps + [batch_words.get(e["partition_id"], {})]:
-                        for w, bits in wm.items():
-                            words[w] = words.get(w, 0) | bits
-                    self._write_bloom_sidecar(e, m_e, words)
+                    continue
+                words: dict[int, int] = {}
+                for wm in maps_by_pid[pid] + [batch_words.get(pid, {})]:
+                    for w, bits in wm.items():
+                        words[w] = words.get(w, 0) | bits
+                self._write_bloom_sidecar(e, m_e, words)
             if not rescan:
                 return
             m_by_path = {e["path"]: m_by_path[e["path"]] for e in rescan}

@@ -365,6 +365,10 @@ def apply_epoch(
     bloom_keys = narrow_last.select("_pid", key)
     if already:
         bloom_keys = bloom_keys.filter(~F.col("_pid").isin(*[int(p) for p in already]))
+    # per-pid batch key counts: upper bound on a fresh pid's new-file
+    # rows, used to size its bloom BEFORE the write so the batch-keys
+    # bloom job can run concurrently with the data write
+    n_keys_by_pid = {r["_pid"]: r["n_keys"] for r in pid_rows if r["_pid"] in affected}
     old_by_pid: dict[int, list[dict]] = {}
     if not use_mor:
         for f in rewrite_files:
@@ -380,11 +384,14 @@ def apply_epoch(
                 delete_keys,
                 epoch,
                 aligned=True,
-                bloom_compose=(bloom_keys, old_by_pid),
+                bloom_compose=(bloom_keys, old_by_pid, n_keys_by_pid),
             )
         else:
             new_files = table.stage_data_files(
-                merged, epoch, aligned=True, bloom_compose=(bloom_keys, old_by_pid)
+                merged,
+                epoch,
+                aligned=True,
+                bloom_compose=(bloom_keys, old_by_pid, n_keys_by_pid),
             )
             new_deletes = []
     finally:
