@@ -13,9 +13,10 @@ Layout::
                                            per-partition manifest refs)
     <root>/metadata/manifests/m-<..>.json  immutable per-partition
                                            manifest (file entry list)
-    <root>/metadata/blooms/<..>.bloom.parquet per-data-file key bloom
-                                           sidecar (puffin-style;
-                                           probed as a JVM-side scan)
+    <root>/metadata/blooms/<..>.bloom.parquet consolidated key-bloom
+                                           sidecar (puffin-style; one row
+                                           per data file of one staging
+                                           call; probed as a JVM scan)
     <root>/metadata/version-hint.text      current version pointer
     <root>/lineage/epoch=<E>/*.parquet     per-partition lineage metrics
 
@@ -24,9 +25,11 @@ reference per partition, and a commit rewrites only the manifests of
 partitions it touched — unchanged partitions carry their reference
 forward. Commit cost is O(affected files + P), never O(all files); at
 millions of files this is exactly the sharding real Iceberg uses to keep
-the driver out of the write path. Bloom filters live in per-data-file
-sidecars referenced from manifest entries, so snapshot JSON stays small
-and a bloom is read only when a MERGE actually probes that file.
+the driver out of the write path. Bloom filters live in consolidated
+sidecar parquets (one row per data file, shared by the files of one
+staging call) referenced from manifest entries, so snapshot JSON stays
+small, a bloom is read only when a MERGE actually probes that file, and
+the probe's relation setup is O(staging calls), not O(probed files).
 
 Key properties (all load-bearing for the north rule, BASELINE.json:6):
 
@@ -627,9 +630,13 @@ class IceTable:
         cutoff = max(current - keep_last + 1, 0)
         live: set[str] = set()
         live_manifests: set[str] = set()
+        live_blooms: set[str] = set()
         for v in range(cutoff, current + 1):
             live_manifests |= set(self.metadata(v)["manifests"].values())
-            live |= {f["path"] for f in self.manifest_entries(v)}
+            for f in self.manifest_entries(v):
+                live.add(f["path"])
+                if f.get("bloom"):
+                    live_blooms.add(f["bloom"])
             live |= {d["path"] for d in self.delete_entries(v)}
         deleted: list[str] = []
         # enumerate versions from the directory, not range(cutoff): after
@@ -655,7 +662,10 @@ class IceTable:
                         (self.root / f["path"]).unlink()
                         deleted.append(f["path"])
                         brel = f.get("bloom")
-                        if brel:
+                        # a consolidated sidecar is shared by every file
+                        # of its staging call — sweep it only when no
+                        # retained version references it through ANY file
+                        if brel and brel not in live_blooms:
                             (self.root / brel).unlink(missing_ok=True)
                 if mrel not in live_manifests:
                     (self.root / mrel).unlink(missing_ok=True)
@@ -964,13 +974,15 @@ class IceTable:
     # of the batch's keys" per file. Build and probe both run as Spark
     # jobs over the SAME hash expressions (xxhash64(key, i)), so no
     # Python-side hash reimplementation exists to drift. The word arrays
-    # live in per-data-file sidecar (puffin-style) PARQUET files under
-    # metadata/blooms/, referenced by path from manifest entries —
-    # snapshot and manifest JSON stay small, a sidecar is read only when
-    # a MERGE actually probes that file, and the probe reads sidecars as
-    # a distributed parquet scan (word maps never transit the driver).
-    # Legacy .bloom.json sidecars from older tables still probe via the
-    # driver-built fallback in bloom_prune.
+    # live in CONSOLIDATED sidecar (puffin-style) PARQUET files under
+    # metadata/blooms/ — one row per data file, one file per staging
+    # call — referenced by path from manifest entries: snapshot and
+    # manifest JSON stay small, a sidecar is read only when a MERGE
+    # actually probes its files, the probe reads sidecars as a
+    # distributed parquet scan (word maps never transit the driver), and
+    # the probe's relation setup is O(staging calls) not O(probed
+    # files). Legacy .bloom.json sidecars from older tables still probe
+    # via the driver-built fallback in bloom_prune.
     BLOOM_K = 4
     BLOOM_BITS_PER_KEY = 10
     BLOOM_MAX_BITS = 1 << 20
@@ -989,34 +1001,45 @@ class IceTable:
             self.BLOOM_MAX_BITS,
         )
 
-    def _load_sidecar_words(self, rel: str) -> tuple[int, dict[int, int]] | None:
-        """Driver-side read of one bloom sidecar → (m, sparse word map),
-        or None if the sidecar is gone. Cached (sidecars are immutable),
-        FIFO-capped: a rewritten file's sidecar is composed once and the
+    def _load_sidecar_words(
+        self, rel: str, path: str
+    ) -> tuple[int, dict[int, int]] | None:
+        """Driver-side read of one data file's bloom → (m, sparse word
+        map), or None if the sidecar is gone. A sidecar parquet is
+        CONSOLIDATED — one row per data file written by the same staging
+        call, keyed by the ``path`` column — so one read populates the
+        cache for every row. Cached (sidecars are immutable),
+        FIFO-capped: a rewritten file's bloom is composed once and the
         file dies, so over a long ingest an uncapped map is pure driver
         growth (~128 KB per max-size entry). Used only by bloom
-        COMPOSITION, which touches O(rewritten files) sidecars per
+        COMPOSITION, which touches O(rewritten files) blooms per
         epoch — the probe path never comes through here."""
-        cached = self._bloom_words_cache.get(rel)
+        ck = (rel, path)
+        cached = self._bloom_words_cache.get(ck)
         if cached is not None:
             return cached
         p = self.root / rel
         if not p.exists():
             return None
         if rel.endswith(".parquet"):
-            t = pq.read_table(p, columns=["m", "word_idx", "bits"])
-            m = t.column("m")[0].as_py()
-            words = dict(
-                zip(t.column("word_idx")[0].as_py(), t.column("bits")[0].as_py())
-            )
+            t = pq.read_table(p, columns=["path", "m", "word_idx", "bits"])
+            for i in range(t.num_rows):
+                m = t.column("m")[i].as_py()
+                words = dict(
+                    zip(t.column("word_idx")[i].as_py(), t.column("bits")[i].as_py())
+                )
+                self._cache_sidecar_words((rel, t.column("path")[i].as_py()), (m, words))
         else:  # legacy .bloom.json
             b = json.loads(p.read_text())
-            m = int(b["m"])
-            words = {int(w): int(x) for w, x in b["words"].items()}
+            self._cache_sidecar_words(
+                ck, (int(b["m"]), {int(w): int(x) for w, x in b["words"].items()})
+            )
+        return self._bloom_words_cache.get(ck)
+
+    def _cache_sidecar_words(self, ck, val) -> None:
         while len(self._bloom_words_cache) >= self.BLOOM_WORDS_CACHE_MAX:
             self._bloom_words_cache.pop(next(iter(self._bloom_words_cache)))
-        self._bloom_words_cache[rel] = (m, words)
-        return (m, words)
+        self._bloom_words_cache[ck] = val
 
     def _bloom_words_for_keys(
         self, keys_df: DataFrame, m_by_pid: dict[int, int]
@@ -1052,23 +1075,41 @@ class IceTable:
             out.setdefault(r["_pid"], {})[int(r["_w"])] = int(r["_bits"])
         return out
 
-    def _write_bloom_sidecar(self, e: dict, m: int, sparse: dict[int, int]) -> None:
+    def _write_bloom_sidecars(self, rows: list[tuple[dict, int, dict[int, int]]]) -> None:
+        """Write ONE consolidated sidecar parquet for a whole staging
+        call — one row per new data file, keyed by the ``path`` column —
+        and stamp each entry's ``bloom`` ref with the shared rel. The
+        probe scans sidecars as distributed parquet; with per-file
+        sidecars its relation setup (driver-side stat + plan per path)
+        was O(live data files) per epoch, the dominant read-side fixed
+        cost the endurance profile measured. Consolidation divides the
+        probed path count by the files-per-staging factor and replaces N
+        driver pq.write_table calls with one."""
+        if not rows:
+            return
         self.bloom_dir.mkdir(parents=True, exist_ok=True)
-        idx = sorted(sparse)
+        idx = [sorted(sparse) for _, _, sparse in rows]
         tbl = pa.table(
             {
-                "path": pa.array([e["path"]], pa.string()),
-                "pid": pa.array([e["partition_id"]], pa.int32()),
-                "m": pa.array([m], pa.int64()),
-                "k": pa.array([self.BLOOM_K], pa.int32()),
-                "word_idx": pa.array([idx], pa.list_(pa.int64())),
-                "bits": pa.array([[int(sparse[w]) for w in idx]], pa.list_(pa.int64())),
+                "path": pa.array([e["path"] for e, _, _ in rows], pa.string()),
+                "pid": pa.array([e["partition_id"] for e, _, _ in rows], pa.int32()),
+                "m": pa.array([m for _, m, _ in rows], pa.int64()),
+                "k": pa.array([self.BLOOM_K] * len(rows), pa.int32()),
+                "word_idx": pa.array(idx, pa.list_(pa.int64())),
+                "bits": pa.array(
+                    [
+                        [int(sparse[w]) for w in ws]
+                        for (_, _, sparse), ws in zip(rows, idx)
+                    ],
+                    pa.list_(pa.int64()),
+                ),
             }
         )
-        name = Path(e["path"]).name.replace(".parquet", "") + ".bloom.parquet"
-        sidecar = self.bloom_dir / name
+        sidecar = self.bloom_dir / f"b-{uuid.uuid4().hex[:12]}.bloom.parquet"
         pq.write_table(tbl, sidecar)
-        e["bloom"] = str(sidecar.relative_to(self.root))
+        rel = str(sidecar.relative_to(self.root))
+        for e, _, _ in rows:
+            e["bloom"] = rel
 
     def _begin_bloom_compose(
         self,
@@ -1100,7 +1141,7 @@ class IceTable:
             maps: list[dict[int, int]] = []
             m: int | None = None
             for o in olds:
-                side = o.get("bloom") and self._load_sidecar_words(o["bloom"])
+                side = o.get("bloom") and self._load_sidecar_words(o["bloom"], o["path"])
                 if not side or (m is not None and side[0] != m):
                     m = None
                     break
@@ -1142,6 +1183,7 @@ class IceTable:
             return
         key = self.key_column
         m_by_path = {e["path"]: self._bloom_m_for_rows(e["rows"]) for e in entries}
+        out_rows: list[tuple[dict, int, dict[int, int]]] = []
         rescan = entries
         if pre is not None:
             m_by_pid, maps_by_pid, fut = pre
@@ -1157,8 +1199,9 @@ class IceTable:
                 for wm in maps_by_pid[pid] + [batch_words.get(pid, {})]:
                     for w, bits in wm.items():
                         words[w] = words.get(w, 0) | bits
-                self._write_bloom_sidecar(e, m_e, words)
+                out_rows.append((e, m_e, words))
             if not rescan:
+                self._write_bloom_sidecars(out_rows)
                 return
             m_by_path = {e["path"]: m_by_path[e["path"]] for e in rescan}
         paths = [str(self.root / p) for p in m_by_path]
@@ -1196,9 +1239,10 @@ class IceTable:
         for e in rescan:
             sparse = by_file.get(str(self.root / e["path"]))
             if sparse is not None:
-                self._write_bloom_sidecar(
-                    e, m_by_path[e["path"]], {int(w): int(b) for w, b in sparse.items()}
+                out_rows.append(
+                    (e, m_by_path[e["path"]], {int(w): int(b) for w, b in sparse.items()})
                 )
+        self._write_bloom_sidecars(out_rows)
 
     def bloom_prune(self, files: list[dict], keys_df: DataFrame) -> list[dict]:
         """Drop files whose bloom proves they contain NONE of the batch
@@ -1228,9 +1272,15 @@ class IceTable:
                     T.StructField("bits", T.ArrayType(T.LongType())),
                 ]
             )
+            # consolidated sidecars: many probed files share one sidecar
+            # parquet — dedupe before the scan so relation setup is
+            # O(staging calls), not O(probed files). Rows for files not
+            # under probe may come along; their hits are ignored (kept
+            # filters over ``files``).
+            side_paths = sorted({str(self.root / f["bloom"]) for f in pq_side})
             parts.append(
                 self.spark.read.schema(sidecar_schema)
-                .parquet(*[str(self.root / f["bloom"]) for f in pq_side])
+                .parquet(*side_paths)
                 .select(
                     "path",
                     "pid",

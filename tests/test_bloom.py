@@ -101,6 +101,51 @@ def test_bloom_sidecars_are_parquet_and_legacy_json_still_probes(spark, tmp_path
     assert table.bloom_prune(files, misses) == []
 
 
+def test_sidecars_consolidated_per_staging_call(spark, tmp_path):
+    """All data files of one staging call share ONE sidecar parquet (one
+    row per file) — the probe's relation setup must be O(staging calls),
+    not O(probed files) — and per-file lookups still resolve."""
+    table = IceTable.create(spark, tmp_path / "t", PAGE_SCHEMA, num_partitions=4)
+    urls = [f"https://a/{i}" for i in range(80)]
+    apply_epoch(table, _batch(spark, urls, 1), 0)
+    files = table.manifest_entries()
+    assert len(files) == 4
+    assert len({f["bloom"] for f in files}) == 1  # one shared sidecar
+    # per-(sidecar, path) lookup returns each file's own row
+    words = [_sidecar_words(table, f) for f in files]
+    assert all(w is not None for w in words)
+    assert len({tuple(sorted(w[1].items())) for w in words}) == 4
+
+
+def test_shared_sidecar_survives_expire_until_last_reference_dies(spark, tmp_path):
+    """Expiring a snapshot must NOT sweep a consolidated sidecar while
+    any retained version still references it through a surviving file;
+    once every referencing file is gone, it must be swept."""
+    table = IceTable.create(spark, tmp_path / "t", PAGE_SCHEMA, num_partitions=2)
+    # epoch 0 writes both pids' files, sharing one sidecar
+    apply_epoch(table, _batch(spark, [f"https://a/{i}" for i in range(40)], 1), 0)
+    files_v1 = table.manifest_entries()
+    shared = {f["bloom"] for f in files_v1}
+    assert len(shared) == 1
+    (shared_rel,) = shared
+    # rewrite ONE pid (CoW) → that pid's old file dies, the other pid's
+    # file still references the shared sidecar
+    pid0_urls = [f["min_url"] for f in files_v1 if f["partition_id"] == 0]
+    apply_epoch(table, _batch(spark, pid0_urls, 1000, op="U"), 1, merge_strategy="cow")
+    table.expire_snapshots(keep_last=1)
+    assert (table.root / shared_rel).exists(), "live-referenced sidecar swept"
+    # probing the surviving old file still works after expiry
+    live_old = [f for f in table.manifest_entries() if f["bloom"] == shared_rel]
+    assert live_old
+    keys = spark.createDataFrame([(live_old[0]["min_url"],)], "url string")
+    assert live_old[0]["path"] in {f["path"] for f in table.bloom_prune(live_old, keys)}
+    # rewrite the OTHER pid too → no retained reference remains → swept
+    pid1_urls = [f["min_url"] for f in files_v1 if f["partition_id"] == 1]
+    apply_epoch(table, _batch(spark, pid1_urls, 2000, op="U"), 2, merge_strategy="cow")
+    table.expire_snapshots(keep_last=1)
+    assert not (table.root / shared_rel).exists()
+
+
 def test_bloom_keeps_files_for_updates(spark, tmp_path):
     """An update to an existing url must still rewrite its file."""
     table = IceTable.create(spark, tmp_path / "t", PAGE_SCHEMA, num_partitions=1)
@@ -116,7 +161,7 @@ def test_bloom_keeps_files_for_updates(spark, tmp_path):
 
 def _sidecar_words(table, entry):
     table._bloom_words_cache.clear()
-    return table._load_sidecar_words(entry["bloom"])
+    return table._load_sidecar_words(entry["bloom"], entry["path"])
 
 
 def test_composed_bloom_equals_scan_bloom_without_deletes(spark, tmp_path):
