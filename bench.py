@@ -64,9 +64,11 @@ def _cached_event_log(spec) -> Path:
     per spec, reuse across bench runs (incl. the two scaling runs)."""
     from datax_spark.datagen.generator import generate_event_log
 
-    key = (
-        f"{spec.n_events}-{spec.n_urls}-{spec.n_domains}-{spec.n_epochs}-"
-        f"{spec.evolve_at_epoch}-{spec.seed}"
+    # key over EVERY spec field: a log cached under a partial key would
+    # be silently reused across e.g. words_scale changes (page weight),
+    # poisoning scaling comparisons
+    key = "-".join(
+        f"{k}{getattr(spec, k)}" for k in sorted(vars(spec)) if not k.startswith("_")
     )
     d = Path(tempfile.gettempdir()) / f"datax_benchlog_{key}"
     done = d / "_DONE"

@@ -155,7 +155,7 @@ steady-state metric; full-run numbers are shown too.
 
 **Scaling efficiency (N→4N) = (throughput@8 / throughput@2) / 4 =
 {eff_steady:.2f} steady-state** ({eff_full:.2f} incl. warmup).
-Target (BASELINE.json): ≥ 0.8. ✓
+Target (BASELINE.json): ≥ 0.8. {"✓" if eff_steady >= 0.8 else "✗ (re-measure on an idle node — see variance hygiene below)"}
 
 The further 4N→16N step measures {eff32:.2f}: past ~100k events/sec the
 single sandbox node saturates a shared hardware resource, not the
@@ -201,6 +201,13 @@ def main() -> None:
         md = write_report(r2, r8, r32)
         out = Path(__file__).resolve().parents[1] / "BENCH" / "BASELINE.md"
         out.parent.mkdir(exist_ok=True)
+        if out.exists():
+            # preserve the hand-maintained sections (endurance drives,
+            # variance-hygiene notes) that follow the generated report
+            old = out.read_text()
+            idx = old.find("\n## ")
+            if idx != -1:
+                md = md + old[idx:]
         out.write_text(md)
         print(md)
         print(json.dumps({"local2": r2, "local8": r8, "local32": r32}))
