@@ -120,6 +120,32 @@ def run_cdc(spark, n_events: int) -> tuple[float, int]:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _node_health_probe() -> dict:
+    """~0.1s node-speed self-probe recorded in the output JSON: this
+    sandbox is a shared-host VM whose effective memory bandwidth has
+    been observed to degrade >100x for stretches of minutes-to-hours
+    (measured 2026-08-18: a 256 MB numpy copy took 31.5s vs ~0.05s
+    healthy, with single-thread CPU unaffected). Spark walls here are
+    dominated by memory traffic, so a bench captured during such an
+    episode is not comparable across rounds — the probe stamps each
+    run with the evidence needed to normalize."""
+    import numpy as np
+
+    a = np.ones(256 * 1024 * 1024 // 8)
+    t0 = time.monotonic()
+    b = a.copy()
+    copy_s = time.monotonic() - t0
+    del a, b
+    t0 = time.monotonic()
+    sum(i * i for i in range(5_000_000))
+    cpu_s = time.monotonic() - t0
+    return {
+        "mem_copy_256mb_sec": round(copy_s, 4),
+        "mem_copy_gbps": round(0.5 / copy_s, 2),
+        "cpu_loop_5m_sec": round(cpu_s, 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -152,6 +178,7 @@ def main() -> None:
                 "cdc_events": n_events,
                 "cdc_events_per_sec": round(n_events / cdc_wall, 1),
                 "cores": cpus,
+                "node_health": _node_health_probe(),
             }
         )
     )

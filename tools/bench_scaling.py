@@ -97,8 +97,11 @@ def run_one(cores: int) -> dict:
         per_epoch = [s.wall_ms / 1000 for s in stats]
         steady_wall = sum(per_epoch[1:])
         steady_events = N_EVENTS * (N_EPOCHS - 1) // N_EPOCHS
+        from bench import _node_health_probe
+
         return {
             "cores": cores,
+            "node_health": _node_health_probe(),
             "events": N_EVENTS,
             "epochs": N_EPOCHS,
             "total_wall_sec": round(total_wall, 2),
