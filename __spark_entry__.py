@@ -37,7 +37,11 @@ from datax_spark.functions import text as TXT  # noqa: E402
 from datax_spark.operators import dedup as DD  # noqa: E402
 from datax_spark.operators.lww import lww_resolve  # noqa: E402
 from datax_spark.operators import similarity as SIM  # noqa: E402
-from datax_spark.functions.multimodal import multimodal_meta  # noqa: E402
+from datax_spark.functions.multimodal import (  # noqa: E402
+    audio_features,
+    decode_meta,
+    multimodal_meta,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -568,6 +572,51 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal_meta(docs, id_col="doc_id", payload_col="payload")
 
 
+def q_multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode (functions/multimodal.py decode_wav /
+    decode_meta / audio_features): synthesize a parametric PCM WAV per
+    document (n, rate, and the int16 sawtooth ((i*37)%401)-200 are pure
+    functions of doc_id), push the bytes through the Arrow-batched
+    decode + feature stages, and emit fields the oracle recomputes
+    arithmetically in SQL. Exercises the container-header parse and the
+    PCM math end to end — not the fake-decode stub."""
+    import io as _io
+    import wave as _wave
+
+    import numpy as _np
+    import pandas as _pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = d % 50 + 10
+                rate = 8000 + (d % 3) * 4000
+                pcm = ((_np.arange(n, dtype=_np.int64) * 37) % 401 - 200).astype("<i2")
+                buf = _io.BytesIO()
+                with _wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(rate)
+                    w.writeframes(pcm.tobytes())
+                ids.append(d)
+                payloads.append(buf.getvalue())
+            yield _pd.DataFrame(
+                {"doc_id": _pd.Series(ids, dtype="int64"), "payload": payloads}
+            )
+
+    wavs = docs.mapInPandas(encode, "doc_id long, payload binary")
+    meta = decode_meta(wavs).select(
+        "doc_id", "format", "modality", "n_channels", "sample_rate",
+        "n_frames", "duration_s",
+    )
+    feats = audio_features(wavs).select("doc_id", "peak")
+    return meta.join(feats, "doc_id")
+
+
 # ----------------------- CDC engine (rows-only) ----------------------- #
 
 def q_cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -618,6 +667,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count_by_source": q_token_count_by_source,
     "transformer_chain": q_transformer_chain,
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_wav_roundtrip": q_multimodal_wav_roundtrip,
     "cdc_final_state": q_cdc_final_state,
 }
 
@@ -1126,6 +1176,27 @@ SELECT doc_id,
        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
          AS modality
 FROM documents""",
+    # multimodal_wav_roundtrip: the WAV payload is a pure function of
+    # doc_id (n = doc_id%50+10 samples of ((i*37)%401)-200 at rate
+    # 8000+(doc_id%3)*4000), so every decoded field is recomputable
+    # arithmetically; peak re-derives the PCM via a correlated range()
+    "multimodal_wav_roundtrip": """
+WITH idx AS (SELECT i FROM range(60) t(i)),
+peaks AS (
+  SELECT d.doc_id, CAST(max(abs((idx.i * 37) % 401 - 200)) AS BIGINT) AS peak
+  FROM documents d JOIN idx ON idx.i < d.doc_id % 50 + 10
+  GROUP BY d.doc_id
+)
+SELECT d.doc_id,
+       'wav' AS format,
+       'audio' AS modality,
+       CAST(1 AS BIGINT) AS n_channels,
+       CAST(8000 + (d.doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
+       CAST(d.doc_id % 50 + 10 AS BIGINT) AS n_frames,
+       CAST(d.doc_id % 50 + 10 AS DOUBLE)
+         / (8000 + (d.doc_id % 3) * 4000) AS duration_s,
+       p.peak
+FROM documents d JOIN peaks p USING (doc_id)""",
     # cdc_final_state: SQL fold of the SAME shared event shards the Spark
     # query ingests (dirty rules mirror operators/quarantine.dirty_predicate;
     # LWW = per-url max-lsn; deletes drop). `text` bytes are checked by the

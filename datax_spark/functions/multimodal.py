@@ -3,11 +3,16 @@
 Images/audio/video ride through the engine as binary columns; per-modality
 work (decode, resize, frame-sample, feature-extract) runs as Arrow-batched
 ``mapInPandas`` stages so payload bytes never round-trip through per-row
-Python. The decode itself is STUBBED — the media libraries (PIL, librosa,
-av) are not in this container — behind ``decode_payload``, which raises
-``NotImplementedError``; ``_fake_decode`` is the deterministic stand-in
-that keeps every piece of Spark-side plumbing (schema, batch shape,
-partitioning) real and testable.
+Python.
+
+Decode is REAL for every format the container can express without media
+libraries: WAV (stdlib ``wave``), BMP (24-bit BI_RGB, ``struct``), PPM/PGM
+(binary P6/P5), and YUV4MPEG2 video (text header + raw planar frames) — all
+pure stdlib/numpy, deterministic byte-for-byte. Formats that genuinely need
+a codec library (PNG/JPEG/MP3/MP4 — PIL/librosa/av are not installed here)
+raise ``NotImplementedError`` from ``decode_payload``; ``_fake_decode``
+remains the deterministic stand-in used by the frozen ``multimodal_meta``
+contract query so its DuckDB oracle stays byte-stable.
 
 Scale notes (100 TB of media):
 * payloads stay columnar (parquet binary → Arrow buffers → pandas bytes
@@ -20,8 +25,12 @@ Scale notes (100 TB of media):
 
 from __future__ import annotations
 
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -39,12 +48,221 @@ META_SCHEMA = T.StructType(
 _MODALITIES = ("image", "audio", "video")
 
 
-def decode_payload(payload: bytes, modality: str) -> dict:
-    """Real media decode — requires PIL/librosa/av, absent here."""
+# --------------------------- format sniffing --------------------------- #
+
+def sniff_format(payload: bytes) -> str | None:
+    """Identify a payload by magic bytes. Returns one of
+    ``wav bmp ppm pgm y4m png jpeg`` or None for unrecognized bytes."""
+    p = bytes(payload[:16])
+    if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+        return "wav"
+    if p[:2] == b"BM":
+        return "bmp"
+    if p[:2] == b"P6":
+        return "ppm"
+    if p[:2] == b"P5":
+        return "pgm"
+    if p[:9] == b"YUV4MPEG2":
+        return "y4m"
+    if p[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if p[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    return None
+
+
+# ----------------------------- real decoders ---------------------------- #
+
+def decode_wav(payload: bytes) -> dict:
+    """PCM WAV via stdlib ``wave``: header fields + int16 samples as a
+    (n_samples, n_channels) numpy array (8-bit widened, 32-bit narrowed)."""
+    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+        n_channels = w.getnchannels()
+        sample_rate = w.getframerate()
+        n_frames = w.getnframes()
+        width = w.getsampwidth()
+        raw = w.readframes(n_frames)
+    if width == 2:
+        pcm = np.frombuffer(raw, dtype="<i2")
+    elif width == 1:  # unsigned 8-bit per the WAV spec
+        pcm = (np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128) << 8
+    elif width == 4:
+        pcm = (np.frombuffer(raw, dtype="<i4") >> 16).astype(np.int16)
+    else:
+        raise NotImplementedError(f"unsupported WAV sample width {width}")
+    pcm = pcm.reshape(-1, n_channels)
+    return {
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "n_samples": n_frames,
+        "duration_s": n_frames / sample_rate if sample_rate else 0.0,
+        "pcm": pcm,
+    }
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BI_RGB BMP → (h, w, 3) uint8 RGB array.
+
+    Handles the 4-byte row padding and the bottom-up row order (negative
+    height = top-down, also handled)."""
+    buf = bytes(payload)
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_offset,) = struct.unpack_from("<I", buf, 10)
+    (hdr_size, w, h) = struct.unpack_from("<Iii", buf, 14)
+    (planes, bpp) = struct.unpack_from("<HH", buf, 26)
+    (compression,) = struct.unpack_from("<I", buf, 30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP is supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        buf, dtype=np.uint8, count=row_bytes * h, offset=data_offset
+    ).reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR on disk → RGB
+
+
+def _pnm_header(buf: bytes) -> tuple[list[int], int]:
+    """Parse PNM header tokens after the magic: returns ([w, h, maxval],
+    data_offset). Whitespace/comment handling per the netpbm spec."""
+    vals: list[int] = []
+    i = 2
+    n_needed = 3
+    while len(vals) < n_needed:
+        while i < len(buf) and buf[i : i + 1].isspace():
+            i += 1
+        if buf[i : i + 1] == b"#":
+            while i < len(buf) and buf[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(buf) and not buf[j : j + 1].isspace():
+            j += 1
+        vals.append(int(buf[i:j]))
+        i = j
+    return vals, i + 1  # single whitespace byte after maxval
+
+
+def decode_pnm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) → (h, w, 3) or PGM (P5) → (h, w) uint8 array."""
+    buf = bytes(payload)
+    magic = buf[:2]
+    if magic not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM payload")
+    (w, h, maxval), off = _pnm_header(buf)
+    if maxval != 255:
+        raise NotImplementedError("only maxval=255 PNM is supported")
+    ch = 3 if magic == b"P6" else 1
+    arr = np.frombuffer(buf, dtype=np.uint8, count=w * h * ch, offset=off)
+    return arr.reshape(h, w, 3) if ch == 3 else arr.reshape(h, w)
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → deterministic binary P6 bytes (canonical header)."""
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def decode_y4m(payload: bytes) -> dict:
+    """YUV4MPEG2 stream → header fields + raw planar frames.
+
+    Supports C420 (default per spec) and C444 chroma; frames are returned
+    as raw plane bytes (deterministic — no colorspace conversion)."""
+    buf = bytes(payload)
+    if buf[:9] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = buf.index(b"\n")
+    w = h = 0
+    fps_num, fps_den = 0, 1
+    chroma = "420"
+    for tok in buf[10:nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"F":
+            fps_num, fps_den = (int(x) for x in val.split(b":"))
+        elif tag == b"C":
+            chroma = val.decode("ascii")
+    if chroma.startswith("444"):
+        frame_bytes = w * h * 3
+    elif chroma.startswith("420"):
+        frame_bytes = w * h * 3 // 2
+    else:
+        raise NotImplementedError(f"unsupported y4m chroma C{chroma}")
+    frames: list[bytes] = []
+    i = nl + 1
+    while i < len(buf):
+        j = buf.index(b"\n", i)  # FRAME line (may carry parameters)
+        if buf[i : i + 5] != b"FRAME":
+            raise ValueError("malformed y4m frame marker")
+        frames.append(buf[j + 1 : j + 1 + frame_bytes])
+        i = j + 1 + frame_bytes
+    return {
+        "width": w,
+        "height": h,
+        "fps_num": fps_num,
+        "fps_den": fps_den,
+        "chroma": chroma,
+        "frames": frames,
+    }
+
+
+def resize_bilinear(arr: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
+    """Deterministic numpy bilinear resample, align_corners=False convention
+    (pixel centers at (i + 0.5) / n — what PIL/OpenCV use by default)."""
+    h, w = arr.shape[:2]
+    img = arr.astype(np.float32)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    ys = (np.arange(target_h, dtype=np.float64) + 0.5) * h / target_h - 0.5
+    xs = (np.arange(target_w, dtype=np.float64) + 0.5) * w / target_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0).astype(np.float32)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0).astype(np.float32)[None, :, None]
+    top = img[y0][:, x0] * (1 - wx) + img[y0][:, x1] * wx
+    bot = img[y1][:, x0] * (1 - wx) + img[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    out = np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    return out[:, :, 0] if arr.ndim == 2 else out
+
+
+def decode_payload(payload: bytes, modality: str | None = None) -> dict:
+    """Decode a media payload by sniffed format.
+
+    Real for WAV / BMP / PPM / PGM / YUV4MPEG2 (stdlib + numpy). PNG, JPEG,
+    and compressed audio/video raise ``NotImplementedError`` — those need
+    PIL/librosa/av, which are not installed in this container."""
+    fmt = sniff_format(payload)
+    if fmt == "wav":
+        d = decode_wav(payload)
+        return {"format": fmt, "modality": "audio", **d}
+    if fmt == "bmp":
+        arr = decode_bmp(payload)
+        return {"format": fmt, "modality": "image", "pixels": arr,
+                "width": arr.shape[1], "height": arr.shape[0]}
+    if fmt in ("ppm", "pgm"):
+        arr = decode_pnm(payload)
+        return {"format": fmt, "modality": "image", "pixels": arr,
+                "width": arr.shape[1], "height": arr.shape[0]}
+    if fmt == "y4m":
+        d = decode_y4m(payload)
+        return {"format": fmt, "modality": "video", **d}
     raise NotImplementedError(
-        "media decode requires PIL/librosa/av, which are not installed in "
-        "this container; the pipeline uses _fake_decode as a deterministic "
-        "stand-in (same schema, same batch shape)"
+        f"decode of format {fmt or 'unknown'} requires a codec library "
+        "(PIL/librosa/av), which is not installed in this container"
     )
 
 
@@ -153,3 +371,241 @@ def frame_sample_stub(
             )
 
     return df.select(id_col, payload_col).mapInPandas(sample, FRAME_SCHEMA)
+
+
+# ------------------- real-decode pipeline stages ------------------- #
+
+DECODE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_channels", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+    ]
+)
+
+
+def decode_meta(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL metadata decode via Arrow-batched mapInPandas: sniffs each
+    payload's magic and parses the container header (WAV/BMP/PNM/Y4M).
+    Unsupported or unrecognized payloads come back as format
+    'png'/'jpeg'/'unknown' with null media fields — routed, not raised,
+    so one bad object can't kill a 100 TB scan (quarantine-style)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)
+                fmt = sniff_format(raw)
+                rec = {
+                    "doc_id": int(doc_id),
+                    "n_bytes": len(raw),
+                    "format": fmt or "unknown",
+                    "modality": None,
+                    "width": None,
+                    "height": None,
+                    "n_channels": None,
+                    "sample_rate": None,
+                    "n_frames": None,
+                    "duration_s": None,
+                }
+                try:
+                    d = decode_payload(raw)
+                except (NotImplementedError, ValueError, EOFError, wave.Error):
+                    rows.append(rec)
+                    continue
+                rec["modality"] = d["modality"]
+                if d["modality"] == "audio":
+                    rec.update(
+                        n_channels=d["n_channels"],
+                        sample_rate=d["sample_rate"],
+                        n_frames=d["n_samples"],
+                        duration_s=d["duration_s"],
+                    )
+                elif d["modality"] == "image":
+                    px = d["pixels"]
+                    rec.update(
+                        width=d["width"],
+                        height=d["height"],
+                        n_channels=1 if px.ndim == 2 else px.shape[2],
+                        n_frames=1,
+                    )
+                else:  # video
+                    rec.update(
+                        width=d["width"],
+                        height=d["height"],
+                        n_frames=len(d["frames"]),
+                        duration_s=(
+                            len(d["frames"]) * d["fps_den"] / d["fps_num"]
+                            if d["fps_num"]
+                            else None
+                        ),
+                    )
+                rows.append(rec)
+            out = pd.DataFrame(rows, columns=[f.name for f in DECODE_META_SCHEMA])
+            for c in ("doc_id", "n_bytes"):
+                out[c] = out[c].astype("int64")
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(extract, DECODE_META_SCHEMA)
+
+
+RESIZE_REAL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("ok", T.BooleanType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL image resize: decode BMP/PPM/PGM, bilinear-resample in numpy,
+    re-encode as canonical binary PPM (grayscale is expanded to RGB so the
+    output format is uniform). Undecodable rows pass through with
+    ok=false and a null payload — dirty-routing semantics, no task kill."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, oks = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)
+                ids.append(int(doc_id))
+                try:
+                    d = decode_payload(raw)
+                    if d["modality"] != "image":
+                        raise ValueError("not an image")
+                    arr = resize_bilinear(d["pixels"], target_w, target_h)
+                    if arr.ndim == 2:
+                        arr = np.repeat(arr[:, :, None], 3, axis=2)
+                    payloads.append(encode_ppm(arr))
+                    oks.append(True)
+                except (NotImplementedError, ValueError):
+                    payloads.append(None)
+                    oks.append(False)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "payload": payloads,
+                    "width": pd.Series([target_w] * len(ids), dtype="int64"),
+                    "height": pd.Series([target_h] * len(ids), dtype="int64"),
+                    "ok": pd.Series(oks, dtype="bool"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(resize, RESIZE_REAL_SCHEMA)
+
+
+SAMPLE_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("n_frames_total", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL video frame sampling over YUV4MPEG2 payloads: parse the stream,
+    pick ``n_frames`` evenly-spaced frames (deterministic indices
+    ``floor(i * total / n)``), emit raw planar frame bytes — the 1→n
+    fan-out shape of an av keyframe decode. Non-y4m rows are dropped
+    (filter-then-decode, like a modality-partitioned lake scan)."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, totals, frames = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)
+                if sniff_format(raw) != "y4m":
+                    continue
+                d = decode_y4m(raw)
+                total = len(d["frames"])
+                if not total:
+                    continue
+                k = min(n_frames, total)
+                for i in range(k):
+                    fi = i * total // k
+                    ids.append(int(doc_id))
+                    idxs.append(fi)
+                    totals.append(total)
+                    frames.append(d["frames"][fi])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "n_frames_total": pd.Series(totals, dtype="int64"),
+                    "frame": frames,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(sample, SAMPLE_FRAME_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def audio_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL audio feature extraction over WAV payloads: RMS energy, peak
+    amplitude, zero-crossing count — vectorized numpy over decoded PCM,
+    one Arrow batch at a time. Non-WAV rows are dropped."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)
+                if sniff_format(raw) != "wav":
+                    continue
+                d = decode_wav(raw)
+                mono = d["pcm"].astype(np.float64).mean(axis=1)
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "sample_rate": d["sample_rate"],
+                        "n_samples": d["n_samples"],
+                        "rms": float(np.sqrt(np.mean(mono**2))) if len(mono) else 0.0,
+                        "peak": int(np.max(np.abs(d["pcm"]))) if len(mono) else 0,
+                        "zero_crossings": int(np.sum(np.signbit(mono[1:]) != np.signbit(mono[:-1]))),
+                    }
+                )
+            out = pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA])
+            for c in ("doc_id", "sample_rate", "n_samples", "peak", "zero_crossings"):
+                out[c] = out[c].astype("int64")
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(feats, AUDIO_FEATURES_SCHEMA)

@@ -55,3 +55,176 @@ def test_frame_sample_fanout(payloads):
     # frames partition the payload deterministically
     assert frames[(0, 0)] == b"a"
     assert frames[(0, 1)] == b"l"
+
+# ------------------- real decoders (stdlib/numpy formats) ------------------- #
+
+import io
+import struct
+import wave
+
+import numpy as np
+
+from datax_spark.functions.multimodal import (
+    audio_features,
+    decode_bmp,
+    decode_meta,
+    decode_pnm,
+    decode_wav,
+    decode_y4m,
+    encode_ppm,
+    resize_bilinear,
+    resize_images,
+    sample_frames,
+    sniff_format,
+)
+
+
+def make_wav(n=64, rate=8000, channels=1):
+    pcm = (np.arange(n * channels, dtype=np.int64) * 257 - 8000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue(), pcm.reshape(-1, channels)
+
+
+def make_bmp(arr):
+    """(h, w, 3) uint8 RGB -> 24-bit BI_RGB bottom-up BMP bytes."""
+    h, w = arr.shape[:2]
+    row_bytes = (w * 3 + 3) & ~3
+    data = bytearray()
+    for row in arr[::-1]:  # bottom-up
+        line = row[:, ::-1].tobytes()  # RGB -> BGR
+        data += line + b"\x00" * (row_bytes - len(line))
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 0, 0, 0, 0)
+    return header + info + bytes(data)
+
+
+def make_y4m(frames, w=4, h=4, chroma="420"):
+    fb = w * h * 3 // 2 if chroma == "420" else w * h * 3
+    out = b"YUV4MPEG2 W%d H%d F30:1 Ip A1:1 C%s\n" % (w, h, chroma.encode())
+    for f in frames:
+        assert len(f) == fb
+        out += b"FRAME\n" + f
+    return out
+
+
+def test_sniff_format():
+    wav, _ = make_wav()
+    assert sniff_format(wav) == "wav"
+    assert sniff_format(b"BM\x00\x00") == "bmp"
+    assert sniff_format(b"P6\n1 1\n255\n\x00\x00\x00") == "ppm"
+    assert sniff_format(b"P5\n1 1\n255\n\x00") == "pgm"
+    assert sniff_format(b"YUV4MPEG2 W4 H4\n") == "y4m"
+    assert sniff_format(b"\x89PNG\r\n\x1a\nrest") == "png"
+    assert sniff_format(b"\xff\xd8\xff\xe0") == "jpeg"
+    assert sniff_format(b"just text") is None
+
+
+def test_decode_wav_roundtrip():
+    payload, pcm = make_wav(n=50, rate=16000, channels=2)
+    d = decode_wav(payload)
+    assert d["sample_rate"] == 16000
+    assert d["n_channels"] == 2
+    assert d["n_samples"] == 50
+    assert d["duration_s"] == 50 / 16000
+    np.testing.assert_array_equal(d["pcm"], pcm)
+
+
+def test_decode_bmp_roundtrip():
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_bmp(make_bmp(arr)), arr)
+
+
+def test_decode_pnm():
+    arr = np.arange(18, dtype=np.uint8).reshape(2, 3, 3)
+    # comment + multi-whitespace header exercises the netpbm tokenizer
+    ppm = b"P6\n# a comment\n3 2\n255\n" + arr.tobytes()
+    np.testing.assert_array_equal(decode_pnm(ppm), arr)
+    gray = np.arange(6, dtype=np.uint8).reshape(2, 3)
+    pgm = b"P5\n3 2\n255\n" + gray.tobytes()
+    np.testing.assert_array_equal(decode_pnm(pgm), gray)
+    # encode_ppm is the canonical inverse
+    np.testing.assert_array_equal(decode_pnm(encode_ppm(arr)), arr)
+
+
+def test_decode_y4m():
+    frames = [bytes([i]) * 24 for i in range(5)]
+    d = decode_y4m(make_y4m(frames))
+    assert (d["width"], d["height"], d["chroma"]) == (4, 4, "420")
+    assert (d["fps_num"], d["fps_den"]) == (30, 1)
+    assert d["frames"] == frames
+
+
+def test_resize_bilinear_values():
+    # constant image stays constant at any scale
+    const = np.full((3, 5, 3), 77, dtype=np.uint8)
+    assert (resize_bilinear(const, 10, 4) == 77).all()
+    # hand-computed half-pixel-center interpolation of [0, 255] -> width 4
+    grad = np.array([[0, 255]], dtype=np.uint8)
+    out = resize_bilinear(grad, 4, 1)
+    np.testing.assert_array_equal(out[0], [0, 64, 191, 255])
+    # grayscale input keeps 2-D shape
+    assert resize_bilinear(np.zeros((4, 4), np.uint8), 2, 2).shape == (2, 2)
+
+
+@pytest.fixture(scope="module")
+def media_payloads(spark):
+    wav, _ = make_wav(n=100, rate=8000)
+    bmp = make_bmp(np.full((6, 4, 3), 10, dtype=np.uint8))
+    ppm = encode_ppm(np.full((2, 2, 3), 200, dtype=np.uint8))
+    y4m = make_y4m([bytes([i]) * 24 for i in range(5)])
+    rows = [(0, wav), (1, bmp), (2, ppm), (3, y4m), (4, b"not media at all")]
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def test_decode_meta_real(media_payloads):
+    rows = {r["doc_id"]: r for r in decode_meta(media_payloads).collect()}
+    assert rows[0]["format"] == "wav" and rows[0]["modality"] == "audio"
+    assert rows[0]["sample_rate"] == 8000 and rows[0]["n_frames"] == 100
+    assert rows[0]["duration_s"] == 100 / 8000
+    assert rows[1]["format"] == "bmp" and (rows[1]["width"], rows[1]["height"]) == (4, 6)
+    assert rows[2]["format"] == "ppm" and rows[2]["n_channels"] == 3
+    assert rows[3]["format"] == "y4m" and rows[3]["n_frames"] == 5
+    assert rows[3]["duration_s"] == pytest.approx(5 / 30)
+    assert rows[4]["format"] == "unknown" and rows[4]["modality"] is None
+    assert rows[4]["n_bytes"] == len(b"not media at all")
+
+
+def test_resize_images_real(media_payloads):
+    rows = {r["doc_id"]: r for r in resize_images(media_payloads, 8, 8).collect()}
+    # images resized to canonical PPM at the target dims
+    for doc_id, fill in ((1, 10), (2, 200)):
+        assert rows[doc_id]["ok"]
+        arr = decode_pnm(bytes(rows[doc_id]["payload"]))
+        assert arr.shape == (8, 8, 3)
+        assert (arr == fill).all()
+    # audio/video/garbage rows are routed, not raised
+    for doc_id in (0, 3, 4):
+        assert not rows[doc_id]["ok"] and rows[doc_id]["payload"] is None
+
+
+def test_sample_frames_real(media_payloads):
+    out = sample_frames(media_payloads, n_frames=2).collect()
+    assert {r["doc_id"] for r in out} == {3}  # only the y4m row fans out
+    got = {r["frame_idx"]: bytes(r["frame"]) for r in out}
+    # evenly spaced deterministic indices floor(i * 5 / 2) = 0, 2
+    assert set(got) == {0, 2}
+    assert got[0] == bytes([0]) * 24 and got[2] == bytes([2]) * 24
+    assert all(r["n_frames_total"] == 5 for r in out)
+
+
+def test_audio_features_real(media_payloads):
+    rows = audio_features(media_payloads).collect()
+    assert len(rows) == 1 and rows[0]["doc_id"] == 0
+    _, pcm = make_wav(n=100, rate=8000)
+    mono = pcm.astype(np.float64).mean(axis=1)
+    assert rows[0]["rms"] == pytest.approx(float(np.sqrt(np.mean(mono**2))))
+    assert rows[0]["peak"] == int(np.max(np.abs(pcm)))
+    assert rows[0]["zero_crossings"] == int(
+        np.sum(np.signbit(mono[1:]) != np.signbit(mono[:-1]))
+    )
