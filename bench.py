@@ -54,6 +54,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "ann_ivf_trained_topk",
     "multimodal_meta",
+    "multimodal_wav_roundtrip",
 ]
 
 CDC_EVENTS = int(os.environ.get("DATAX_BENCH_EVENTS", "1000000"))
