@@ -465,6 +465,21 @@ def q_dedup_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs blocked by random-hyperplane LSH
+    banding (train-free Charikar SimHash for vectors): candidates only
+    from (band, bucket) equi-joins, exact-cosine verified. Plane scores
+    are integer-quantized so the oracle recomputes identical buckets.
+    Threshold 0.4 (production default is 0.9): the fixture's max
+    pairwise cosine is 0.513, and a 0-row result would not prove the
+    engines agree on the buckets — at 0.4 the output is exactly the
+    0.4+ pairs that collide in ≥1 band, a joint test of candidate
+    generation AND verify."""
+    return DD.embedding_lsh_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=16, n_bands=4
+    )
+
+
 # ------------------------- similarity search -------------------------- #
 
 def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -658,6 +673,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_kmeans": q_dedup_embedding_kmeans,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
@@ -784,6 +800,55 @@ def _sql_cos(a: str, b: str) -> str:
         f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
         f" * sqrt(list_dot_product({b}, {b})))"
     )
+
+
+def _embedding_lsh_oracle(threshold: float, n_planes: int, n_bands: int) -> str:
+    """Mechanical unroll of operators/dedup.embedding_lsh_pairs: the same
+    integer-quantized plane scores (floor(x*1000), signs from bit 13 of
+    j*2654435761 + (p+1)*40503), the same band buckets, the same
+    rounded-cosine verify — exact integer arithmetic end to end on the
+    bucketing side, so both engines build identical candidate sets."""
+    per_band = n_planes // n_bands
+    score_cols = ",\n         ".join(
+        f"sum(q * (1 - 2 * (((j * 2654435761 + {(p + 1) * 40503}) // 8192) % 2)))"
+        f" AS s{p}"
+        for p in range(n_planes)
+    )
+    band_selects = []
+    for b in range(n_bands):
+        bits = " + ".join(
+            f"(CASE WHEN s{b * per_band + i} > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(per_band)
+        )
+        band_selects.append(
+            f"SELECT vec_id, {b} AS band, CAST({bits} AS BIGINT) AS bucket FROM scores"
+        )
+    buckets = "\n  UNION ALL\n  ".join(band_selects)
+    cos = _sql_cos("ea.v", "eb.v")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dims AS (
+  SELECT vec_id, j, CAST(floor(x * 1000) AS BIGINT) AS q
+  FROM (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS j FROM e) t
+),
+scores AS (
+  SELECT vec_id,
+         {score_cols}
+  FROM dims GROUP BY vec_id
+),
+buckets AS (
+  {buckets}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b, round({cos}, 4) AS cos_sim
+FROM cand c
+JOIN e ea ON ea.vec_id = c.id_a
+JOIN e eb ON eb.vec_id = c.id_b
+WHERE round({cos}, 4) >= {threshold}"""
 
 
 def _kmeans_ctes(n_cells: int, n_iter: int) -> tuple[list[str], str]:
@@ -1073,6 +1138,7 @@ SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS canon_md5,
 FROM documents GROUP BY 1""",
     "dedup_minhash_lsh": _minhash_oracle(),
     "dedup_embedding_kmeans": _embedding_kmeans_oracle(0.9, 8, 2),
+    "dedup_embedding_lsh": _embedding_lsh_oracle(0.4, 16, 4),
     "dedup_simhash": _simhash_oracle(),
     "dedup_ngram_jaccard": _ngram_oracle(),
     "dedup_embedding_cosine": """

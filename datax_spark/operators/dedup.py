@@ -343,6 +343,122 @@ def embedding_near_dup_pairs_kmeans(
     )
 
 
+def embedding_lsh_buckets(
+    df: DataFrame,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket per (vector, band) — the train-free
+    block key for embedding near-dup at 100 TB (SimHash for vectors:
+    Charikar, STOC'02). Plane ``p``'s pseudo-random ±1 signs come from a
+    deterministic integer mix of (p, dim); the plane score sums the
+    vector QUANTIZED to integers (``floor(x * 1000)``), so the sign bit
+    is exact integer arithmetic — engine- and partition-order-
+    independent (float summation order can flip a near-zero sign; the
+    quantizer is part of the bucketing spec, and buckets only gate
+    candidates — the exact cosine verify decides membership). A scaled
+    copy of a vector gets identical plane scores' signs, so exact
+    duplicates share every band bucket and are never missed.
+
+    One narrow shuffle: posexplode dims → one groupBy(id) computing all
+    ``n_planes`` plane scores map-side-combined; bucket ids are pure
+    projection after that."""
+    if n_planes % n_bands:
+        raise ValueError("n_planes must divide evenly into n_bands")
+    per_band = n_planes // n_bands
+    dims = df.select(
+        F.col(id_col),
+        F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))),
+    ).select(
+        id_col,
+        (F.col("pos") + 1).alias("j"),
+        F.floor(F.col("col") * 1000).cast("long").alias("q"),
+    )
+
+    def sign(p: int) -> F.Column:
+        # deterministic ±1 from bit 13 of a Knuth-style mix of (dim, plane)
+        mixed = F.col("j") * F.lit(2654435761) + F.lit((p + 1) * 40503)
+        return 1 - 2 * ((mixed / F.lit(8192)).cast("long") % 2)
+
+    scores = dims.groupBy(id_col).agg(
+        *[F.sum(F.col("q") * sign(p)).alias(f"s{p}") for p in range(n_planes)]
+    )
+    bands = []
+    for b in range(n_bands):
+        bits = None
+        for i in range(per_band):
+            p = b * per_band + i
+            bit = F.when(F.col(f"s{p}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            bits = bit if bits is None else bits + bit
+        bands.append(
+            scores.select(
+                id_col,
+                F.lit(b).alias("band"),
+                bits.cast("long").alias("bucket"),
+            )
+        )
+    out = bands[0]
+    for extra in bands[1:]:
+        out = out.unionByName(extra)
+    return out
+
+
+def embedding_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via random-hyperplane LSH banding:
+    candidates are pairs sharing any band's bucket (equi-join on
+    (band, bucket) — never all-pairs), verified by exact cosine against
+    the original vectors. Train-free counterpart of
+    ``embedding_near_dup_pairs_kmeans``: no quantizer fit pass, the knob
+    trade-off is bands×planes (more planes/band → fewer candidates,
+    more bands → higher recall); identical vectors always collide."""
+    buckets = embedding_lsh_buckets(df, n_planes, n_bands, id_col, vec_col)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    dot = F.aggregate(
+        F.zip_with("_va", "_vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.col(c), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot / (nrm("_va") * nrm("_vb")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.99,

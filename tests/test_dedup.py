@@ -137,3 +137,57 @@ def test_embedding_kmeans_blocking_finds_planted_dups(spark, sf_dir):
     found = {(r["id_a"], r["id_b"]) for r in pairs}
     for i in range(5):
         assert (i, i + 100000) in found, found
+
+
+def test_embedding_lsh_blocking_finds_planted_dups(spark, sf_dir):
+    """Random-hyperplane LSH blocking: an exact copy has identical
+    quantized plane scores, hence identical buckets in EVERY band — a
+    planted duplicate can never be missed, with no all-pairs join and
+    no training pass."""
+    from pyspark.sql import functions as F
+
+    from datax_spark.operators.dedup import (
+        embedding_lsh_buckets,
+        embedding_lsh_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    planted = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.0)).alias("embedding"),
+    )
+    both = emb.unionByName(planted)
+    pairs = embedding_lsh_pairs(both, threshold=0.99).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    for i in range(5):
+        assert (i, i + 100000) in found, found
+
+    # a positively-scaled copy lands in the same buckets up to the
+    # floor(1000x) quantizer; with an exact copy the bucket vector is
+    # equal by construction — assert it directly
+    buckets = {
+        (r["vec_id"], r["band"]): r["bucket"]
+        for r in embedding_lsh_buckets(both).collect()
+    }
+    for i in range(5):
+        for band in range(4):
+            assert buckets[(i, band)] == buckets[(i + 100000, band)]
+
+
+def test_embedding_lsh_candidates_are_bucketed_not_all_pairs(spark, sf_dir):
+    """The candidate join must stay sparse: orthogonal-ish vectors that
+    share no band bucket never reach the verify join, so the pair count
+    is far below C(n, 2)."""
+    from datax_spark.operators.dedup import embedding_lsh_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n = emb.count()
+    # 8 planes per band -> 256 buckets per band: the production-shape
+    # sparsity (the 16/4 contract default trades sparsity for recall at
+    # the 500-vector fixture scale)
+    got = embedding_lsh_pairs(emb, threshold=-1.0, n_planes=32, n_bands=4).count()
+    assert got < n * (n - 1) // 2 * 0.25, (got, n)
