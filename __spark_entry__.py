@@ -556,6 +556,26 @@ def q_token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data prep flow (operators/curation.py):
+    lang-id + quality annotate → filter → exact dedup (window over
+    canon-hash) → MinHash-LSH near-dup drop → curated corpus rows.
+    Oracle mirrors every stage in one SQL chain."""
+    from datax_spark.operators import curation as CUR
+
+    return CUR.curate(_t(spark, sf_dir, "documents")).withColumn(
+        "n_tokens", F.col("n_tokens").cast("long")
+    )
+
+
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage retention accounting for the same pipeline: docs and
+    tokens surviving raw → lang_quality → exact_dedup → near_dup."""
+    from datax_spark.operators import curation as CUR
+
+    return CUR.funnel(_t(spark, sf_dir, "documents"))
+
+
 # ------------------------ DataX transformers -------------------------- #
 
 def q_transformer_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -681,6 +701,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id_confusion": q_lang_id_confusion,
     "doc_fingerprint": q_doc_fingerprint,
     "token_count_by_source": q_token_count_by_source,
+    "curation_pipeline": q_curation_pipeline,
+    "curation_funnel": q_curation_funnel,
     "transformer_chain": q_transformer_chain,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_wav_roundtrip": q_multimodal_wav_roundtrip,
@@ -998,6 +1020,107 @@ round(CAST((
 ) AS DOUBLE), 4)"""
 
 
+def _curation_ctes(min_quality: float, langs: tuple[str, ...]) -> str:
+    """Shared CTE chain mirroring operators/curation._stages stage by
+    stage: annotate (lang argmax + quality + token count) → lang/quality
+    filter → exact dedup via row_number over the canon md5 → MinHash-LSH
+    near-dup pairs (same construction as _minhash_oracle, over the
+    deduped set) → drop the larger id of each pair."""
+
+    def marker_count(m: str) -> str:
+        needle = f" {m} "
+        return (
+            f"CAST((length(' ' || text || ' ') - "
+            f"length(replace(' ' || text || ' ', '{needle}', ''))) / {len(needle)} AS INT)"
+        )
+
+    score = {
+        lang: " + ".join(marker_count(m) for m in markers)
+        for lang, markers in TXT.LANG_MARKERS.items()
+    }
+    lang_ids = sorted(score)
+    scols = ", ".join(f"({score[lang]}) AS s_{lang}" for lang in lang_ids)
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in lang_ids) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN s_{lang} = best THEN '{lang}'" for lang in lang_ids
+    ) + " END"
+    lang_list = ", ".join(f"'{x}'" for x in langs)
+    mins = ",\n    ".join(f"min(md5('{i}:' || tok)) AS mh{i}" for i in range(8))
+    bands = ",\n    ".join(
+        f"md5(mh{2 * b} || ',' || mh{2 * b + 1}) AS band{b}" for b in range(4)
+    )
+    buckets = ", ".join(f"'{b}:' || band{b}" for b in range(4))
+    matches = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(8)
+    )
+    return f"""
+scored AS (SELECT doc_id, source, text, {scols} FROM documents),
+best_t AS (SELECT *, {best} AS best FROM scored),
+ann AS (
+  SELECT doc_id, source, text,
+         CASE WHEN best > 0 THEN {case} ELSE 'und' END AS lang_det,
+         {_QUALITY_SQL} AS quality,
+         CAST({_REGEX_TOK_SQL} AS BIGINT) AS n_tokens
+  FROM best_t
+),
+filtered AS (
+  SELECT * FROM ann
+  WHERE quality >= {min_quality} AND lang_det IN ({lang_list})
+),
+exact AS (
+  SELECT doc_id, source, text, lang_det, quality, n_tokens FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+      ORDER BY doc_id
+    ) AS rn FROM filtered
+  ) WHERE rn = 1
+),
+tok AS (
+  SELECT DISTINCT doc_id, t.tok
+  FROM exact, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+sig AS (SELECT doc_id, {mins} FROM tok GROUP BY doc_id),
+banded AS (SELECT doc_id, {bands} FROM sig),
+bucket AS (
+  SELECT doc_id, u.bucket FROM banded, unnest([{buckets}]) AS u(bucket)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bucket a JOIN bucket b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+drops AS (
+  SELECT DISTINCT c.id_b
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b
+  WHERE CAST({matches} AS DOUBLE) / 8 >= 0.7
+),
+kept AS (
+  SELECT * FROM exact WHERE doc_id NOT IN (SELECT id_b FROM drops)
+)"""
+
+
+def _curation_pipeline_oracle() -> str:
+    return f"""
+WITH {_curation_ctes(0.8, ("en",)).strip()}
+SELECT doc_id, source, lang_det, quality, n_tokens FROM kept"""
+
+
+def _curation_funnel_oracle() -> str:
+    stages = [("raw", "ann"), ("lang_quality", "filtered"),
+              ("exact_dedup", "exact"), ("near_dup", "kept")]
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INTEGER) AS stage_idx, '{name}' AS stage,"
+        f" count(*) AS n_docs,"
+        f" CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens FROM {rel}"
+        for i, (name, rel) in enumerate(stages)
+    )
+    return f"""
+WITH {_curation_ctes(0.8, ("en",)).strip()}
+{rows}"""
+
+
 ORACLES: dict[str, str] = {
     "lww_latest_by_key": """
 SELECT user_id, event_id, ts, event_type, value FROM (
@@ -1226,6 +1349,8 @@ SELECT source, count(*) AS n_docs,
        CAST(sum({_REGEX_TOK_SQL}) AS BIGINT) AS total_regex_tokens,
        round(avg(n_chars), 2) AS avg_chars
 FROM documents GROUP BY source""",
+    "curation_pipeline": _curation_pipeline_oracle(),
+    "curation_funnel": _curation_funnel_oracle(),
     "transformer_chain": """
 SELECT doc_id,
        substr(text, 1, 20) AS head20,

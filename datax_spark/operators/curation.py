@@ -1,0 +1,185 @@
+"""End-to-end training-data curation pipeline — the composition layer
+over the text/dedup operator families (SURVEY.md §8 "training-data
+pipeline operators"; the FineWeb/SlimPajama-style prep flow a 100 TB
+Common-Crawl corpus actually runs):
+
+    annotate (lang-id, quality, token count)     one codegen projection
+      → filter by language + quality             before ANY shuffle
+      → exact dedup (canonicalized md5, LWW keep-lowest-id)
+      → near-dup removal (MinHash LSH pairs → drop larger id)
+      → curated corpus + per-stage funnel counts
+
+Scale design: annotation is a narrow JVM-codegen projection (no Python,
+no shuffle), and the cheap filters run FIRST so every downstream shuffle
+(the exact-dedup window, the MinHash token explode/agg, the LSH band
+join) sees only survivors — at web scale the quality+lang gate drops
+40-60% of pages before the first exchange. Exact dedup uses the
+window-over-canon-hash form (map-side WindowGroupLimit partial, same
+shape as the CDC engine's LWW resolve); near-dup candidates come only
+from the bucketed LSH equi-join (operators/dedup.py — never all-pairs).
+
+The drop rule for a near-dup pair (a, b) with a < b is "drop b": the
+deterministic keep-lowest-id policy FineWeb uses within clusters.
+It is intentionally non-transitive (b dropped for a does not protect c
+paired only with b) — matching the industry-standard pairwise form,
+SQL-expressible, and order-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TXT
+from . import dedup as DD
+
+
+def annotate(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document annotations in one codegen stage: detected language,
+    quality score, BPE-ish token count. Keeps all input columns."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        TXT.lang_id(t).alias("lang_det"),
+        TXT.quality_score(t).alias("quality"),
+        TXT.regex_token_count(t).alias("n_tokens"),
+    )
+
+
+def _stages(
+    df: DataFrame,
+    *,
+    min_quality: float,
+    langs: tuple[str, ...] | None,
+    k: int,
+    bands: int,
+    jaccard_threshold: float,
+    hash_fn: str,
+    id_col: str,
+    text_col: str,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(annotated, filtered, exact-deduped, near-dup-removed) frames —
+    each stage consumes the previous, so a caller materializing only the
+    last pays each shuffle once."""
+    ann = annotate(df, id_col, text_col)
+    cond = F.col("quality") >= F.lit(min_quality)
+    if langs is not None:
+        cond = cond & F.col("lang_det").isin(*langs)
+    filtered = ann.filter(cond)
+
+    canon = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
+    )
+    w = Window.partitionBy(canon).orderBy(F.col(id_col).asc())
+    exact = (
+        filtered.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    pairs = DD.minhash_lsh_pairs(
+        exact,
+        k=k,
+        bands=bands,
+        jaccard_threshold=jaccard_threshold,
+        id_col=id_col,
+        text_col=text_col,
+        hash_fn=hash_fn,
+    )
+    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    kept = exact.join(drops, id_col, "left_anti")
+    return ann, filtered, exact, kept
+
+
+def curate(
+    df: DataFrame,
+    *,
+    min_quality: float = 0.8,
+    langs: tuple[str, ...] | None = ("en",),
+    k: int = 8,
+    bands: int = 4,
+    jaccard_threshold: float = 0.7,
+    hash_fn: str = "md5",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """The curated corpus: one row per kept document with its
+    annotations — (id, *keep_cols, lang_det, quality, n_tokens)."""
+    _, _, _, kept = _stages(
+        df,
+        min_quality=min_quality,
+        langs=langs,
+        k=k,
+        bands=bands,
+        jaccard_threshold=jaccard_threshold,
+        hash_fn=hash_fn,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    return kept.select(id_col, *keep_cols, "lang_det", "quality", "n_tokens")
+
+
+def funnel(
+    df: DataFrame,
+    *,
+    min_quality: float = 0.8,
+    langs: tuple[str, ...] | None = ("en",),
+    k: int = 8,
+    bands: int = 4,
+    jaccard_threshold: float = 0.7,
+    hash_fn: str = "md5",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    persist: bool = True,
+) -> DataFrame:
+    """Per-stage retention accounting — the pipeline's lineage view:
+    (stage_idx, stage, n_docs, n_tokens) for raw → lang_quality →
+    exact_dedup → near_dup. Token counts use the same BPE-ish counter
+    the curated output reports, so 'tokens surviving to training' reads
+    straight off the last row.
+
+    The four stage rows are four consumers of one lineage; without
+    ``persist`` each would re-run the whole upstream chain (four corpus
+    scans, two MinHash passes — untenable at 100 TB). ``persist=True``
+    caches the two frames consumed more than once (``filtered`` and
+    ``exact`` — narrow projections, annotations plus text) so the raw
+    scan runs once and the MinHash chain reads the cached survivors.
+    The raw row deliberately aggregates straight off the source scan —
+    caching the full un-filtered corpus would be the expensive thing."""
+    ann, filtered, exact, kept = _stages(
+        df,
+        min_quality=min_quality,
+        langs=langs,
+        k=k,
+        bands=bands,
+        jaccard_threshold=jaccard_threshold,
+        hash_fn=hash_fn,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    if persist:
+        filtered.persist()
+        exact.persist()
+    out = None
+    for idx, (name, frame) in enumerate(
+        [
+            ("raw", ann),
+            ("lang_quality", filtered),
+            ("exact_dedup", exact),
+            ("near_dup", kept),
+        ]
+    ):
+        row = frame.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        ).select(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+            "n_tokens",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

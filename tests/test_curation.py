@@ -1,0 +1,86 @@
+"""Curation pipeline (operators/curation.py): planted-document tests —
+each stage must drop exactly the planted offender and nothing else."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datax_spark.operators import curation as CUR
+
+# A high-quality English base document: >100 chars, stopword-rich,
+# mean word length in band, low punctuation.
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and then the fox "
+    "runs to the river for a drink of water because it is warm today "
+    "and the sun is high in the sky over the green field"
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    # 0..3: distinct good docs; 4: exact dup of 0 (whitespace variant);
+    # 5: near-dup of 0 (two words changed); 6: German; 7: low-quality.
+    variants = [
+        GOOD,
+        "it is a truth universally acknowledged that a single man in "
+        "possession of a good fortune must be in want of a wife and "
+        "the whole town knows this to be the case every single year",
+        "call me ishmael some years ago never mind how long precisely "
+        "having little or no money in my purse i thought i would sail "
+        "about a little and see the watery part of the world for fun",
+        "in the beginning the engineers built a small tool to move "
+        "rows between databases and the tool grew until it could sync "
+        "almost anything to anything else at a very large scale daily",
+        "  " + GOOD.replace("  ", " ") + "  ",
+        GOOD.replace("fox", "cat").replace("warm", "cold"),
+        "der hund und die katze sind im haus und das ist gut so denn "
+        "die sonne ist warm und der tag ist lang und das wetter ist "
+        "gut und die kinder spielen im garten bei dem haus",
+        "zzz qqq xxx! @@@ ###",
+    ]
+    return _docs(
+        spark,
+        [(i, f"s{i % 2}", t) for i, t in enumerate(variants)],
+    )
+
+
+def test_funnel_counts(planted):
+    rows = {r["stage"]: r for r in CUR.funnel(planted).collect()}
+    assert rows["raw"]["n_docs"] == 8
+    # lang/quality: drops the German doc (6) and the junk doc (7)
+    assert rows["lang_quality"]["n_docs"] == 6
+    # exact dedup: canonicalization collapses 4 onto 0
+    assert rows["exact_dedup"]["n_docs"] == 5
+    # near-dup: 5 is a two-word edit of 0 -> dropped (larger id)
+    assert rows["near_dup"]["n_docs"] == 4
+    # token accounting is monotone down the funnel
+    toks = [rows[s]["n_tokens"] for s in ("raw", "lang_quality", "exact_dedup", "near_dup")]
+    assert toks == sorted(toks, reverse=True)
+    assert rows["near_dup"]["n_tokens"] > 0
+
+
+def test_curate_keeps_expected_ids(planted):
+    kept = CUR.curate(planted)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 1, 2, 3]
+    row = kept.filter(F.col("doc_id") == 0).first()
+    assert row["lang_det"] == "en"
+    assert row["quality"] >= 0.8
+    assert row["n_tokens"] > 30
+    assert row["source"] == "s0"
+
+
+def test_curate_annotations_survive_column_pruning(planted):
+    # the pipeline must not require any column beyond (id, text, keeps)
+    out = CUR.curate(planted.select("doc_id", "source", "text"))
+    assert set(out.columns) == {"doc_id", "source", "lang_det", "quality", "n_tokens"}
+
+
+def test_language_allowlist_none_keeps_all_langs(planted):
+    kept = CUR.curate(planted, langs=None)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert 6 in ids  # German doc passes with no language gate
