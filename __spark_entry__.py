@@ -556,6 +556,34 @@ def q_token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _relined(df: DataFrame) -> DataFrame:
+    """The synthetic documents are single-line word streams; line-level
+    operators need line structure, so both engines apply the SAME
+    mechanical re-lining first: a newline after every 12th word."""
+    return df.withColumn(
+        "text", F.regexp_replace("text", r"((\S+ ){11}\S+) ", "$1\n")
+    )
+
+
+def q_line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/CCNet-style corpus line dedup: repeated lines survive only at
+    their first (doc, position) occurrence; documents are reconstructed
+    from surviving lines."""
+    return DD.line_dedup(_relined(_t(spark, sf_dir, "documents")))
+
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: top-2-gram fraction
+    (linear run-length scan over the sorted gram array) and in-document
+    duplicate-line fraction."""
+    docs = _relined(_t(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        TXT.top_ngram_frac(F.col("text"), 2).alias("top_2gram_frac"),
+        TXT.dup_line_frac(F.col("text")).alias("dup_line_frac"),
+    )
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data prep flow (operators/curation.py):
     lang-id + quality annotate → filter → exact dedup (window over
@@ -703,6 +731,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count_by_source": q_token_count_by_source,
     "curation_pipeline": q_curation_pipeline,
     "curation_funnel": q_curation_funnel,
+    "line_dedup_corpus": q_line_dedup_corpus,
+    "repetition_signals": q_repetition_signals,
     "transformer_chain": q_transformer_chain,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_wav_roundtrip": q_multimodal_wav_roundtrip,
@@ -1018,6 +1048,13 @@ round(CAST((
                 THEN CAST({_PUNCT_SQL} AS DOUBLE) / length(text) ELSE 0.0 END) <= 0.2
          THEN 1.0 ELSE 0.2 END) * 0.2
 ) AS DOUBLE), 4)"""
+
+
+# the same mechanical re-lining q_line_dedup_corpus applies Spark-side
+_RELINED_CTE = r"""relined AS (
+  SELECT doc_id, regexp_replace(text, '((\S+ ){11}\S+) ', '\1' || chr(10), 'g') AS text
+  FROM documents
+)"""
 
 
 def _curation_ctes(min_quality: float, langs: tuple[str, ...]) -> str:
@@ -1351,6 +1388,55 @@ SELECT source, count(*) AS n_docs,
 FROM documents GROUP BY source""",
     "curation_pipeline": _curation_pipeline_oracle(),
     "curation_funnel": _curation_funnel_oracle(),
+    "line_dedup_corpus": f"""
+WITH {_RELINED_CTE},
+lines AS (
+  SELECT t.doc_id, t.line, t.pos
+  FROM (
+    SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+           generate_subscripts(string_split(text, chr(10)), 1) AS pos
+    FROM relined
+  ) t(doc_id, line, pos)
+  WHERE trim(t.line) <> ''
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, pos) AS rn
+  FROM lines
+)
+SELECT doc_id,
+       string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY pos) AS text,
+       CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n_lines_kept,
+       CAST(count(*) FILTER (rn > 1) AS BIGINT) AS n_lines_dropped
+FROM ranked GROUP BY doc_id
+HAVING count(*) FILTER (rn = 1) > 0""",
+    "repetition_signals": f"""
+WITH {_RELINED_CTE},
+toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM relined
+),
+grams AS (
+  SELECT doc_id,
+         unnest([tk[i] || ' ' || tk[i + 1] FOR i IN generate_series(1, len(tk) - 1)]) AS g
+  FROM toks WHERE len(tk) >= 2
+),
+gc AS (
+  SELECT doc_id, max(c) AS top, sum(c) AS total
+  FROM (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2)
+  GROUP BY 1
+),
+ls AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lns
+  FROM relined
+)
+SELECT ls.doc_id,
+       coalesce(round(CAST(gc.top AS DOUBLE) / gc.total, 4), 0.0) AS top_2gram_frac,
+       CASE WHEN len(lns) > 0
+            THEN round(1 - CAST(len(list_distinct(lns)) AS DOUBLE) / len(lns), 4)
+            ELSE 0.0 END AS dup_line_frac
+FROM ls LEFT JOIN gc ON gc.doc_id = ls.doc_id""",
     "transformer_chain": """
 SELECT doc_id,
        substr(text, 1, 20) AS head20,

@@ -497,3 +497,64 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    sep: str = "\n",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level line (paragraph) dedup, C4/CCNet-style: every line
+    that occurs more than once across the corpus survives only at its
+    FIRST occurrence (ordered by (doc, position) — deterministic), all
+    later copies are cut out of their documents, and documents are
+    reconstructed from their surviving lines. Boilerplate that repeats
+    across a template site (nav text, footers, cookie banners) vanishes
+    from every page but the first one crawled.
+
+    Returns (id, text, n_lines_kept, n_lines_dropped); documents whose
+    every line was dropped disappear (they contributed nothing novel).
+    Whitespace-only lines are canonicalized away entirely.
+
+    Scale shape: one shuffle keyed on the line hash (the global
+    first-occurrence window — lines of one hash are colocated, so the
+    window state per key is the tiny rank counter) and one groupBy(doc)
+    to reassemble. Line text rides both exchanges; a hash-only ranking
+    pass plus a join back would halve shuffle bytes at the cost of an
+    extra join — worth it only when lines are long (the window form is
+    the default because boilerplate lines are short and the join adds a
+    third shuffle of the wide side).
+    """
+    from pyspark.sql import Window
+
+    lines = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), sep, -1)).alias("pos", "line"),
+        )
+        .filter(F.trim(F.col("line")) != "")
+    )
+    w = Window.partitionBy(F.md5(F.col("line"))).orderBy(
+        F.col(id_col).asc(), F.col("pos").asc()
+    )
+    ranked = lines.withColumn("_rn", F.row_number().over(w))
+    kept = F.when(F.col("_rn") == 1, F.struct(F.col("pos"), F.col("line")))
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(F.collect_list(kept)), lambda s: s["line"]
+                ),
+            ).alias(text_col),
+            F.sum(F.when(F.col("_rn") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_lines_kept"),
+            F.sum(F.when(F.col("_rn") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_lines_dropped"),
+        )
+        .filter(F.col("n_lines_kept") > 0)
+    )

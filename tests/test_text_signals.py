@@ -1,0 +1,74 @@
+"""Repetition signals (functions/text.py) and corpus line dedup
+(operators/dedup.line_dedup): planted-boilerplate tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datax_spark.functions.text import dup_line_frac, top_ngram_frac, word_ngrams
+from datax_spark.operators.dedup import line_dedup
+
+FOOTER = "copyright acme corp all rights reserved"
+
+
+def test_top_ngram_frac_hand_values(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "a b a b a b c"),  # grams: ab ba ab ba ab bc -> 3/6
+            (1, "w x y z"),        # all grams unique -> 1/3
+            (2, "solo"),           # no 2-grams
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["f"]
+        for r in df.select("doc_id", top_ngram_frac(F.col("text")).alias("f")).collect()
+    }
+    assert got == {0: 0.5, 1: round(1 / 3, 4), 2: 0.0, 3: 0.0}
+
+
+def test_word_ngrams_trigram(spark):
+    df = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+    row = df.select(word_ngrams(F.col("text"), 3).alias("g")).first()
+    assert row["g"] == ["a b c", "b c d"]
+
+
+def test_dup_line_frac(spark):
+    df = spark.createDataFrame(
+        [(0, "x\ny\nx\n\n  \nz"), (1, "a\nb")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["f"]
+        for r in df.select("doc_id", dup_line_frac(F.col("text")).alias("f")).collect()
+    }
+    # doc 0: non-blank lines x y x z -> 1 repeat of 4
+    assert got == {0: 0.25, 1: 0.0}
+
+
+def test_line_dedup_drops_boilerplate_keeps_first(spark):
+    df = spark.createDataFrame(
+        [
+            (0, f"alpha beta\n{FOOTER}"),
+            (1, f"{FOOTER}\ngamma delta"),
+            (2, FOOTER),  # contributes nothing novel -> vanishes
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    assert set(out) == {0, 1}
+    assert out[0]["text"] == f"alpha beta\n{FOOTER}"
+    assert out[0]["n_lines_dropped"] == 0
+    assert out[1]["text"] == "gamma delta"
+    assert out[1]["n_lines_kept"] == 1 and out[1]["n_lines_dropped"] == 1
+
+
+def test_line_dedup_preserves_order_and_within_doc_repeats(spark):
+    # within one doc the SECOND copy of a line is also a later
+    # occurrence -> cut; surviving lines keep their original order
+    df = spark.createDataFrame(
+        [(7, "one\ntwo\none\nthree")], "doc_id long, text string"
+    )
+    row = line_dedup(df).first()
+    assert row["text"] == "one\ntwo\nthree"
+    assert row["n_lines_kept"] == 3 and row["n_lines_dropped"] == 1
