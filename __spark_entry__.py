@@ -556,6 +556,50 @@ def q_token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_urls(df: DataFrame) -> DataFrame:
+    """Deterministic raw URL per document (pure function of doc_id,
+    rebuilt identically by the oracle): rotates through the whole
+    canonicalization surface — upper-case scheme/host, leading www,
+    default and non-default ports, empty paths, tracking params in
+    unsorted company, fragments, and a non-URL row."""
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    scheme = F.when(i % 7 == 0, F.lit("http")).otherwise(F.lit("HTTPS"))
+    port = (
+        F.when((i % 3 == 0) & (i % 7 == 0), F.lit(":80"))
+        .when(i % 3 == 0, F.lit(":443"))
+        .when(i % 3 == 1, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = F.when(i % 4 == 0, F.lit("")).otherwise(F.concat(F.lit("/p/"), s(i)))
+    query = (
+        F.when(i % 5 == 0, F.concat(F.lit("?utm_source=feed&b="), s(i), F.lit("&a=1")))
+        .when(i % 5 == 1, F.concat(F.lit("?gclid="), s(i)))
+        .when(i % 5 == 2, F.lit("?z=2&y=1&utm_campaign=x"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(i % 2 == 0, F.concat(F.lit("#s"), s(i))).otherwise(F.lit(""))
+    raw = F.concat(
+        scheme, F.lit("://WWW.Site"), s(i % 20), F.lit(".COM"),
+        port, path, query, frag,
+    )
+    raw = F.when(i % 97 == 0, F.lit("not_a_url")).otherwise(raw)
+    return df.select("doc_id", raw.alias("raw_url"))
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen URL canonicalization (functions/url.py spec) + hot-domain
+    key over the synthesized per-doc URLs."""
+    from datax_spark.functions import url as URL
+
+    d = _synth_urls(_t(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        URL.canonical_url(F.col("raw_url")).alias("canon_url"),
+        URL.url_domain(F.col("raw_url")).alias("domain"),
+    )
+
+
 def _relined(df: DataFrame) -> DataFrame:
     """The synthetic documents are single-line word streams; line-level
     operators need line structure, so both engines apply the SAME
@@ -733,6 +777,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_funnel": q_curation_funnel,
     "line_dedup_corpus": q_line_dedup_corpus,
     "repetition_signals": q_repetition_signals,
+    "url_canonicalize": q_url_canonicalize,
     "transformer_chain": q_transformer_chain,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_wav_roundtrip": q_multimodal_wav_roundtrip,
@@ -1048,6 +1093,59 @@ round(CAST((
                 THEN CAST({_PUNCT_SQL} AS DOUBLE) / length(text) ELSE 0.0 END) <= 0.2
          THEN 1.0 ELSE 0.2 END) * 0.2
 ) AS DOUBLE), 4)"""
+
+
+_URL_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)\??([^#]*)"
+
+_URL_ORACLE = rf"""
+WITH synth AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 = 0 THEN 'not_a_url' ELSE
+           (CASE WHEN doc_id % 7 = 0 THEN 'http' ELSE 'HTTPS' END)
+           || '://WWW.Site' || CAST(doc_id % 20 AS VARCHAR) || '.COM'
+           || (CASE WHEN doc_id % 3 = 0 AND doc_id % 7 = 0 THEN ':80'
+                    WHEN doc_id % 3 = 0 THEN ':443'
+                    WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END)
+           || (CASE WHEN doc_id % 4 = 0 THEN ''
+                    ELSE '/p/' || CAST(doc_id AS VARCHAR) END)
+           || (CASE WHEN doc_id % 5 = 0
+                    THEN '?utm_source=feed&b=' || CAST(doc_id AS VARCHAR) || '&a=1'
+                    WHEN doc_id % 5 = 1 THEN '?gclid=' || CAST(doc_id AS VARCHAR)
+                    WHEN doc_id % 5 = 2 THEN '?z=2&y=1&utm_campaign=x' ELSE '' END)
+           || (CASE WHEN doc_id % 2 = 0 THEN '#s' || CAST(doc_id AS VARCHAR) ELSE '' END)
+         END AS raw_url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id,
+         lower(regexp_extract(u, '{_URL_RE}', 1)) AS scheme,
+         lower(regexp_extract(u, '{_URL_RE}', 2)) AS rawhost,
+         regexp_extract(u, '{_URL_RE}', 3) AS path,
+         regexp_extract(u, '{_URL_RE}', 4) AS query
+  FROM (SELECT doc_id, regexp_replace(trim(raw_url), '#.*$', '') AS u FROM synth) t
+),
+norm AS (
+  SELECT doc_id, scheme,
+         CASE WHEN scheme = 'http'
+              THEN regexp_replace(regexp_replace(rawhost, '^www\.', ''), ':80$', '')
+              WHEN scheme = 'https'
+              THEN regexp_replace(regexp_replace(rawhost, '^www\.', ''), ':443$', '')
+              ELSE regexp_replace(rawhost, '^www\.', '') END AS host,
+         regexp_replace(regexp_replace(rawhost, '^www\.', ''), ':[0-9]+$', '') AS domain,
+         CASE WHEN path = '' THEN '/' ELSE path END AS path,
+         coalesce(array_to_string(list_sort(list_filter(string_split(query, '&'),
+           p -> p <> ''
+             AND left(string_split(p, '=')[1], 4) <> 'utm_'
+             AND string_split(p, '=')[1] NOT IN ('gclid', 'fbclid', 'ref'))), '&'), '') AS q
+  FROM parts
+)
+SELECT doc_id,
+       CASE WHEN scheme <> '' AND host <> ''
+            THEN scheme || '://' || host || path
+                 || (CASE WHEN q = '' THEN '' ELSE '?' || q END)
+            ELSE NULL END AS canon_url,
+       domain
+FROM norm"""
 
 
 # the same mechanical re-lining q_line_dedup_corpus applies Spark-side
@@ -1388,6 +1486,7 @@ SELECT source, count(*) AS n_docs,
 FROM documents GROUP BY source""",
     "curation_pipeline": _curation_pipeline_oracle(),
     "curation_funnel": _curation_funnel_oracle(),
+    "url_canonicalize": _URL_ORACLE,
     "line_dedup_corpus": f"""
 WITH {_RELINED_CTE},
 lines AS (
