@@ -405,6 +405,9 @@ def run_cdc_job(spark: SparkSession, spec: dict[str, Any]):
         bytes_per_epoch=settings.get("speed", {}).get("bytePerEpoch"),
         error_budget=err,
         merge_strategy=writer.get("mergeStrategy", "auto"),
+        # collapse tracking-param/case/port URL variants onto one
+        # canonical key before partitioning (functions/url.py spec)
+        canonicalize_urls=reader.get("canonicalizeUrl", False),
     )
     driver.run()
     return driver

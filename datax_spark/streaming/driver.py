@@ -47,6 +47,7 @@ class EpochDriver:
         max_delete_debt: float | None = 0.5,
         max_files_per_partition: int | None = None,
         expire_keep_last: int | None = None,
+        canonicalize_urls: bool = False,
     ):
         self.spark = spark
         self.source = source
@@ -92,6 +93,14 @@ class EpochDriver:
         # endurance drive held ~21k physical files for ~1k live ones).
         # Time travel / incremental reads reach back exactly K snapshots.
         self.expire_keep_last = expire_keep_last
+        # map the key column through functions/url.canonical_url before
+        # every apply: tracking-param/case/port variants of one page
+        # collapse onto ONE canonical key (one LSN history, one stored
+        # row) and non-URL keys become NULL → quarantined by the dirty
+        # rules. A pure deterministic projection, so replay reproduces
+        # identical batches; the per-row lsn guard already makes the
+        # merged histories' late events no-ops.
+        self.canonicalize_urls = canonicalize_urls
 
     # ---------------- checkpoint log ---------------- #
     def _offset_path(self, epoch: int) -> Path:
@@ -126,6 +135,13 @@ class EpochDriver:
             batch = self.source.read_row_range(start, end, self.ckpt / "slices")
         else:
             batch = self.source.read_range(start, end)
+        if self.canonicalize_urls:
+            from pyspark.sql import functions as F
+
+            from datax_spark.functions.url import canonical_url
+
+            key = self.table.key_column
+            batch = batch.withColumn(key, canonical_url(F.col(key)))
         stats = apply_epoch(
             self.table,
             batch,

@@ -63,3 +63,78 @@ def test_url_parts_raw_split(spark):
     assert (p["scheme"], p["host"], p["path"], p["query"]) == (
         "HTTPS", "Host.com", "/p/q", "a=1"
     )
+
+
+def test_cdc_canonicalize_urls_collapses_variants(spark, tmp_path):
+    """Driver integration: with canonicalize_urls=True, tracking-param /
+    case / default-port variants of one page share one canonical key
+    (LWW across the merged LSN history), non-URL keys quarantine, and
+    replay stays a no-op."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from datax_spark.icetable.table import IceTable
+    from datax_spark.streaming.driver import EpochDriver
+    from datax_spark.streaming.source import ChangeTailSource
+
+    ts = dt.datetime(2026, 1, 1)
+    v1, v2, v3 = (b"<html><body>v%d</body></html>" % i for i in (1, 2, 3))
+    events = {
+        "lsn": [1, 2, 3, 4],
+        "op": ["I", "U", "I", "I"],
+        "url": [
+            "https://www.a.com/p?utm_source=x",   # variant 1
+            "HTTPS://A.COM:443/p",                # variant 2, later lsn
+            "junk-url",                           # canon -> NULL -> dirty
+            "https://b.com/q",
+        ],
+        "warc_ts": [ts] * 4,
+        "html": [v1, v2, v3, v3],
+        "lang": ["en"] * 4,
+    }
+    ev_dir = tmp_path / "ev"
+    ev_dir.mkdir()
+    pq.write_table(
+        pa.table(
+            events,
+            schema=pa.schema(
+                [
+                    ("lsn", pa.int64()),
+                    ("op", pa.string()),
+                    ("url", pa.string()),
+                    ("warc_ts", pa.timestamp("us")),
+                    ("html", pa.binary()),
+                    ("lang", pa.string()),
+                ]
+            ),
+        ),
+        ev_dir / "events-e00000.parquet",
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("html", T.BinaryType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    table = IceTable.create(spark, tmp_path / "t", schema, num_partitions=4)
+    drv = EpochDriver(
+        spark,
+        ChangeTailSource(spark, ev_dir),
+        table,
+        tmp_path / "ck",
+        canonicalize_urls=True,
+    )
+    stats = drv.run()
+    assert len(stats) == 1 and stats[0].rows_dirty == 1
+    rows = {r["url"]: r for r in table.read().collect()}
+    assert set(rows) == {"https://a.com/p", "https://b.com/q"}
+    # the lsn-2 variant wins the merged history
+    assert rows["https://a.com/p"]["html"] == v2
+    assert drv.table.read_quarantine().count() == 1
+    assert all(s.skipped for s in drv.replay())
