@@ -55,6 +55,11 @@ HEADLINE = [
     "ann_ivf_trained_topk",
     "multimodal_meta",
     "multimodal_wav_roundtrip",
+    "dedup_embedding_lsh",
+    "line_dedup_corpus",
+    "repetition_signals",
+    "url_canonicalize",
+    "curation_pipeline",
 ]
 
 CDC_EVENTS = int(os.environ.get("DATAX_BENCH_EVENTS", "1000000"))

@@ -125,6 +125,11 @@ class EpochDriver:
         )
 
     def _record_commit(self, epoch: int, stats: EpochStats) -> None:
+        if stats.skipped and self._commit_path(epoch).exists():
+            # replayed no-op: keep the original commit record (its
+            # wall_ms is the real apply cost; overwriting would zero
+            # the job report's throughput accounting)
+            return
         self._commit_path(epoch).write_text(
             json.dumps({"version": stats.version, "wall_ms": stats.wall_ms})
         )
@@ -260,6 +265,37 @@ class EpochDriver:
         for pid in sorted(del_rows):
             if del_rows[pid] / max(data_rows.get(pid, 0), 1) > bound * (1 + (pid % mod) / mod):
                 self.table.compact_partition(pid)
+
+    def report(self) -> dict:
+        """DataX-style end-of-job statistics, folded from the commit log
+        and the table's lineage rows: totals plus effective throughput.
+        Driver-side cost is O(epochs + lineage rows)."""
+        epochs = self.recorded_epochs()
+        wall_ms = 0
+        for e in epochs:
+            p = self._commit_path(e)
+            if p.exists():
+                wall_ms += json.loads(p.read_text()).get("wall_ms", 0) or 0
+        from pyspark.sql import functions as F
+
+        totals = {"rows_in": 0, "rows_upserted": 0, "rows_deleted": 0, "rows_dirty": 0}
+        agg = self.table.read_lineage().agg(
+            *[F.coalesce(F.sum(c), F.lit(0)).alias(c) for c in totals]
+        ).first()
+        totals = {c: int(agg[c]) for c in totals}
+        rows_total = totals["rows_in"] + totals["rows_dirty"]
+        return {
+            "epochs": len(epochs),
+            "wall_ms": wall_ms,
+            **totals,
+            "dirty_pct": round(100.0 * totals["rows_dirty"] / rows_total, 4)
+            if rows_total
+            else 0.0,
+            "events_per_sec": round(rows_total / (wall_ms / 1000.0), 1)
+            if wall_ms
+            else 0.0,
+            "table_version": self.table.current_version(),
+        }
 
     def replay(self, from_epoch: int = 0) -> list[EpochStats]:
         """Re-apply recorded offset ranges; idempotent commits make every

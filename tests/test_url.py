@@ -138,3 +138,7 @@ def test_cdc_canonicalize_urls_collapses_variants(spark, tmp_path):
     assert rows["https://a.com/p"]["html"] == v2
     assert drv.table.read_quarantine().count() == 1
     assert all(s.skipped for s in drv.replay())
+    rep = drv.report()
+    assert rep["epochs"] == 1 and rep["rows_in"] == 3 and rep["rows_dirty"] == 1
+    assert rep["rows_upserted"] == 2  # two canonical keys survive
+    assert rep["dirty_pct"] == 25.0 and rep["events_per_sec"] > 0

@@ -58,6 +58,8 @@ def main(argv: list[str]) -> int:
                 driver.table.metadata()["summary"]["total_rows"],
             )
         )
+        # DataX-style end-of-job statistics (speed, records, dirty%)
+        print("report=" + json.dumps(driver.report(), sort_keys=True))
     else:
         df = run_batch_job(spark, spec)
         print(f"rows={df.count()}")
