@@ -53,7 +53,6 @@ Scale notes (the parts that matter at 10^10 events / 100 TB):
 from __future__ import annotations
 
 import time
-from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -126,54 +125,63 @@ def apply_epoch(
     clean, dirty = split_dirty(events)
     do_extract = extract and "html" in clean.columns
 
-    # ---- driver-side stats: bounded by P, not by data volume ----------- #
-    # Both stat jobs read only (url, lsn, op) — parquet column pruning
-    # means NEITHER touches the html payload; the narrow LWW shuffles
-    # ~24 bytes/row instead of whole pages. The wide plan (`resolved`,
-    # with extraction) is NOT persisted and NOT materialized here: its
-    # single consumer is the merge-write pass below, so payload bytes
-    # cross the engine exactly once per epoch. The two jobs run
-    # concurrently.
+    # ---- driver-side stats: ONE narrow job, bounded by P --------------- #
+    # The stat job reads only (url, lsn, op) — parquet column pruning
+    # never touches the html payload. It computes BOTH the raw
+    # per-(pid, dirty) input counts and the per-pid resolved-key stats
+    # (key count, last-op deletes, lsn watermark, url envelope) in one
+    # two-level aggregation: per (pid, dirty, key) first — max_by(op,
+    # lsn) is exactly the LWW winner, and the partial agg combines
+    # map-side, so the shuffle carries one row per key instead of one
+    # per event (the previous window-based form shuffled every event
+    # row, and needed a second concurrent job for the raw counts).
+    # The wide plan (`resolved`, with extraction) is NOT persisted and
+    # NOT materialized here: its single consumer is the merge-write
+    # pass below, so payload bytes cross the engine exactly once.
     from datax_spark.operators.quarantine import dirty_predicate
 
     narrow = clean.select(key, "lsn", "op").withColumn(
         "_pid", url_partition(key, num_p)
     )
-    # per-key last op on narrow columns: same pids, envelopes, watermarks
-    # and key/delete counts as the wide resolve (LWW never drops a key)
+    # per-key last op on narrow columns, reused lazily by the bloom /
+    # delete-key paths below: same winners as the wide resolve
     narrow_stats_strategy = "window" if lww_strategy == "auto" else lww_strategy
     narrow_last = lww_resolve(
         narrow, key=key, order="lsn", strategy=narrow_stats_strategy
     )
 
-    def _pid_stats():
-        return (
-            narrow_last.groupBy("_pid")
-            .agg(
-                F.count(F.lit(1)).alias("n_keys"),
-                F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_del"),
-                F.max("lsn").alias("max_lsn"),
-                F.min(key).alias("min_url"),
-                F.max(key).alias("max_url"),
-            )
-            .collect()
+    per_key = (
+        events.select(
+            url_partition(key, num_p).alias("_pid"),
+            dirty_predicate().alias("_dirty"),
+            F.col(key).alias("_k"),
+            F.col("lsn"),
+            F.col("op"),
         )
-
-    def _in_stats():
-        return (
-            events.groupBy(
-                dirty_predicate().alias("_dirty"),
-                url_partition(key, num_p).alias("_pid"),
-            )
-            .agg(F.count(F.lit(1)).alias("rows_in"))
-            .collect()
+        .groupBy("_pid", "_dirty", "_k")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max_by("op", "lsn").alias("last_op"),
+            F.max("lsn").alias("max_lsn"),
         )
-
-    with ThreadPoolExecutor(max_workers=2) as ex:
-        pid_fut, in_fut = ex.submit(_pid_stats), ex.submit(_in_stats)
-        pid_rows, in_rows = pid_fut.result(), in_fut.result()
-    rows_in_by_pid = {r["_pid"]: r["rows_in"] for r in in_rows if not r["_dirty"]}
-    dirty_by_pid = {r["_pid"]: r["rows_in"] for r in in_rows if r["_dirty"]}
+    )
+    stat_rows = (
+        per_key.groupBy("_pid", "_dirty")
+        .agg(
+            F.sum("n_rows").alias("rows_in"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.when(F.col("last_op") == "D", 1).otherwise(0)).alias("n_del"),
+            F.max("max_lsn").alias("max_lsn"),
+            F.min("_k").alias("min_url"),
+            F.max("_k").alias("max_url"),
+        )
+        .collect()
+    )
+    pid_rows = [r for r in stat_rows if not r["_dirty"]]
+    rows_in_by_pid = {r["_pid"]: int(r["rows_in"]) for r in pid_rows}
+    dirty_by_pid = {
+        r["_pid"]: int(r["rows_in"]) for r in stat_rows if r["_dirty"]
+    }
     stats.rows_in = sum(rows_in_by_pid.values())
     stats.rows_dirty = sum(dirty_by_pid.values())
     check_error_budget(stats.rows_in + stats.rows_dirty, stats.rows_dirty, error_budget)
