@@ -510,6 +510,27 @@ def q_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("probe_cell", F.col("probe_cell").cast("bigint"))
 
 
+def q_ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED IVF index (operators/ann_index.py): build-once artifact
+    (trained quantizer + cell-partitioned corpus + centroid table on
+    disk), probe reads only the probed cells' partitions. Same params
+    and queries as ann_ivf_trained_topk, and the SAME oracle — the
+    persistence round trip must not change a single result row."""
+    import hashlib
+
+    from datax_spark.operators.ann_index import IvfIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    key = hashlib.md5(f"{sf_dir}|8|2".encode()).hexdigest()[:12]
+    root = Path(tempfile.gettempdir()) / f"datax_ivf_index_{key}"
+    try:
+        idx = IvfIndex(spark, root)
+    except (FileNotFoundError, ValueError):
+        idx = IvfIndex.build(emb, root, n_cells=8, n_iter=2)
+    out = idx.probe(emb.filter(F.col("vec_id") < 8), k=3, n_probe=1)
+    return out.withColumn("probe_cell", F.col("probe_cell").cast("bigint"))
+
+
 # --------------------------- text analysis ---------------------------- #
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -769,6 +790,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
+    "ann_ivf_index_topk": q_ann_ivf_index_topk,
     "text_stats": q_text_stats,
     "lang_id_confusion": q_lang_id_confusion,
     "doc_fingerprint": q_doc_fingerprint,
@@ -1464,6 +1486,7 @@ ranked AS (
 SELECT query_id, probe_cell, neighbor_id, round(cs, 4) AS cos_sim, rank
 FROM ranked WHERE rank <= 3""",
     "ann_ivf_trained_topk": _ivf_trained_oracle(n_cells=8, n_iter=2, k=3),
+    "ann_ivf_index_topk": _ivf_trained_oracle(n_cells=8, n_iter=2, k=3),
     "text_stats": f"""
 SELECT doc_id,
        {_WS_TOK_SQL} AS n_ws_tokens,

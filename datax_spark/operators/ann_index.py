@@ -1,0 +1,157 @@
+"""Persisted IVF index — similarity search as a BUILD-ONCE artifact.
+
+``operators/similarity.ivf_trained_topk`` retrains the quantizer on
+every call; real serving builds the index once and probes it many
+times. ``IvfIndex.build`` trains the spherical k-means quantizer
+(``train_kmeans_cells`` — deterministic, sample-trainable), tags the
+corpus, and persists:
+
+    <root>/meta.json                   params + counts (atomic publish)
+    <root>/centroids/                  (cell, centroid) parquet, tiny
+    <root>/corpus/cell=<c>/*.parquet   corpus rows partitioned by cell
+
+``probe`` assigns queries to their ``n_probe`` nearest centroids from
+the broadcast centroid table, then scans ONLY the probed cells'
+partition directories (Hive-style partition pruning on ``cell=``, the
+physical realization of "IVF probes touch 1/n_cells of the corpus").
+Output is column-identical to ``ivf_topk`` / ``ivf_trained_topk`` and
+bit-equal to an unpersisted ``ivf_trained_topk`` run with the same
+params (differential-tested) — persistence must not change results.
+
+At 10^9 vectors the corpus copy under the index root is the standard
+IVF trade (an inverted file IS a cell-clustered copy); incremental
+adds go to their assigned cell's directory without touching others.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datax_spark.operators.similarity import (
+    _as_double,
+    _ranked_topk,
+    cell_centroids,
+    cosine,
+    train_kmeans_cells,
+)
+
+FORMAT = "ivf-index/1"
+
+
+class IvfIndex:
+    def __init__(self, spark: SparkSession, root: str | Path):
+        self.spark = spark
+        self.root = Path(root)
+        meta_path = self.root / "meta.json"
+        if not meta_path.exists():
+            raise FileNotFoundError(f"no IVF index at {self.root}")
+        self.meta = json.loads(meta_path.read_text())
+        if self.meta.get("format") != FORMAT:
+            raise ValueError(f"unknown index format {self.meta.get('format')!r}")
+
+    # ---------------- build ---------------- #
+    @staticmethod
+    def build(
+        corpus: DataFrame,
+        root: str | Path,
+        n_cells: int = 8,
+        n_iter: int = 2,
+        train_fraction: float = 1.0,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IvfIndex":
+        """Train + tag + persist. The meta.json write is last (publish
+        point): a crashed build leaves no loadable index."""
+        root = Path(root)
+        spark = corpus.sparkSession
+        cells = train_kmeans_cells(
+            corpus, n_cells, n_iter, id_col, vec_col, train_fraction=train_fraction
+        )
+        tagged = corpus.join(cells, id_col).select(
+            F.col(id_col), _as_double(F.col(vec_col)).alias(vec_col), "cell"
+        )
+        tagged.write.mode("overwrite").partitionBy("cell").parquet(
+            str(root / "corpus")
+        )
+        tagged_back = spark.read.parquet(str(root / "corpus"))
+        cents = cell_centroids(tagged_back, "cell", vec_col)
+        cents.coalesce(1).write.mode("overwrite").parquet(str(root / "centroids"))
+        n_rows = tagged_back.count()
+        (root / "meta.json").write_text(
+            json.dumps(
+                {
+                    "format": FORMAT,
+                    "n_cells": n_cells,
+                    "n_iter": n_iter,
+                    "train_fraction": train_fraction,
+                    "id_col": id_col,
+                    "vec_col": vec_col,
+                    "rows": n_rows,
+                },
+                indent=2,
+            )
+        )
+        return IvfIndex(spark, root)
+
+    # ---------------- read side ---------------- #
+    def centroids(self) -> DataFrame:
+        return self.spark.read.parquet(str(self.root / "centroids"))
+
+    def corpus(self, cells: list[int] | None = None) -> DataFrame:
+        df = self.spark.read.parquet(str(self.root / "corpus"))
+        if cells is not None:
+            # partition filter on the Hive layout: only cell=<c> dirs
+            # are listed/scanned
+            df = df.filter(F.col("cell").isin([int(c) for c in cells]))
+        return df
+
+    def probe(
+        self, queries: DataFrame, k: int = 3, n_probe: int = 1
+    ) -> DataFrame:
+        """(query_id, probe_cell, neighbor_id, cos_sim, rank) — same
+        contract as similarity.ivf_topk, reading only probed cells."""
+        id_col, vec_col = self.meta["id_col"], self.meta["vec_col"]
+        cents = F.broadcast(
+            self.centroids().select(F.col("cell").alias("probe_cell"), "centroid")
+        )
+        q = queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        )
+        aw = Window.partitionBy("query_id").orderBy(
+            F.round(F.col("ccs"), 6).desc(), F.col("probe_cell").asc()
+        )
+        assign = (
+            q.crossJoin(cents)
+            .select(
+                "query_id", "qv", "probe_cell",
+                cosine(F.col("qv"), F.col("centroid")).alias("ccs"),
+            )
+            .withColumn("rn", F.row_number().over(aw))
+            .filter(F.col("rn") <= n_probe)
+            .select("query_id", "qv", "probe_cell")
+        )
+        # the probed cell set is ≤ n_cells — collect it so the corpus
+        # scan becomes a partition-pruned read of exactly those dirs
+        probed = sorted(
+            r["probe_cell"] for r in assign.select("probe_cell").distinct().collect()
+        )
+        c = self.corpus(cells=probed).select(
+            F.col("cell").alias("probe_cell"),
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+        )
+        scored = (
+            F.broadcast(assign)
+            .join(c, "probe_cell")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id", "probe_cell", "neighbor_id",
+                cosine(F.col("qv"), F.col("cv")).alias("cs"),
+            )
+        )
+        out = _ranked_topk(scored, k, ["query_id"], ["probe_cell"])
+        return out.select("query_id", "probe_cell", "neighbor_id", "cos_sim", "rank")
