@@ -97,6 +97,42 @@ class IvfIndex:
         )
         return IvfIndex(spark, root)
 
+    def add(self, new_vectors: DataFrame) -> int:
+        """Incremental index growth: assign new vectors to their nearest
+        EXISTING centroid (centroids stay frozen — standard IVF: lists
+        grow, the quantizer doesn't move, so old probe routes stay
+        valid) and append them to exactly their cells' partition
+        directories. Returns the number of rows added. Rebuild when
+        drift makes frozen cells unbalanced — the meta row count vs
+        build-time count is the drift signal."""
+        id_col, vec_col = self.meta["id_col"], self.meta["vec_col"]
+        cents = F.broadcast(
+            self.centroids().select("cell", "centroid")
+        )
+        aw = Window.partitionBy(id_col).orderBy(
+            F.round(F.col("ccs"), 6).desc(), F.col("cell").asc()
+        )
+        tagged = (
+            new_vectors.select(
+                F.col(id_col), _as_double(F.col(vec_col)).alias(vec_col)
+            )
+            .crossJoin(cents)
+            .select(
+                id_col, vec_col, "cell",
+                cosine(F.col(vec_col), F.col("centroid")).alias("ccs"),
+            )
+            .withColumn("rn", F.row_number().over(aw))
+            .filter(F.col("rn") == 1)
+            .select(id_col, vec_col, "cell")
+        )
+        n = tagged.count()
+        tagged.write.mode("append").partitionBy("cell").parquet(
+            str(self.root / "corpus")
+        )
+        self.meta["rows"] = int(self.meta["rows"]) + n
+        (self.root / "meta.json").write_text(json.dumps(self.meta, indent=2))
+        return n
+
     # ---------------- read side ---------------- #
     def centroids(self) -> DataFrame:
         return self.spark.read.parquet(str(self.root / "centroids"))

@@ -63,3 +63,20 @@ def test_probe_scans_only_probed_cells(spark, index, emb):
 def test_unloadable_without_meta(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         IvfIndex(spark, tmp_path / "nope")
+
+
+def test_incremental_add_probes_find_new_vectors(spark, emb, tmp_path):
+    root = tmp_path / "idx"
+    base = emb.filter(F.col("vec_id") >= 10)
+    idx = IvfIndex.build(base, root, **PARAMS)
+    rows_before = idx.meta["rows"]
+    new = emb.filter(F.col("vec_id") < 10)
+    assert idx.add(new) == 10
+    assert idx.meta["rows"] == rows_before + 10
+    # an added vector's exact duplicate query must surface it at rank 1
+    # (cos 1.0 with itself is excluded; probe with a copy under new id)
+    q = new.filter(F.col("vec_id") == 3).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    top = idx.probe(q, k=1, n_probe=2).first()
+    assert top["neighbor_id"] == 3 and top["cos_sim"] >= 0.9999
