@@ -673,6 +673,55 @@ class IceTable:
             (self.meta_dir / f"v{v}.metadata.json").unlink(missing_ok=True)
         return deleted
 
+    def remove_orphans(self, grace_seconds: float = 3600.0) -> list[str]:
+        """Delete files under the table root that NO metadata version
+        references — data/delete files staged by an epoch that crashed
+        before its commit, and their manifests/bloom sidecars. (Readers
+        already ignore them: only committed snapshots are scanned —
+        Iceberg's own rule — so orphans cost disk, not correctness;
+        this is Iceberg's ``remove_orphan_files`` action.)
+
+        ``grace_seconds`` protects an IN-FLIGHT epoch: a file younger
+        than the grace window is presumed to belong to a staging whose
+        commit hasn't landed yet and is kept. Returns removed paths
+        (root-relative)."""
+        import time as _time
+
+        ref_files: set[str] = set()
+        ref_manifests: set[str] = set()
+        ref_blooms: set[str] = set()
+        versions = sorted(
+            int(p.name[1:].split(".")[0])
+            for p in self.meta_dir.glob("v*.metadata.json")
+        )
+        for v in versions:
+            for mrel in self.metadata(v)["manifests"].values():
+                ref_manifests.add(mrel)
+                doc = self._load_manifest_doc(mrel)
+                for f in doc["files"] + doc["deletes"]:
+                    ref_files.add(f["path"])
+                    if f.get("bloom"):
+                        ref_blooms.add(f["bloom"])
+        cutoff = _time.time() - grace_seconds
+        removed: list[str] = []
+
+        def sweep(base: Path, pattern: str, referenced: set[str]) -> None:
+            if not base.exists():
+                return
+            for p in base.rglob(pattern):
+                rel = str(p.relative_to(self.root))
+                if rel in referenced or p.stat().st_mtime >= cutoff:
+                    continue
+                p.unlink()
+                removed.append(rel)
+
+        sweep(self.data_dir, "*.parquet", ref_files)
+        sweep(self.manifest_dir, "*.json", ref_manifests)
+        sweep(self.bloom_dir, "*", ref_blooms)
+        for rel in removed:
+            self._manifest_cache.pop(rel, None)
+        return sorted(removed)
+
     # ------------------------------------------------------------------ #
     # write path
     # ------------------------------------------------------------------ #

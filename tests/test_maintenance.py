@@ -460,3 +460,50 @@ def test_stale_compaction_conflicts_instead_of_resurrecting_rows(spark, tmp_path
             removed=stale_files,
             expected_version=stale_version,
         )
+
+
+def test_remove_orphans_sweeps_uncommitted_only(spark, tmp_path):
+    """remove_orphans deletes files no metadata version references once
+    past the grace window; live files and fresh (in-flight) stagings
+    survive, and the table state is untouched."""
+    import os
+    import time
+
+    from datax_spark.datagen.generator import EventLogSpec, generate_event_log
+
+    generate_event_log(
+        tmp_path / "events",
+        EventLogSpec(n_events=200, n_urls=40, n_domains=4, n_epochs=2, seed=5),
+    )
+    table = IceTable.create(spark, tmp_path / "table", PAGE_SCHEMA, num_partitions=4)
+    EpochDriver(
+        spark, ChangeTailSource(spark, tmp_path / "events"), table, tmp_path / "ckpt"
+    ).run()
+    before = {r["url"]: r for r in table.read().collect()}
+
+    # a crashed staging: data file + manifest + sidecar nobody references
+    old = time.time() - 7200
+    strays = [
+        table.data_dir / "pid=0" / "orphan-crashed.parquet",
+        table.manifest_dir / "m-orphan.json",
+        table.bloom_dir / "b-orphan.bloom.parquet",
+    ]
+    for p in strays:
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(b"junk")
+        os.utime(p, (old, old))
+    fresh = table.data_dir / "pid=1" / "orphan-inflight.parquet"
+    fresh.write_bytes(b"junk")  # mtime now -> inside grace window
+
+    removed = table.remove_orphans(grace_seconds=3600)
+    assert sorted(removed) == sorted(str(p.relative_to(table.root)) for p in strays)
+    for p in strays:
+        assert not p.exists()
+    assert fresh.exists()
+
+    after = {r["url"]: r for r in table.read().collect()}
+    assert after.keys() == before.keys()
+    for u in before:
+        assert after[u]["html"] == before[u]["html"], u
+    # second sweep is a no-op; the fresh file still protected
+    assert table.remove_orphans(grace_seconds=3600) == []
