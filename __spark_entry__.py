@@ -440,6 +440,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_dedup(_t(spark, sf_dir, "documents"))
 
 
+def q_dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production 64-bit SimHash classes (xxhash64 token bits — one JVM
+    op/token). Rows-only driver check (DuckDB has no xxhash64); the md5
+    simhash16 twin above is the value-checked contract, and the 64-bit
+    path's determinism/locality are pytest-gated (test_dedup)."""
+    return DD.simhash64_dedup(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard near-dup pairs; shared-shingle candidate
     generation with a shingle-frequency cap keeps the join sparse."""
@@ -783,6 +791,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_lsh_fast": q_dedup_minhash_lsh_fast,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash64": q_dedup_simhash64,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_kmeans": q_dedup_embedding_kmeans,

@@ -191,3 +191,36 @@ def test_embedding_lsh_candidates_are_bucketed_not_all_pairs(spark, sf_dir):
     # the 500-vector fixture scale)
     got = embedding_lsh_pairs(emb, threshold=-1.0, n_planes=32, n_bands=4).count()
     assert got < n * (n - 1) // 2 * 0.25, (got, n)
+
+
+def test_simhash64_determinism_and_locality(spark):
+    """64-bit SimHash: identical docs share a signature exactly; a
+    one-word edit moves few bits (locality); an unrelated doc moves
+    many. Cross-run determinism comes free (xxhash64 is seeded)."""
+    from pyspark.sql import functions as F
+
+    from datax_spark.operators.dedup import simhash64, tokens
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river "
+        "bank under a warm summer sun while birds sing in the trees"
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base),  # identical
+            (2, base.replace("fox", "cat")),  # near-dup
+            (3, "completely different words about spark shuffles and "
+                "parquet row groups and manifest files and commits"),
+        ],
+        "doc_id long, text string",
+    )
+    sig = {r["doc_id"]: r["simhash64"] for r in simhash64(tokens(docs)).collect()}
+    assert sig[0] == sig[1]
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    assert 0 < ham(sig[0], sig[2]) <= 16
+    assert ham(sig[0], sig[3]) > ham(sig[0], sig[2])
+
+    # re-run in a fresh plan: bit-identical signatures
+    sig2 = {r["doc_id"]: r["simhash64"] for r in simhash64(tokens(docs)).collect()}
+    assert sig == sig2
