@@ -677,6 +677,33 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CUR.funnel(_t(spark, sf_dir, "documents"))
 
 
+def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable hash-gated corpus sample (operators/sampling.py): md5
+    prefix gate, membership independent of partition layout and of the
+    other rows."""
+    from datax_spark.operators.sampling import deterministic_sample
+
+    return deterministic_sample(
+        _t(spark, sf_dir, "documents"), fraction=0.25
+    ).select("doc_id", "source", "n_chars")
+
+
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget mix: fill 600 tokens per source in
+    (quality desc, doc_id) priority order via one windowed cumsum."""
+    from datax_spark.operators.sampling import token_budget_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        TXT.regex_token_count(F.col("text")).cast("long").alias("n_tokens"),
+        TXT.quality_score(F.col("text")).alias("quality"),
+    )
+    return token_budget_sample(docs, budget_tokens=600).select(
+        "doc_id", "source", "n_tokens", "quality", "cum_tokens"
+    )
+
+
 # ------------------------ DataX transformers -------------------------- #
 
 def q_transformer_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -809,6 +836,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup_corpus": q_line_dedup_corpus,
     "repetition_signals": q_repetition_signals,
     "url_canonicalize": q_url_canonicalize,
+    "sample_deterministic": q_sample_deterministic,
+    "token_budget_mix": q_token_budget_mix,
     "transformer_chain": q_transformer_chain,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_wav_roundtrip": q_multimodal_wav_roundtrip,
@@ -1519,6 +1548,25 @@ FROM documents GROUP BY source""",
     "curation_pipeline": _curation_pipeline_oracle(),
     "curation_funnel": _curation_funnel_oracle(),
     "url_canonicalize": _URL_ORACLE,
+    "sample_deterministic": """
+SELECT doc_id, source, n_chars FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) < '400000'""",
+    "token_budget_mix": f"""
+WITH ann AS (
+  SELECT doc_id, source,
+         CAST({_REGEX_TOK_SQL} AS BIGINT) AS n_tokens,
+         {_QUALITY_SQL} AS quality
+  FROM documents
+),
+cum AS (
+  SELECT *, CAST(sum(n_tokens) OVER (
+    PARTITION BY source ORDER BY quality DESC, doc_id
+    ROWS UNBOUNDED PRECEDING
+  ) AS BIGINT) AS cum_tokens
+  FROM ann
+)
+SELECT doc_id, source, n_tokens, quality, cum_tokens
+FROM cum WHERE cum_tokens - n_tokens < 600""",
     "line_dedup_corpus": f"""
 WITH {_RELINED_CTE},
 lines AS (

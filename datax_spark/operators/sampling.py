@@ -1,0 +1,71 @@
+"""Deterministic corpus sampling — the subset operators a training-data
+pipeline runs LAST (after cleaning/dedup): carve a reproducible sample
+or assemble a per-source token-budget mix. No RNG anywhere: replaying
+the pipeline regenerates byte-identical samples (the same property the
+CDC engine's salting and k-means sampling rely on).
+
+* ``deterministic_sample`` gates on an md5 prefix of the key — a pure
+  projection + filter (codegen, no shuffle), engine-portable (the
+  DuckDB oracle compares the same hex strings), and stable under
+  corpus growth: a row's membership never changes as other rows come
+  and go (unlike ``df.sample``, whose membership depends on partition
+  layout and seed plumbing).
+* ``token_budget_sample`` fills a per-group token budget in a
+  deterministic priority order (quality desc, id asc): one window
+  cumulative sum per group — the shuffle is keyed on the group column,
+  so a 100-source mix build is one exchange of narrow rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sample_gate(key: Column, fraction: float) -> Column:
+    """Boolean membership: md5-prefix < threshold. Fraction granularity
+    is 1/16^6 (six hex digits); lexicographic compare of fixed-width
+    lowercase hex is monotone with value, so both engines agree."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    gate = int(fraction * 16**6)
+    if gate >= 16**6:  # 7-hex threshold would break the 6-char compare
+        return F.lit(True)
+    thresh = format(gate, "06x")
+    return F.substring(F.md5(key.cast("string")), 1, 6) < F.lit(thresh)
+
+
+def deterministic_sample(
+    df: DataFrame, fraction: float, key_col: str = "doc_id"
+) -> DataFrame:
+    """Stable ~``fraction`` subset keyed on ``key_col``."""
+    return df.filter(sample_gate(F.col(key_col), fraction))
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    by: str = "source",
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    quality_col: str | None = "quality",
+) -> DataFrame:
+    """Per-``by``-group mix: take documents in (quality desc, id asc)
+    priority order until the group's cumulative token count reaches
+    ``budget_tokens``. The first document of a group is always taken
+    (a budget smaller than every document still yields one per group,
+    not zero). Adds ``cum_tokens`` — the running total INCLUDING the
+    row — so the output is self-describing."""
+    order = [F.col(id_col).asc()]
+    if quality_col is not None:
+        order.insert(0, F.col(quality_col).desc())
+    w = (
+        Window.partitionBy(by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col)).over(w).cast("long")
+    return (
+        df.withColumn("cum_tokens", cum)
+        .filter(F.col("cum_tokens") - F.col(token_col) < budget_tokens)
+    )
