@@ -213,6 +213,52 @@ def apply_transforms(
                 df = df.withColumn(name, ok)
                 ok_tmp.append(name)
             df = df.withColumn(t.get("as", t["col"]), casted)
+        # ---- corpus-pipeline transforms: the training-data operator ----
+        # library reachable from a job spec (one CLI run = one prep
+        # pipeline; each is a thin dispatch onto datax_spark.operators)
+        elif op == "canonicalizeUrl":
+            from datax_spark.functions.url import canonical_url
+
+            col = t.get("col", "url")
+            df = df.withColumn(t.get("as", col), canonical_url(F.col(col)))
+        elif op == "lineDedup":
+            from datax_spark.operators.dedup import line_dedup
+
+            df = line_dedup(
+                df,
+                sep=t.get("sep", "\n"),
+                id_col=t.get("idCol", "doc_id"),
+                text_col=t.get("textCol", "text"),
+            )
+        elif op == "curate":
+            from datax_spark.operators.curation import curate
+
+            langs = t.get("langs")
+            df = curate(
+                df,
+                min_quality=t.get("minQuality", 0.8),
+                langs=tuple(langs) if langs is not None else None,
+                id_col=t.get("idCol", "doc_id"),
+                text_col=t.get("textCol", "text"),
+                keep_cols=tuple(t.get("keepCols", ("source",))),
+            )
+        elif op == "sample":
+            from datax_spark.operators.sampling import deterministic_sample
+
+            df = deterministic_sample(
+                df, t["fraction"], key_col=t.get("keyCol", "doc_id")
+            )
+        elif op == "tokenBudget":
+            from datax_spark.operators.sampling import token_budget_sample
+
+            df = token_budget_sample(
+                df,
+                t["budgetTokens"],
+                by=t.get("by", "source"),
+                id_col=t.get("idCol", "doc_id"),
+                token_col=t.get("tokenCol", "n_tokens"),
+                quality_col=t.get("qualityCol", "quality"),
+            )
         else:
             raise ValueError(f"unknown transform {op!r}")
     if track_cast_ok:

@@ -266,3 +266,58 @@ def test_table_writer_partitioned_catalog(spark, tmp_path):
         assert (tmp_path / "tbl" / "lang=de").exists()
     finally:
         spark.sql("DROP TABLE IF EXISTS dx_pages_t")
+
+
+def test_curation_pipeline_job_spec(spark, sf_dir, tmp_path):
+    """A full training-data prep pipeline as ONE job spec: curate ->
+    deterministic sample -> token-budget mix -> parquet writer — every
+    corpus operator reachable from the CLI path."""
+    from datax_spark.jobspec import run_batch_job
+
+    spec = {
+        "reader": {"type": "parquet", "path": f"{sf_dir}/documents.parquet"},
+        "transforms": [
+            {"op": "curate", "minQuality": 0.8, "langs": ["en"]},
+            {"op": "sample", "fraction": 0.9},
+            {"op": "tokenBudget", "budgetTokens": 500},
+        ],
+        "writer": {"type": "parquet", "path": str(tmp_path / "out"), "mode": "overwrite"},
+    }
+    df = run_batch_job(spark, spec)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"doc_id", "source", "lang_det", "quality", "n_tokens", "cum_tokens"} <= set(
+        df.columns
+    )
+    # budget honored: a row starts below the budget
+    assert all(r["cum_tokens"] - r["n_tokens"] < 500 for r in rows)
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert back.count() == len(rows)
+
+
+def test_line_dedup_and_canonicalize_transforms(spark, tmp_path):
+    from datax_spark.jobspec import run_batch_job
+
+    src = tmp_path / "docs"
+    spark.createDataFrame(
+        [(0, "x\ny"), (1, "y\nz"), (2, "HTTPS://WWW.A.com/p?utm_source=1")],
+        "doc_id long, text string",
+    ).write.parquet(str(src))
+    out = run_batch_job(
+        spark,
+        {
+            "reader": {"type": "parquet", "path": str(src)},
+            "transforms": [{"op": "lineDedup"}],
+        },
+    )
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert got[0] == "x\ny" and got[1] == "z"
+    out2 = run_batch_job(
+        spark,
+        {
+            "reader": {"type": "parquet", "path": str(src)},
+            "transforms": [{"op": "canonicalizeUrl", "col": "text", "as": "canon"}],
+        },
+    )
+    canon = {r["doc_id"]: r["canon"] for r in out2.collect()}
+    assert canon[2] == "https://a.com/p"
