@@ -529,7 +529,12 @@ def q_ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datax_spark.operators.ann_index import IvfIndex
 
     emb = _t(spark, sf_dir, "embeddings")
-    key = hashlib.md5(f"{sf_dir}|8|2".encode()).hexdigest()[:12]
+    # key over the fixture file's identity too: a regenerated
+    # embeddings.parquet must not serve a stale cached index
+    st = Path(f"{sf_dir}/embeddings.parquet").stat()
+    key = hashlib.md5(
+        f"{sf_dir}|8|2|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
     root = Path(tempfile.gettempdir()) / f"datax_ivf_index_{key}"
     try:
         idx = IvfIndex(spark, root)
@@ -1097,9 +1102,12 @@ FROM ranked WHERE rank <= {k}"""
     )
 
 
-def _lang_id_sql_expr() -> str:
-    """Mirror of functions/text.py lang_id: marker-count argmax with
-    lang-code-order tie-break, 'und' when every score is 0."""
+def _lang_score_parts() -> tuple[str, str, str]:
+    """The ONE SQL mirror of functions/text.py lang_id, shared by the
+    lang_id_confusion and curation oracles: per-language marker-count
+    score columns, the greatest() over them, and the argmax CASE with
+    lang-code-order tie-break."""
+
     def marker_count(m: str) -> str:
         needle = f" {m} "
         return (
@@ -1117,6 +1125,13 @@ def _lang_id_sql_expr() -> str:
     case = "CASE " + " ".join(
         f"WHEN s_{lang} = best THEN '{lang}'" for lang in langs
     ) + " END"
+    return scols, best, case
+
+
+def _lang_id_sql_expr() -> str:
+    """Mirror of functions/text.py lang_id: marker-count argmax with
+    lang-code-order tie-break, 'und' when every score is 0."""
+    scols, best, case = _lang_score_parts()
     return f"""
 scored AS (SELECT lang, {scols}, text FROM documents),
 best_t AS (SELECT lang, {best} AS best, * FROM scored),
@@ -1221,24 +1236,7 @@ def _curation_ctes(min_quality: float, langs: tuple[str, ...]) -> str:
     filter → exact dedup via row_number over the canon md5 → MinHash-LSH
     near-dup pairs (same construction as _minhash_oracle, over the
     deduped set) → drop the larger id of each pair."""
-
-    def marker_count(m: str) -> str:
-        needle = f" {m} "
-        return (
-            f"CAST((length(' ' || text || ' ') - "
-            f"length(replace(' ' || text || ' ', '{needle}', ''))) / {len(needle)} AS INT)"
-        )
-
-    score = {
-        lang: " + ".join(marker_count(m) for m in markers)
-        for lang, markers in TXT.LANG_MARKERS.items()
-    }
-    lang_ids = sorted(score)
-    scols = ", ".join(f"({score[lang]}) AS s_{lang}" for lang in lang_ids)
-    best = "greatest(" + ", ".join(f"s_{lang}" for lang in lang_ids) + ")"
-    case = "CASE " + " ".join(
-        f"WHEN s_{lang} = best THEN '{lang}'" for lang in lang_ids
-    ) + " END"
+    scols, best, case = _lang_score_parts()
     lang_list = ", ".join(f"'{x}'" for x in langs)
     mins = ",\n    ".join(f"min(md5('{i}:' || tok)) AS mh{i}" for i in range(8))
     bands = ",\n    ".join(
@@ -1581,13 +1579,18 @@ lines AS (
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, pos) AS rn
   FROM lines
+),
+grouped AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY pos) AS text,
+         CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n_lines_kept,
+         CAST(count(*) FILTER (rn > 1) AS BIGINT) AS n_lines_dropped
+  FROM ranked GROUP BY doc_id
+  HAVING count(*) FILTER (rn = 1) > 0
 )
-SELECT doc_id,
-       string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY pos) AS text,
-       CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n_lines_kept,
-       CAST(count(*) FILTER (rn > 1) AS BIGINT) AS n_lines_dropped
-FROM ranked GROUP BY doc_id
-HAVING count(*) FILTER (rn = 1) > 0""",
+SELECT g.doc_id, g.text, g.n_lines_kept, g.n_lines_dropped,
+       d.lang, d.source, d.n_chars
+FROM grouped g JOIN documents d USING (doc_id)""",
     "repetition_signals": f"""
 WITH {_RELINED_CTE},
 toks AS (

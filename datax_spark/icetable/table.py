@@ -718,6 +718,22 @@ class IceTable:
         sweep(self.data_dir, "*.parquet", ref_files)
         sweep(self.manifest_dir, "*.json", ref_manifests)
         sweep(self.bloom_dir, "*", ref_blooms)
+        # staging trees (_staging-*) are where a crashed epoch's files
+        # actually live — _publish_staged removes them on success, so a
+        # surviving one IS the crash artifact. Age by the newest file
+        # inside (the write may have died mid-stream).
+        import shutil as _shutil
+
+        for d in self.root.glob("_staging-*"):
+            if not d.is_dir():
+                continue
+            newest = max(
+                (p.stat().st_mtime for p in d.rglob("*") if p.is_file()),
+                default=d.stat().st_mtime,
+            )
+            if newest < cutoff:
+                _shutil.rmtree(d, ignore_errors=True)
+                removed.append(str(d.relative_to(self.root)))
         for rel in removed:
             self._manifest_cache.pop(rel, None)
         return sorted(removed)

@@ -233,7 +233,9 @@ def apply_transforms(
         elif op == "curate":
             from datax_spark.operators.curation import curate
 
-            langs = t.get("langs")
+            # absent key -> the operator's default ('en',); an explicit
+            # null disables the language gate (spec and API must agree)
+            langs = t["langs"] if "langs" in t else ["en"]
             df = curate(
                 df,
                 min_quality=t.get("minQuality", 0.8),

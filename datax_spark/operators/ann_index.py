@@ -124,11 +124,13 @@ class IvfIndex:
             .withColumn("rn", F.row_number().over(aw))
             .filter(F.col("rn") == 1)
             .select(id_col, vec_col, "cell")
+            .persist()  # count + write: one assignment job, not two
         )
         n = tagged.count()
         tagged.write.mode("append").partitionBy("cell").parquet(
             str(self.root / "corpus")
         )
+        tagged.unpersist()
         self.meta["rows"] = int(self.meta["rows"]) + n
         (self.root / "meta.json").write_text(json.dumps(self.meta, indent=2))
         return n
@@ -169,6 +171,10 @@ class IvfIndex:
             .withColumn("rn", F.row_number().over(aw))
             .filter(F.col("rn") <= n_probe)
             .select("query_id", "qv", "probe_cell")
+            # consumed twice (probed-cell collect + the scored join):
+            # without the cache every probe pays the queries×centroids
+            # crossJoin and its window twice
+            .persist()
         )
         # the probed cell set is ≤ n_cells — collect it so the corpus
         # scan becomes a partition-pruned read of exactly those dirs

@@ -69,9 +69,9 @@ def _stages(
         cond = cond & F.col("lang_det").isin(*langs)
     filtered = ann.filter(cond)
 
-    canon = F.md5(
-        F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
-    )
+    # the one canonical fingerprint (shared with doc_fingerprint /
+    # normalized_dedup — a spec change must move all three together)
+    canon = TXT.normalized_fingerprint(F.col(text_col))
     w = Window.partitionBy(canon).orderBy(F.col(id_col).asc())
     exact = (
         filtered.withColumn("_rn", F.row_number().over(w))
@@ -163,7 +163,7 @@ def funnel(
     if persist:
         filtered.persist()
         exact.persist()
-    out = None
+    rows = []
     for idx, (name, frame) in enumerate(
         [
             ("raw", ann),
@@ -172,14 +172,16 @@ def funnel(
             ("near_dup", kept),
         ]
     ):
-        row = frame.agg(
+        agg = frame.agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
-        ).select(
-            F.lit(idx).alias("stage_idx"),
-            F.lit(name).alias("stage"),
-            "n_docs",
-            "n_tokens",
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+        ).first()
+        rows.append((idx, name, int(agg["n_docs"]), int(agg["n_tokens"])))
+    if persist:
+        # the four stage rows are materialized above — release the
+        # cached frames instead of leaking them for the session
+        filtered.unpersist()
+        exact.unpersist()
+    return df.sparkSession.createDataFrame(
+        rows, "stage_idx int, stage string, n_docs long, n_tokens long"
+    )

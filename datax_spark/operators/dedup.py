@@ -406,7 +406,7 @@ def embedding_lsh_buckets(
     ``n_planes`` plane scores map-side-combined; bucket ids are pure
     projection after that."""
     if n_planes % n_bands:
-        raise ValueError("n_planes must divide evenly into n_bands")
+        raise ValueError("n_bands must divide n_planes evenly")
     per_band = n_planes // n_bands
     dims = df.select(
         F.col(id_col),
@@ -568,9 +568,14 @@ def line_dedup(
     """
     from pyspark.sql import Window
 
+    # per-document metadata columns (source, lang, …) ride the explode
+    # and reassemble via first() — constant within a doc's group, so the
+    # value is deterministic; downstream transforms keep working
+    others = [c for c in df.columns if c not in (id_col, text_col)]
     lines = (
         df.select(
             F.col(id_col),
+            *others,
             F.posexplode(F.split(F.col(text_col), sep, -1)).alias("pos", "line"),
         )
         .filter(F.trim(F.col("line")) != "")
@@ -595,6 +600,7 @@ def line_dedup(
             F.sum(F.when(F.col("_rn") > 1, 1).otherwise(0))
             .cast("long")
             .alias("n_lines_dropped"),
+            *[F.first(c).alias(c) for c in others],
         )
         .filter(F.col("n_lines_kept") > 0)
     )

@@ -228,7 +228,11 @@ def apply_epoch(
     batch_only = [
         f
         for f in resolved.schema.fields
-        if f.name not in table_cols and f.name not in _WIRE_ONLY and f.name not in ("_pid",)
+        # '_'-prefixed columns are wire-side annotations (raw-key
+        # shadow, partition id) — never schema-evolved into the table
+        if f.name not in table_cols
+        and f.name not in _WIRE_ONLY
+        and not f.name.startswith("_")
     ]
     if do_extract and "text" not in table_cols:
         # extraction produces a column the batch doesn't carry; a table

@@ -146,7 +146,13 @@ class EpochDriver:
             from datax_spark.functions.url import canonical_url
 
             key = self.table.key_column
-            batch = batch.withColumn(key, canonical_url(F.col(key)))
+            # keep the raw key alongside: rows whose canonical form is
+            # NULL quarantine WITH the offending original (operators
+            # can inspect/repair); the '_' prefix keeps the column out
+            # of additive schema evolution on the main path
+            batch = batch.withColumn(f"_raw_{key}", F.col(key)).withColumn(
+                key, canonical_url(F.col(key))
+            )
         stats = apply_epoch(
             self.table,
             batch,

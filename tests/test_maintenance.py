@@ -481,7 +481,9 @@ def test_remove_orphans_sweeps_uncommitted_only(spark, tmp_path):
     ).run()
     before = {r["url"]: r for r in table.read().collect()}
 
-    # a crashed staging: data file + manifest + sidecar nobody references
+    # a crashed staging: data file + manifest + sidecar nobody references,
+    # plus a _staging-* tree (where a mid-write crash actually leaves
+    # its parts)
     old = time.time() - 7200
     strays = [
         table.data_dir / "pid=0" / "orphan-crashed.parquet",
@@ -492,12 +494,19 @@ def test_remove_orphans_sweeps_uncommitted_only(spark, tmp_path):
         p.parent.mkdir(parents=True, exist_ok=True)
         p.write_bytes(b"junk")
         os.utime(p, (old, old))
+    crashed = table.root / "_staging-e00099-deadbeef"
+    part = crashed / "_pid=0" / "part-0.parquet"
+    part.parent.mkdir(parents=True)
+    part.write_bytes(b"junk")
+    for p in (part, part.parent, crashed):
+        os.utime(p, (old, old))
     fresh = table.data_dir / "pid=1" / "orphan-inflight.parquet"
     fresh.write_bytes(b"junk")  # mtime now -> inside grace window
 
     removed = table.remove_orphans(grace_seconds=3600)
-    assert sorted(removed) == sorted(str(p.relative_to(table.root)) for p in strays)
-    for p in strays:
+    expected = [str(p.relative_to(table.root)) for p in strays] + [crashed.name]
+    assert sorted(removed) == sorted(expected)
+    for p in strays + [crashed]:
         assert not p.exists()
     assert fresh.exists()
 

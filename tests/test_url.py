@@ -136,7 +136,11 @@ def test_cdc_canonicalize_urls_collapses_variants(spark, tmp_path):
     assert set(rows) == {"https://a.com/p", "https://b.com/q"}
     # the lsn-2 variant wins the merged history
     assert rows["https://a.com/p"]["html"] == v2
-    assert drv.table.read_quarantine().count() == 1
+    quar = drv.table.read_quarantine().collect()
+    assert len(quar) == 1
+    # the offending RAW url is preserved for inspection/repair even
+    # though the canonical key column is NULL
+    assert quar[0]["_raw_url"] == "junk-url" and quar[0]["url"] is None
     assert all(s.skipped for s in drv.replay())
     rep = drv.report()
     assert rep["epochs"] == 1 and rep["rows_in"] == 3 and rep["rows_dirty"] == 1
