@@ -673,6 +673,35 @@ class IceTable:
             (self.meta_dir / f"v{v}.metadata.json").unlink(missing_ok=True)
         return deleted
 
+    def rollback(self, to_version: int) -> int:
+        """Restore snapshot ``to_version``'s state as a NEW version —
+        Iceberg rollback semantics: history stays append-only (the bad
+        versions remain inspectable until expiry), data files are not
+        touched, and everything that DEFINES state comes back wholesale
+        from the target snapshot: manifests, schema pointer + history,
+        partition spec, the ``(epoch, pid)`` commit ledger, and its
+        watermark. Because the rolled-back ledger no longer records the
+        epochs applied after ``to_version``, a driver ``replay()``
+        re-applies exactly those epochs — rollback + replay converges
+        to the pre-rollback state bit-for-bit, and rollback + corrected
+        upstream data re-ingests cleanly. Target must not be expired."""
+        cur = self.metadata()
+        if to_version == cur["version"]:
+            return to_version
+        old = self.metadata(to_version)  # raises if expired/absent
+        new_meta = {
+            **old,
+            "version": cur["version"] + 1,
+            "parent_version": cur["version"],
+            "summary": {
+                **old["summary"],
+                "rolled_back_from": cur["version"],
+                "restored_version": to_version,
+            },
+        }
+        self._publish(new_meta)
+        return new_meta["version"]
+
     def remove_orphans(self, grace_seconds: float = 3600.0) -> list[str]:
         """Delete files under the table root that NO metadata version
         references — data/delete files staged by an epoch that crashed

@@ -516,3 +516,42 @@ def test_remove_orphans_sweeps_uncommitted_only(spark, tmp_path):
         assert after[u]["html"] == before[u]["html"], u
     # second sweep is a no-op; the fresh file still protected
     assert table.remove_orphans(grace_seconds=3600) == []
+
+
+def test_rollback_then_replay_converges(spark, tmp_path):
+    """Roll the table back to an early snapshot, then driver.replay():
+    the rolled-back ledger no longer records the later epochs, so they
+    re-apply — final state converges to the pre-rollback state
+    bit-for-bit (the exactly-once design composes with rollback)."""
+    from datax_spark.datagen.generator import EventLogSpec, generate_event_log
+
+    generate_event_log(
+        tmp_path / "events",
+        EventLogSpec(n_events=300, n_urls=60, n_domains=6, n_epochs=3, seed=21),
+    )
+    table = IceTable.create(spark, tmp_path / "table", PAGE_SCHEMA, num_partitions=4)
+    drv = EpochDriver(
+        spark, ChangeTailSource(spark, tmp_path / "events"), table, tmp_path / "ckpt"
+    )
+    stats = drv.run()
+    assert len(stats) == 3
+    final = {r["url"]: r.asDict() for r in table.read().collect()}
+    v_after_e0 = stats[0].version
+
+    new_head = table.rollback(v_after_e0)
+    assert new_head == table.current_version()
+    # state really is the epoch-0 state again
+    early = {r["url"]: r.asDict() for r in table.read(version=v_after_e0).collect()}
+    now = {r["url"]: r.asDict() for r in table.read().collect()}
+    assert now.keys() == early.keys()
+    # epochs 1-2 left the ledger -> replay re-applies them (epoch 0 is
+    # still recorded in the restored snapshot and stays a no-op)
+    replayed = drv.replay()
+    assert [s.skipped for s in replayed] == [True, False, False]
+    again = {r["url"]: r.asDict() for r in table.read().collect()}
+    assert again.keys() == final.keys()
+    for u, row in final.items():
+        assert again[u]["html"] == row["html"], u
+        assert again[u]["text"] == row["text"], u
+    # rollback to the current head is a no-op
+    assert table.rollback(table.current_version()) == table.current_version()
