@@ -682,6 +682,70 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CUR.funnel(_t(spark, sf_dir, "documents"))
 
 
+def _synth_pii_text(i: F.Column) -> F.Column:
+    """Deterministic PII-bearing suffix per doc (pure function of
+    doc_id, rebuilt identically by the oracle): an email, an IPv4, an
+    international phone, and (every third doc) a US-dashed phone."""
+    s = lambda c: c.cast("string")  # noqa: E731
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"), s(i), F.lit("@example"), s(i % 7), F.lit(".com via "),
+        s(i % 223), F.lit(".0.113."), s((i % 200) + 1),
+        F.lit(" or +1415555"), F.lpad(s(i % 10000), 4, "0"),
+        F.when(
+            i % 3 == 0,
+            F.concat(F.lit(" and 415-555-"), F.lpad(s(i % 10000), 4, "0")),
+        ).otherwise(F.lit("")),
+    )
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (functions/pii.py): emails / IPv4 / phone shapes →
+    placeholder tokens, with per-category pre-redaction counts. The
+    oracle runs the IDENTICAL RE2-safe patterns."""
+    from datax_spark.functions import pii
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    synth = _synth_pii_text(F.col("doc_id"))
+    counts = [
+        c.cast("long").alias(f"n_{name}")
+        for c, (name, _, _) in zip(pii.pii_counts(synth), pii.PII_PATTERNS)
+    ]
+    return docs.select(
+        "doc_id", pii.redact_pii(synth).alias("redacted"), *counts
+    )
+
+
+def _pii_oracle() -> str:
+    from datax_spark.functions.pii import PII_PATTERNS
+
+    synth = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example' || "
+        "CAST(doc_id % 7 AS VARCHAR) || '.com via ' || "
+        "CAST(doc_id % 223 AS VARCHAR) || '.0.113.' || "
+        "CAST((doc_id % 200) + 1 AS VARCHAR) || ' or +1415555' || "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || "
+        "CASE WHEN doc_id % 3 = 0 THEN ' and 415-555-' || "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    )
+    ctes = [f"synth AS (SELECT doc_id, {synth} AS t0 FROM documents)"]
+    counts = []
+    for idx, (name, pattern, repl) in enumerate(PII_PATTERNS):
+        p = pattern.replace("'", "''")
+        ctes.append(
+            f"s{idx} AS (SELECT doc_id, "
+            f"CAST(len(regexp_extract_all(t{idx}, '{p}')) AS BIGINT) AS n_{name}, "
+            f"regexp_replace(t{idx}, '{p}', '{repl}', 'g') AS t{idx + 1}, "
+            f"* EXCLUDE (t{idx}) FROM {'synth' if idx == 0 else f's{idx - 1}'})"
+        )
+        counts.append(f"n_{name}")
+    last = len(PII_PATTERNS)
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT doc_id, t{last} AS redacted, "
+        + ", ".join(counts) + f" FROM s{last - 1}"
+    )
+
+
 def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable hash-gated corpus sample (operators/sampling.py): md5
     prefix gate, membership independent of partition layout and of the
@@ -843,6 +907,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_canonicalize": q_url_canonicalize,
     "sample_deterministic": q_sample_deterministic,
     "token_budget_mix": q_token_budget_mix,
+    "pii_redaction": q_pii_redaction,
     "transformer_chain": q_transformer_chain,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_wav_roundtrip": q_multimodal_wav_roundtrip,
@@ -1546,6 +1611,7 @@ FROM documents GROUP BY source""",
     "curation_pipeline": _curation_pipeline_oracle(),
     "curation_funnel": _curation_funnel_oracle(),
     "url_canonicalize": _URL_ORACLE,
+    "pii_redaction": _pii_oracle(),
     "sample_deterministic": """
 SELECT doc_id, source, n_chars FROM documents
 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) < '400000'""",

@@ -244,6 +244,11 @@ def apply_transforms(
                 text_col=t.get("textCol", "text"),
                 keep_cols=tuple(t.get("keepCols", ("source",))),
             )
+        elif op == "redactPii":
+            from datax_spark.functions.pii import redact_pii
+
+            col = t.get("col", "text")
+            df = df.withColumn(t.get("as", col), redact_pii(F.col(col)))
         elif op == "sample":
             from datax_spark.operators.sampling import deterministic_sample
 

@@ -72,3 +72,36 @@ def test_line_dedup_preserves_order_and_within_doc_repeats(spark):
     row = line_dedup(df).first()
     assert row["text"] == "one\ntwo\nthree"
     assert row["n_lines_kept"] == 3 and row["n_lines_dropped"] == 1
+
+
+def test_pii_redaction_hand_cases(spark):
+    from datax_spark.functions.pii import PII_PATTERNS, pii_counts, redact_pii
+
+    cases = [
+        (0, "mail me at jo.doe+x@sub.example.co.uk thanks",
+         "mail me at <EMAIL> thanks", (1, 0, 0, 0)),
+        (1, "server 192.168.0.1 and 10.0.0.255 up",
+         "server <IP> and <IP> up", (0, 2, 0, 0)),
+        (2, "call +14155550123 or 415-555-0123",
+         "call <PHONE> or <PHONE>", (0, 0, 1, 1)),
+        (3, "email at 1.2.3.4 is a@1.2.3.4 no tld",
+         # 'a@1.2.3.4' has no alphabetic TLD -> not an email; both IPs hit
+         "email at <IP> is a@<IP> no tld", (0, 2, 0, 0)),
+        (4, "nothing here", "nothing here", (0, 0, 0, 0)),
+        (5, "version 1.2.3 stays", "version 1.2.3 stays", (0, 0, 0, 0)),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _, _ in cases], "i long, text string"
+    )
+    got = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            redact_pii(F.col("text")).alias("red"),
+            *pii_counts(F.col("text")),
+        ).collect()
+    }
+    for i, _, want_red, want_counts in cases:
+        assert got[i]["red"] == want_red, (i, got[i]["red"])
+        names = tuple(f"n_{n}" for n, _, _ in PII_PATTERNS)
+        assert tuple(got[i][n] for n in names) == want_counts, (i, dict(got[i].asDict()))
