@@ -682,6 +682,30 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CUR.funnel(_t(spark, sf_dir, "documents"))
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (operators/chunking.py): 24-token
+    windows advancing by 18 (6-token overlap); trailing pure-overlap
+    windows dropped. No shuffle — one map stage."""
+    from datax_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=24, overlap=6
+    )
+
+
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequential packing into 600-token budgets per source
+    (one window shuffle keyed on the pack domain)."""
+    from datax_spark.operators.chunking import pack_documents
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        TXT.ws_token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return pack_documents(docs, context_tokens=600)
+
+
 def _synth_pii_text(i: F.Column) -> F.Column:
     """Deterministic PII-bearing suffix per doc (pure function of
     doc_id, rebuilt identically by the oracle): an email, an IPv4, an
@@ -908,6 +932,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_deterministic": q_sample_deterministic,
     "token_budget_mix": q_token_budget_mix,
     "pii_redaction": q_pii_redaction,
+    "chunk_documents": q_chunk_documents,
+    "pack_documents": q_pack_documents,
     "transformer_chain": q_transformer_chain,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_wav_roundtrip": q_multimodal_wav_roundtrip,
@@ -1612,6 +1638,42 @@ FROM documents GROUP BY source""",
     "curation_funnel": _curation_funnel_oracle(),
     "url_canonicalize": _URL_ORACLE,
     "pii_redaction": _pii_oracle(),
+    "chunk_documents": """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+),
+nz AS (SELECT * FROM toks WHERE len(tk) > 0),
+starts AS (
+  SELECT doc_id, tk,
+         [s FOR s IN generate_series(0, greatest(len(tk) - 1, 0), 18)
+            IF s = 0 OR s + 6 < len(tk)] AS ss
+  FROM nz
+),
+ch AS (
+  SELECT doc_id, tk, unnest(ss) AS s,
+         generate_subscripts(ss, 1) - 1 AS chunk_idx
+  FROM starts
+)
+SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       array_to_string(list_slice(tk, s + 1, s + 24), ' ') AS chunk_text,
+       CAST(len(list_slice(tk, s + 1, s + 24)) AS BIGINT) AS n_chunk_tokens
+FROM ch""",
+    "pack_documents": f"""
+WITH ann AS (
+  SELECT doc_id, source, CAST({_WS_TOK_SQL} AS BIGINT) AS n_tokens
+  FROM documents
+),
+tagged AS (
+  SELECT *, CAST(floor((sum(n_tokens) OVER (
+    PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+  ) - n_tokens) / 600.0) AS BIGINT) AS pack_id
+  FROM ann
+)
+SELECT source, pack_id, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM tagged GROUP BY source, pack_id""",
     "sample_deterministic": """
 SELECT doc_id, source, n_chars FROM documents
 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) < '400000'""",
