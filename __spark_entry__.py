@@ -488,6 +488,18 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_embedding_lsh_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shape embedding LSH: 8 planes/band (256 buckets per
+    band) — the sparsity that holds at corpus scale. The 16/4 contract
+    twin above trades sparsity for recall on the 500-vector fixture;
+    this row keeps the SAME oracle builder at the scale-shaped params
+    (bench runs this variant at sf0.1: the 4-planes/band form measured
+    ~22s there purely from bucket-collision candidates)."""
+    return DD.embedding_lsh_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=32, n_bands=4
+    )
+
+
 # ------------------------- similarity search -------------------------- #
 
 def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -916,6 +928,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_kmeans": q_dedup_embedding_kmeans,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
+    "dedup_embedding_lsh_prod": q_dedup_embedding_lsh_prod,
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
@@ -1546,6 +1559,7 @@ FROM documents GROUP BY 1""",
     "dedup_minhash_lsh": _minhash_oracle(),
     "dedup_embedding_kmeans": _embedding_kmeans_oracle(0.9, 8, 2),
     "dedup_embedding_lsh": _embedding_lsh_oracle(0.4, 16, 4),
+    "dedup_embedding_lsh_prod": _embedding_lsh_oracle(0.4, 32, 4),
     "dedup_simhash": _simhash_oracle(),
     "dedup_ngram_jaccard": _ngram_oracle(),
     "dedup_embedding_cosine": """

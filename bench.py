@@ -55,7 +55,7 @@ HEADLINE = [
     "ann_ivf_trained_topk",
     "multimodal_meta",
     "multimodal_wav_roundtrip",
-    "dedup_embedding_lsh",
+    "dedup_embedding_lsh_prod",
     "line_dedup_corpus",
     "repetition_signals",
     "url_canonicalize",

@@ -244,6 +244,26 @@ def apply_transforms(
                 text_col=t.get("textCol", "text"),
                 keep_cols=tuple(t.get("keepCols", ("source",))),
             )
+        elif op == "chunk":
+            from datax_spark.operators.chunking import chunk_documents
+
+            df = chunk_documents(
+                df,
+                chunk_tokens=t.get("chunkTokens", 512),
+                overlap=t.get("overlap", 64),
+                id_col=t.get("idCol", "doc_id"),
+                text_col=t.get("textCol", "text"),
+            )
+        elif op == "pack":
+            from datax_spark.operators.chunking import pack_documents
+
+            df = pack_documents(
+                df,
+                context_tokens=t.get("contextTokens", 2048),
+                by=t.get("by", "source"),
+                id_col=t.get("idCol", "doc_id"),
+                token_col=t.get("tokenCol", "n_tokens"),
+            )
         elif op == "redactPii":
             from datax_spark.functions.pii import redact_pii
 

@@ -321,3 +321,26 @@ def test_line_dedup_and_canonicalize_transforms(spark, tmp_path):
     )
     canon = {r["doc_id"]: r["canon"] for r in out2.collect()}
     assert canon[2] == "https://a.com/p"
+
+
+def test_chunk_and_redact_transforms(spark, tmp_path):
+    from datax_spark.jobspec import run_batch_job
+
+    src = tmp_path / "docs"
+    spark.createDataFrame(
+        [(0, "w0 w1 w2 w3 w4 w5 w6 w7 mail a@b.io")],
+        "doc_id long, text string",
+    ).write.parquet(str(src))
+    out = run_batch_job(
+        spark,
+        {
+            "reader": {"type": "parquet", "path": str(src)},
+            "transforms": [
+                {"op": "redactPii"},
+                {"op": "chunk", "chunkTokens": 4, "overlap": 1},
+            ],
+        },
+    )
+    rows = sorted(out.collect(), key=lambda r: r["chunk_idx"])
+    assert rows[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert all("<EMAIL>" in r["chunk_text"] or "a@b.io" not in r["chunk_text"] for r in rows)
