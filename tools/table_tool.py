@@ -1,0 +1,68 @@
+"""Table maintenance CLI — the operational counterpart of submit_job:
+
+    spark-submit --py-files datax_spark.zip tools/table_tool.py <table_root> <cmd> [args]
+
+Commands:
+    history                      snapshot history (one JSON line per version)
+    compact [min_files]          fold multi-file partitions (default 2)
+    expire [keep_last]           expire old snapshots (default 2)
+    orphans [grace_seconds]      remove unreferenced files (default 3600)
+    rollback <version>           restore an old snapshot as a new version
+    report                       current version + summary JSON
+
+Every command prints machine-readable JSON on stdout; exit 0 on success.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main(argv: list[str]) -> int:
+    if len(argv) < 3:
+        print(__doc__, file=sys.stderr)
+        return 2
+    root, cmd, args = argv[1], argv[2], argv[3:]
+    from pyspark.sql import SparkSession
+
+    from datax_spark.icetable.table import IceTable
+
+    spark = SparkSession.builder.getOrCreate()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    table = IceTable.load(spark, root)
+    if cmd == "history":
+        for h in table.history():
+            print(json.dumps(h, sort_keys=True, default=str))
+    elif cmd == "compact":
+        pids = table.compact(min_files=int(args[0]) if args else 2)
+        print(json.dumps({"compacted_partitions": pids, "version": table.current_version()}))
+    elif cmd == "expire":
+        deleted = table.expire_snapshots(keep_last=int(args[0]) if args else 2)
+        print(json.dumps({"deleted_files": len(deleted), "version": table.current_version()}))
+    elif cmd == "orphans":
+        removed = table.remove_orphans(grace_seconds=float(args[0]) if args else 3600.0)
+        print(json.dumps({"removed": removed}))
+    elif cmd == "rollback":
+        v = table.rollback(int(args[0]))
+        print(json.dumps({"version": v, "restored": int(args[0])}))
+    elif cmd == "report":
+        meta = table.metadata()
+        print(json.dumps(
+            {"version": meta["version"], "summary": meta["summary"],
+             "partitions": meta["partition_spec"]["num_partitions"],
+             "live_files": len(table.manifest_entries()),
+             "delete_files": len(table.delete_entries())},
+            sort_keys=True,
+        ))
+    else:
+        print(f"unknown command {cmd!r}", file=sys.stderr)
+        return 2
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv))
