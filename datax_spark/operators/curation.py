@@ -133,7 +133,6 @@ def funnel(
     hash_fn: str = "md5",
     id_col: str = "doc_id",
     text_col: str = "text",
-    persist: bool = True,
 ) -> DataFrame:
     """Per-stage retention accounting — the pipeline's lineage view:
     (stage_idx, stage, n_docs, n_tokens) for raw → lang_quality →
@@ -141,47 +140,82 @@ def funnel(
     the curated output reports, so 'tokens surviving to training' reads
     straight off the last row.
 
-    The four stage rows are four consumers of one lineage; without
-    ``persist`` each would re-run the whole upstream chain (four corpus
-    scans, two MinHash passes — untenable at 100 TB). ``persist=True``
-    caches the two frames consumed more than once (``filtered`` and
-    ``exact`` — narrow projections, annotations plus text) so the raw
-    scan runs once and the MinHash chain reads the cached survivors.
-    The raw row deliberately aggregates straight off the source scan —
-    caching the full un-filtered corpus would be the expensive thing."""
-    ann, filtered, exact, kept = _stages(
-        df,
-        min_quality=min_quality,
-        langs=langs,
+    ONE action: each doc gets a max-stage-reached tag and a single
+    conditional aggregation produces all four stage rows (stage s counts
+    docs with max_stage >= s). The tag chain is filter flag → window
+    keep flag → near-dup drop flag. Two scale choices make the tag pass
+    cheap: the window shuffle carries a NARROW projection (canon hash,
+    id, flags, token count — never the text), and the drop set is the
+    small distinct-id side of the LSH pairs, broadcast into the tag
+    join, so the MinHash subtree executes inside this same action. The
+    corpus text is read twice (annotation pass + MinHash over exact
+    survivors) with nothing persisted — at 100 TB the rescan is cheaper
+    than caching an annotated copy of the corpus."""
+    ann = annotate(df, id_col, text_col)
+    cond = F.col("quality") >= F.lit(min_quality)
+    if langs is not None:
+        cond = cond & F.col("lang_det").isin(*langs)
+    canon = TXT.normalized_fingerprint(F.col(text_col))
+    flagged = ann.select(
+        id_col,
+        text_col,
+        "n_tokens",
+        canon.alias("_canon"),
+        F.coalesce(cond, F.lit(False)).alias("_pass"),
+    )
+    # Lowest-id FILTERED doc per canon group wins: ordering passers
+    # first makes "passer with rank 1" exactly the staged-form winner.
+    w = Window.partitionBy("_canon").orderBy(
+        F.col("_pass").desc(), F.col(id_col).asc()
+    )
+    ranked = flagged.withColumn(
+        "_exact", F.col("_pass") & (F.row_number().over(w) == 1)
+    )
+
+    pairs = DD.minhash_lsh_pairs(
+        ranked.filter(F.col("_exact")).select(id_col, text_col),
         k=k,
         bands=bands,
         jaccard_threshold=jaccard_threshold,
-        hash_fn=hash_fn,
         id_col=id_col,
         text_col=text_col,
+        hash_fn=hash_fn,
     )
-    if persist:
-        filtered.persist()
-        exact.persist()
-    rows = []
-    for idx, (name, frame) in enumerate(
-        [
-            ("raw", ann),
-            ("lang_quality", filtered),
-            ("exact_dedup", exact),
-            ("near_dup", kept),
-        ]
-    ):
-        agg = frame.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
-        ).first()
-        rows.append((idx, name, int(agg["n_docs"]), int(agg["n_tokens"])))
-    if persist:
-        # the four stage rows are materialized above — release the
-        # cached frames instead of leaking them for the session
-        filtered.unpersist()
-        exact.unpersist()
+    drops = (
+        pairs.select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    stage = (
+        F.when(~F.col("_pass"), F.lit(0))
+        .when(~F.col("_exact"), F.lit(1))
+        .when(F.col("_dropped"), F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    tagged = (
+        ranked.drop(text_col)
+        .join(F.broadcast(drops), id_col, "left")
+        .select(stage.alias("_stage"), "n_tokens")
+    )
+    agg = tagged.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("_stage") >= s, F.lit(1))), F.lit(0)
+            ).alias(f"d{s}")
+            for s in range(4)
+        ],
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("_stage") >= s, F.col("n_tokens"))),
+                F.lit(0),
+            ).alias(f"t{s}")
+            for s in range(4)
+        ],
+    ).first()
+    names = ["raw", "lang_quality", "exact_dedup", "near_dup"]
+    rows = [
+        (s, names[s], int(agg[f"d{s}"]), int(agg[f"t{s}"])) for s in range(4)
+    ]
     return df.sparkSession.createDataFrame(
         rows, "stage_idx int, stage string, n_docs long, n_tokens long"
     )
