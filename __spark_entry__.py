@@ -488,6 +488,23 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_embedding_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-capped embedding LSH: (band, bucket) groups larger than
+    max_bucket compare members only to the bucket's min-id representative
+    (O(n) per bucket) — the bounded-work form for tight-cluster corpora,
+    where MORE planes cannot split the bucket (near-identical vectors sit
+    on the same side of every hyperplane). At 4 planes/band the 500-vector
+    fixture heavily co-buckets, so the cap genuinely fires here; the
+    oracle mirrors the window count/min and the star rule exactly."""
+    return DD.embedding_lsh_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        n_planes=16,
+        n_bands=4,
+        max_bucket=16,
+    )
+
+
 def q_dedup_embedding_lsh_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-shape embedding LSH: 8 planes/band (256 buckets per
     band) — the sparsity that holds at corpus scale. The 16/4 contract
@@ -928,6 +945,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_kmeans": q_dedup_embedding_kmeans,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
+    "dedup_embedding_lsh_capped": q_dedup_embedding_lsh_capped,
     "dedup_embedding_lsh_prod": q_dedup_embedding_lsh_prod,
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -1068,12 +1086,17 @@ def _sql_cos(a: str, b: str) -> str:
     )
 
 
-def _embedding_lsh_oracle(threshold: float, n_planes: int, n_bands: int) -> str:
+def _embedding_lsh_oracle(
+    threshold: float, n_planes: int, n_bands: int, max_bucket: int | None = None
+) -> str:
     """Mechanical unroll of operators/dedup.embedding_lsh_pairs: the same
     integer-quantized plane scores (floor(x*1000), signs from bit 13 of
     j*2654435761 + (p+1)*40503), the same band buckets, the same
     rounded-cosine verify — exact integer arithmetic end to end on the
-    bucketing side, so both engines build identical candidate sets."""
+    bucketing side, so both engines build identical candidate sets. With
+    ``max_bucket``, oversized (band, bucket) groups switch to the star
+    form (members pair only with the bucket's min-id representative),
+    mirrored here with the same window count/min."""
     per_band = n_planes // n_bands
     score_cols = ",\n         ".join(
         f"sum(q * (1 - 2 * (((j * 2654435761 + {(p + 1) * 40503}) // 8192) % 2)))"
@@ -1090,6 +1113,28 @@ def _embedding_lsh_oracle(threshold: float, n_planes: int, n_bands: int) -> str:
             f"SELECT vec_id, {b} AS band, CAST({bits} AS BIGINT) AS bucket FROM scores"
         )
     buckets = "\n  UNION ALL\n  ".join(band_selects)
+    if max_bucket is None:
+        cand = """cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)"""
+    else:
+        cand = f"""sized AS (
+  SELECT vec_id, band, bucket,
+         count(*) OVER (PARTITION BY band, bucket) AS n,
+         min(vec_id) OVER (PARTITION BY band, bucket) AS rep
+  FROM buckets
+),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sized a JOIN sized b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE a.n <= {max_bucket}
+  UNION
+  SELECT rep AS id_a, vec_id AS id_b FROM sized
+  WHERE n > {max_bucket} AND vec_id != rep
+)"""
     cos = _sql_cos("ea.v", "eb.v")
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1105,11 +1150,7 @@ scores AS (
 buckets AS (
   {buckets}
 ),
-cand AS (
-  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM buckets a JOIN buckets b
-    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-)
+{cand}
 SELECT c.id_a, c.id_b, round({cos}, 4) AS cos_sim
 FROM cand c
 JOIN e ea ON ea.vec_id = c.id_a
@@ -1559,6 +1600,7 @@ FROM documents GROUP BY 1""",
     "dedup_minhash_lsh": _minhash_oracle(),
     "dedup_embedding_kmeans": _embedding_kmeans_oracle(0.9, 8, 2),
     "dedup_embedding_lsh": _embedding_lsh_oracle(0.4, 16, 4),
+    "dedup_embedding_lsh_capped": _embedding_lsh_oracle(0.4, 16, 4, max_bucket=16),
     "dedup_embedding_lsh_prod": _embedding_lsh_oracle(0.4, 32, 4),
     "dedup_simhash": _simhash_oracle(),
     "dedup_ngram_jaccard": _ngram_oracle(),

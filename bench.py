@@ -56,6 +56,7 @@ HEADLINE = [
     "multimodal_meta",
     "multimodal_wav_roundtrip",
     "dedup_embedding_lsh_prod",
+    "dedup_embedding_lsh_capped",
     "line_dedup_corpus",
     "repetition_signals",
     "url_canonicalize",

@@ -27,7 +27,7 @@ Scale notes (100 TB corpus):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -452,6 +452,7 @@ def embedding_lsh_pairs(
     n_bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via random-hyperplane LSH banding:
     candidates are pairs sharing any band's bucket (equi-join on
@@ -459,22 +460,67 @@ def embedding_lsh_pairs(
     the original vectors. Train-free counterpart of
     ``embedding_near_dup_pairs_kmeans``: no quantizer fit pass, the knob
     trade-off is bands×planes (more planes/band → fewer candidates,
-    more bands → higher recall); identical vectors always collide."""
+    more bands → higher recall); identical vectors always collide.
+
+    ``max_bucket`` bounds the verify join on pathological cluster
+    structure (the case more planes CANNOT fix: a tight cluster of
+    near-identical vectors sits on the same side of every hyperplane, so
+    any second-level LSH split leaves it intact and the within-bucket
+    self-join goes quadratic). Buckets larger than the cap switch from
+    all-pairs to a STAR: every member is compared only to the bucket's
+    lowest-id representative — O(n) candidates per bucket. Semantics
+    trade-off, stated plainly: in an oversized bucket, a near-dup pair
+    not involving the representative is not emitted; when the oversize
+    is caused by a genuine near-dup cluster (the pathology the cap
+    exists for), every member pairs with the representative at
+    cluster-level cosine, so the keep-lowest-id drop set is unchanged.
+    The size/rep window partitions by (band, bucket) — the same key the
+    candidate self-join shuffles on, so the exchange is reused."""
     buckets = embedding_lsh_buckets(df, n_planes, n_bands, id_col, vec_col)
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "bucket")
+        sized = buckets.select(
+            id_col,
+            "band",
+            "bucket",
+            F.count(F.lit(1)).over(w).alias("_n"),
+            F.min(id_col).over(w).alias("_rep"),
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        a = sized.alias("a")
+        b = sized.alias("b")
+        within = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                & (F.col("a._n") <= F.lit(max_bucket)),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
         )
-        .distinct()
-    )
+        star = sized.filter(
+            (F.col("_n") > F.lit(max_bucket)) & (F.col(id_col) != F.col("_rep"))
+        ).select(F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b"))
+        cand = within.unionByName(star).distinct()
+    else:
+        a = buckets.alias("a")
+        b = buckets.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     dot = F.aggregate(

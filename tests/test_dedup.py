@@ -193,6 +193,53 @@ def test_embedding_lsh_candidates_are_bucketed_not_all_pairs(spark, sf_dir):
     assert got < n * (n - 1) // 2 * 0.25, (got, n)
 
 
+def test_embedding_lsh_star_cap_bounds_tight_clusters(spark, sf_dir):
+    """A tight cluster of near-identical vectors co-buckets under ANY
+    plane set (every member is on the same side of every hyperplane), so
+    the within-bucket self-join is the one place LSH goes quadratic.
+    With max_bucket, oversized buckets compare members only to the
+    lowest-id representative: the pair count over a planted cluster of m
+    exact copies drops from C(m,2) to m-1, and the keep-lowest-id drop
+    set (every non-representative member) is unchanged."""
+    from pyspark.sql import functions as F
+
+    from datax_spark.operators.dedup import embedding_lsh_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    m = 30
+    one = emb.filter(F.col("vec_id") == 0)
+    cluster = one
+    for i in range(1, m):
+        cluster = cluster.unionByName(
+            one.select(
+                (F.col("vec_id") + 200000 + i).alias("vec_id"), "embedding"
+            )
+        )
+    both = emb.filter(F.col("vec_id") >= 100).unionByName(cluster)
+
+    uncapped = embedding_lsh_pairs(both, threshold=0.99).collect()
+    capped = embedding_lsh_pairs(both, threshold=0.99, max_bucket=8).collect()
+
+    cluster_ids = {0} | {200000 + i for i in range(1, m)}
+    unc_cluster = [
+        r for r in uncapped if r["id_a"] in cluster_ids and r["id_b"] in cluster_ids
+    ]
+    cap_cluster = [
+        r for r in capped if r["id_a"] in cluster_ids and r["id_b"] in cluster_ids
+    ]
+    assert len(unc_cluster) == m * (m - 1) // 2
+    # star form: every member pairs with the representative only
+    assert len(cap_cluster) == m - 1
+    assert all(r["id_a"] == 0 for r in cap_cluster)
+    # the keep-lowest-id drop set over the cluster is identical
+    drops = lambda rows: {  # noqa: E731
+        r["id_b"] for r in rows if r["id_a"] in cluster_ids
+    }
+    assert drops(cap_cluster) == drops(unc_cluster)
+
+
 def test_simhash64_determinism_and_locality(spark):
     """64-bit SimHash: identical docs share a signature exactly; a
     one-word edit moves few bits (locality); an unrelated doc moves
