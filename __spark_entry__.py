@@ -691,6 +691,49 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rules quality filter (functions/text.py gopher_signals):
+    the full published signal set as one codegen projection, plus the
+    boolean verdict (as int for oracle hashing)."""
+    docs = _relined(_t(spark, sf_dir, "documents"))
+    sig = TXT.gopher_signals(F.col("text"))
+    return docs.select(
+        "doc_id",
+        *[c.alias(n) for n, c in sig.items()],
+        TXT.gopher_pass(sig).cast("int").alias("pass_flag"),
+    )
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontaminate.py): flag
+    training docs sharing any 3-gram with the synthetic eval slice
+    (docs with doc_id % 37 == 0); the eval gram set broadcasts."""
+    from datax_spark.operators.decontaminate import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter((F.col("doc_id") % 37) == 0)
+    return ngram_contamination(docs, bench, n=3).select(
+        "doc_id",
+        "n_hit_grams",
+        F.col("contaminated").cast("int").alias("contaminated"),
+    )
+
+
+def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash index (operators/dedup_index.py): the corpus
+    arrives as two batches probed+appended against a persisted signature
+    index; the union of the adds must equal the one-shot
+    dedup_minhash_lsh — so the oracle is the SAME SQL."""
+    from datax_spark.operators.dedup_index import MinHashIndex
+
+    docs = _t(spark, sf_dir, "documents")
+    work = Path(tempfile.mkdtemp(prefix="datax_mhidx_"))
+    idx = MinHashIndex.create(spark, work / "idx", k=8, bands=4, jaccard_threshold=0.7)
+    first = idx.add(docs.filter("doc_id % 2 = 0"))
+    second = idx.add(docs.filter("doc_id % 2 = 1"))
+    return first.unionByName(second)
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data prep flow (operators/curation.py):
     lang-id + quality annotate → filter → exact dedup (window over
@@ -959,6 +1002,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_funnel": q_curation_funnel,
     "line_dedup_corpus": q_line_dedup_corpus,
     "repetition_signals": q_repetition_signals,
+    "gopher_quality": q_gopher_quality,
+    "decontamination": q_decontamination,
+    "dedup_minhash_incremental": q_dedup_minhash_incremental,
     "url_canonicalize": q_url_canonicalize,
     "sample_deterministic": q_sample_deterministic,
     "token_budget_mix": q_token_budget_mix,
@@ -1439,6 +1485,90 @@ kept AS (
 )"""
 
 
+def _gopher_oracle() -> str:
+    """Mirror of q_gopher_quality: every gopher_signals expression and
+    the threshold verdict, over the same re-lined documents."""
+    nw = "len(toks)"
+    nl = "len(lines)"
+    div = "round(CASE WHEN {d} > 0 THEN CAST({n} AS DOUBLE) / {d} ELSE 0.0 END, 4)"
+    mean_wl = div.format(n=r"length(regexp_replace(text, '\s', '', 'g'))", d=nw)
+    n_sym = (
+        r"(length(text) - length(replace(text, '#', ''))"
+        r" + len(regexp_extract_all(text, '\.\.\.')))"
+    )
+    sym = div.format(n=n_sym, d=nw)
+    bullet = div.format(
+        n="len(list_filter(lines, x -> regexp_matches(trim(x), '^[-*•‣◦]')))", d=nl
+    )
+    ellip = div.format(
+        n=r"len(list_filter(lines, x -> regexp_matches(trim(x), '(\.\.\.|…)$')))", d=nl
+    )
+    alpha = div.format(
+        n="len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))", d=nw
+    )
+    return rf"""
+WITH {_RELINED_CTE},
+g AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks,
+         list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines
+  FROM relined
+),
+s AS (
+  SELECT doc_id,
+         CAST({nw} AS BIGINT) AS n_words,
+         {mean_wl} AS mean_word_len,
+         {sym} AS symbol_word_ratio,
+         {bullet} AS bullet_line_frac,
+         {ellip} AS ellipsis_line_frac,
+         {alpha} AS alpha_word_frac,
+         CAST({_STOPWORD_SQL} AS BIGINT) AS n_stopwords
+  FROM g
+)
+SELECT *,
+       CAST(CASE WHEN n_words BETWEEN 8 AND 100000
+                  AND mean_word_len BETWEEN 3.0 AND 10.0
+                  AND symbol_word_ratio <= 0.1
+                  AND bullet_line_frac <= 0.9
+                  AND ellipsis_line_frac <= 0.3
+                  AND alpha_word_frac >= 0.8
+                  AND n_stopwords >= 2
+             THEN 1 ELSE 0 END AS INTEGER) AS pass_flag
+FROM s"""
+
+
+def _decontamination_oracle() -> str:
+    """Mirror of q_decontamination: positional 3-grams (post-filter word
+    positions, exactly word_ngrams), distinct per doc; the eval side is
+    the doc_id % 37 slice's distinct gram set."""
+    return """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+tp AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS i
+  FROM toks
+),
+grams AS (
+  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS gram
+  FROM tp a
+  JOIN tp b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  JOIN tp c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 37 = 0),
+hits AS (
+  SELECT g.doc_id, count(*) AS n_hit
+  FROM grams g JOIN bench ON bench.gram = g.gram
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit_grams,
+       CAST(CASE WHEN coalesce(h.n_hit, 0) > 0 THEN 1 ELSE 0 END AS INTEGER)
+         AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id"""
+
+
 def _curation_pipeline_oracle() -> str:
     return f"""
 WITH {_curation_ctes(0.8, ("en",)).strip()}
@@ -1598,6 +1728,10 @@ SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS canon_md5,
        count(*) AS n_docs, min(doc_id) AS keep_id
 FROM documents GROUP BY 1""",
     "dedup_minhash_lsh": _minhash_oracle(),
+    # the incremental index's contract IS one-shot equivalence: same SQL
+    "dedup_minhash_incremental": _minhash_oracle(),
+    "gopher_quality": _gopher_oracle(),
+    "decontamination": _decontamination_oracle(),
     "dedup_embedding_kmeans": _embedding_kmeans_oracle(0.9, 8, 2),
     "dedup_embedding_lsh": _embedding_lsh_oracle(0.4, 16, 4),
     "dedup_embedding_lsh_capped": _embedding_lsh_oracle(0.4, 16, 4, max_bucket=16),

@@ -143,6 +143,74 @@ def top_ngram_frac(text: Column, n: int = 2) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def gopher_signals(text: Column) -> dict[str, Column]:
+    """The Gopher-paper quality-rule signal set (Rae et al. 2021, §A1.1),
+    each as one codegen expression over the text column — the standard
+    pre-filter a web-scale training pipeline runs before any dedup:
+
+    * ``n_words`` — whitespace word count;
+    * ``mean_word_len`` — non-space chars / words;
+    * ``symbol_word_ratio`` — (# marks + literal ``...``) per word;
+    * ``bullet_line_frac`` / ``ellipsis_line_frac`` — fraction of
+      non-blank lines starting with a bullet / ending with an ellipsis;
+    * ``alpha_word_frac`` — fraction of words containing a letter;
+    * ``n_stopwords`` — hits from the frozen STOPWORDS_EN list.
+
+    All ratios round to 4dp so the DuckDB oracle compares exactly.
+    Divisions guard n=0 (empty doc ⇒ 0.0, not NULL). Words split on any
+    whitespace run (not just spaces — these signals are line-aware)."""
+    toks = F.filter(F.split(text, "\\s+"), lambda t: t != "")
+    n_words = F.size(toks)
+    n_alpha_chars = F.length(F.regexp_replace(text, "\\s", ""))
+    lines = F.filter(F.split(text, "\n", -1), lambda x: F.trim(x) != "")
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(lines, lambda x: F.trim(x).rlike("^[-*•‣◦]"))
+    )
+    n_ellipsis = F.size(F.filter(lines, lambda x: F.trim(x).rlike("(\\.\\.\\.|…)$")))
+    n_symbols = (
+        F.regexp_count(text, F.lit("#")) + F.regexp_count(text, F.lit("\\.\\.\\."))
+    )
+    n_alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    div = lambda a, b: F.round(F.when(b > 0, a / b).otherwise(F.lit(0.0)), 4)
+    return {
+        "n_words": n_words.cast("bigint"),
+        "mean_word_len": div(n_alpha_chars, n_words),
+        "symbol_word_ratio": div(n_symbols, n_words),
+        "bullet_line_frac": div(n_bullet, n_lines),
+        "ellipsis_line_frac": div(n_ellipsis, n_lines),
+        "alpha_word_frac": div(n_alpha_words, n_words),
+        "n_stopwords": stopword_count(text).cast("bigint"),
+    }
+
+
+def gopher_pass(
+    sig: dict[str, Column],
+    min_words: int = 8,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> Column:
+    """Boolean Gopher-rules verdict over a `gopher_signals` dict.
+    Thresholds default to the published ones (word band shrunk to fit
+    synthetic fixtures; pass the paper's 50 on a real corpus)."""
+    s = sig
+    return (
+        s["n_words"].between(min_words, max_words)
+        & s["mean_word_len"].between(min_mean_word_len, max_mean_word_len)
+        & (s["symbol_word_ratio"] <= max_symbol_word_ratio)
+        & (s["bullet_line_frac"] <= max_bullet_line_frac)
+        & (s["ellipsis_line_frac"] <= max_ellipsis_line_frac)
+        & (s["alpha_word_frac"] >= min_alpha_word_frac)
+        & (s["n_stopwords"] >= min_stopwords)
+    )
+
+
 def dup_line_frac(text: Column, sep: str = "\n") -> Column:
     """Fraction of a document's non-blank lines that are repeats of an
     earlier line in the SAME document (Gopher's duplicate-line signal;

@@ -1,0 +1,84 @@
+"""Incremental MinHash index tests (operators/dedup_index.py).
+
+The load-bearing property: the union of add() outputs over ANY batch
+split equals the one-shot minhash_lsh_pairs over the full corpus.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from datax_spark.operators.dedup import minhash_lsh_pairs
+from datax_spark.operators.dedup_index import MinHashIndex
+
+BASE = "the quick brown fox jumps over the lazy dog near the river bank today"
+NEAR = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+OTHER = "completely different content about spark shuffles and parquet files here"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (0, BASE),
+            (1, BASE),   # exact dup of 0 (same batch under even/odd split)
+            (2, NEAR),   # near dup of 0, lands in the even batch
+            (3, NEAR + " again"),  # near dup crossing into the odd batch
+            (4, OTHER),
+            (5, BASE),   # exact dup of 0 ACROSS batches (odd batch)
+            (6, "short unrelated text with few words only"),
+            (7, OTHER),  # exact dup of 4 across batches
+        ],
+        "doc_id long, text string",
+    )
+
+
+def _pairs(df) -> dict:
+    return {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in df.collect()}
+
+
+def test_union_of_adds_equals_one_shot(spark, corpus, tmp_path):
+    one_shot = _pairs(minhash_lsh_pairs(corpus, jaccard_threshold=0.7))
+    idx = MinHashIndex.create(spark, tmp_path / "idx", jaccard_threshold=0.7)
+    got: dict = {}
+    for parity in (0, 1):
+        batch = corpus.filter(f"doc_id % 2 = {parity}")
+        out = _pairs(idx.add(batch))
+        assert not set(out) & set(got)  # each pair found exactly once
+        got.update(out)
+    assert got == one_shot
+    assert (0, 5) in got and got[(0, 5)] == 1.0  # cross-batch exact dup
+    assert (4, 7) in got and got[(4, 7)] == 1.0
+
+
+def test_three_way_split_same_result(spark, corpus, tmp_path):
+    one_shot = _pairs(minhash_lsh_pairs(corpus, jaccard_threshold=0.7))
+    idx = MinHashIndex.create(spark, tmp_path / "idx3", jaccard_threshold=0.7)
+    got: dict = {}
+    for m in (0, 1, 2):
+        out = _pairs(idx.add(corpus.filter(f"doc_id % 3 = {m}")))
+        assert not set(out) & set(got)
+        got.update(out)
+    assert got == one_shot
+
+
+def test_load_roundtrip_and_format_guard(spark, corpus, tmp_path):
+    path = tmp_path / "idx_rt"
+    idx = MinHashIndex.create(spark, path, jaccard_threshold=0.7)
+    idx.add(corpus.filter("doc_id < 4"))
+    re = MinHashIndex.load(spark, path)
+    assert re.meta["batches"] == [0]
+    out = _pairs(re.add(corpus.filter("doc_id >= 4")))
+    assert (0, 5) in out  # probe sees the pre-reload batch
+
+    import json
+    meta = json.loads((path / "meta.json").read_text())
+    meta["format_version"] = 99
+    (path / "meta.json").write_text(json.dumps(meta))
+    with pytest.raises(ValueError, match="format 99"):
+        MinHashIndex.load(spark, path)
+
+
+def test_bands_must_divide_k(spark, tmp_path):
+    with pytest.raises(ValueError, match="must divide"):
+        MinHashIndex.create(spark, tmp_path / "bad", k=8, bands=3)

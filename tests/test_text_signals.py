@@ -105,3 +105,43 @@ def test_pii_redaction_hand_cases(spark):
         assert got[i]["red"] == want_red, (i, got[i]["red"])
         names = tuple(f"n_{n}" for n, _, _ in PII_PATTERNS)
         assert tuple(got[i][n] for n in names) == want_counts, (i, dict(got[i].asDict()))
+
+
+def test_gopher_signals_hand_values(spark):
+    from datax_spark.functions.text import gopher_pass, gopher_signals
+
+    text = (
+        "the cat sat on the mat with a hat\n"
+        "- bullet one\n"
+        "- bullet two\n"
+        "end of story..."
+    )
+    df = spark.createDataFrame([(0, text)], "i long, text string")
+    sig = gopher_signals(F.col("text"))
+    row = df.select(
+        *[c.alias(n) for n, c in sig.items()],
+        gopher_pass(sig).alias("ok"),
+    ).collect()[0]
+    assert row["n_words"] == 18          # \s+ split: newlines break words
+    assert row["mean_word_len"] == 3.2222  # 58 non-space chars / 18
+    assert row["symbol_word_ratio"] == 0.0556  # one '...' / 18
+    assert row["bullet_line_frac"] == 0.5      # 2 of 4 lines
+    assert row["ellipsis_line_frac"] == 0.25   # 1 of 4 lines
+    assert row["alpha_word_frac"] == 0.8889    # the two '-' aren't words
+    assert row["n_stopwords"] == 5             # the×2, on, a, of
+    assert row["ok"] is True
+
+
+def test_gopher_pass_rejects_pathologies(spark):
+    from datax_spark.functions.text import gopher_pass, gopher_signals
+
+    cases = [
+        (0, "- a\n- b\n- c"),                        # all-bullet + too short
+        (1, "x # y # z # w # q # r # s # t # u #"),  # symbol stuffing
+        (2, ""),                                      # empty
+        (3, "the cat sat on the mat with a hat and it is all fine here today"),
+    ]
+    df = spark.createDataFrame(cases, "i long, text string")
+    sig = gopher_signals(F.col("text"))
+    got = {r["i"]: r["ok"] for r in df.select("i", gopher_pass(sig).alias("ok")).collect()}
+    assert got == {0: False, 1: False, 2: False, 3: True}
