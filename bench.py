@@ -59,6 +59,9 @@ HEADLINE = [
     "dedup_embedding_lsh_capped",
     "line_dedup_corpus",
     "repetition_signals",
+    "gopher_quality",
+    "decontamination",
+    "dedup_minhash_incremental",
     "url_canonicalize",
     "curation_pipeline",
 ]

@@ -264,6 +264,39 @@ def apply_transforms(
                 id_col=t.get("idCol", "doc_id"),
                 token_col=t.get("tokenCol", "n_tokens"),
             )
+        elif op == "gopherFilter":
+            from datax_spark.functions.text import gopher_pass, gopher_signals
+
+            sig = gopher_signals(F.col(t.get("textCol", "text")))
+            thr = {
+                snake: t[camel]
+                for camel, snake in (
+                    ("minWords", "min_words"),
+                    ("maxWords", "max_words"),
+                    ("minMeanWordLen", "min_mean_word_len"),
+                    ("maxMeanWordLen", "max_mean_word_len"),
+                    ("maxSymbolWordRatio", "max_symbol_word_ratio"),
+                    ("maxBulletLineFrac", "max_bullet_line_frac"),
+                    ("maxEllipsisLineFrac", "max_ellipsis_line_frac"),
+                    ("minAlphaWordFrac", "min_alpha_word_frac"),
+                    ("minStopwords", "min_stopwords"),
+                )
+                if camel in t
+            }
+            df = df.filter(gopher_pass(sig, **thr))
+        elif op == "decontaminate":
+            from datax_spark.operators.decontaminate import decontaminate
+
+            bench = compile_reader(df.sparkSession, t["benchmark"])
+            df = decontaminate(
+                df,
+                bench,
+                n=t.get("n", 3),
+                min_hits=t.get("minHits", 1),
+                id_col=t.get("idCol", "doc_id"),
+                text_col=t.get("textCol", "text"),
+                bench_text_col=t.get("benchTextCol", "text"),
+            )
         elif op == "redactPii":
             from datax_spark.functions.pii import redact_pii
 

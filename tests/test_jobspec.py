@@ -344,3 +344,44 @@ def test_chunk_and_redact_transforms(spark, tmp_path):
     rows = sorted(out.collect(), key=lambda r: r["chunk_idx"])
     assert rows[0]["chunk_text"] == "w0 w1 w2 w3"
     assert all("<EMAIL>" in r["chunk_text"] or "a@b.io" not in r["chunk_text"] for r in rows)
+
+
+def test_gopher_filter_and_decontaminate_transforms(spark, tmp_path):
+    from datax_spark.jobspec import run_batch_job
+
+    src = tmp_path / "docs"
+    spark.createDataFrame(
+        [
+            (0, "the black cat sat on the warm mat and it is truly a fine day in the sun today"),
+            (1, "- a\n- b\n- c"),  # all bullets + too short: gopher-fails
+            (2, "the dog ran over the hill and it was a good day for the dog"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(str(src))
+    bench = tmp_path / "bench"
+    spark.createDataFrame(
+        [(100, "ran over the hill")], "doc_id long, text string"
+    ).write.parquet(str(bench))
+
+    out = run_batch_job(
+        spark,
+        {
+            "reader": {"type": "parquet", "path": str(src)},
+            "transforms": [
+                {"op": "gopherFilter"},
+                {"op": "decontaminate", "benchmark": {"type": "parquet", "path": str(bench)}},
+            ],
+        },
+    )
+    # 1 fails gopher; 2 overlaps the benchmark 3-grams; 0 survives
+    assert [r["doc_id"] for r in out.collect()] == [0]
+
+    # threshold override: demand 10+ stopwords -> nothing survives
+    out2 = run_batch_job(
+        spark,
+        {
+            "reader": {"type": "parquet", "path": str(src)},
+            "transforms": [{"op": "gopherFilter", "minStopwords": 10}],
+        },
+    )
+    assert out2.count() == 0
