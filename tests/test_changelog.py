@@ -1,0 +1,175 @@
+"""Changelog (change-data-feed) read: IceTable.read_changes.
+
+Covers the I/U/D classification, pruning to changed partitions,
+rewrite-only invisibility (compaction), merge-on-read deletes, schema
+evolution (null post-images preserved), and the lake-to-lake chain —
+the changelog of one table ingested as the change stream of another.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from datax_spark.icetable.table import IceTable
+from datax_spark.operators.merge import apply_epoch
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("val", T.LongType()),
+    ]
+)
+
+
+def _mk(spark, path, P=4):
+    return IceTable.create(spark, path, SCHEMA, num_partitions=P)
+
+
+def _df(spark, rows, schema="url string, val long, _pid int, _lsn long"):
+    return spark.createDataFrame(rows, schema)
+
+
+def _changes(t, a, b=None):
+    return {
+        r["url"]: (r["_op"], r["val"], r["_lsn"])
+        for r in t.read_changes(a, b).collect()
+    }
+
+
+def _build_iud_table(spark, path):
+    """v1: a=1,b=2 · v2: a→99, +c · v3: −b (file drop)."""
+    t = _mk(spark, path)
+    f0 = t.stage_data_files(_df(spark, [("a", 1, 0, 10), ("b", 2, 1, 11)]), epoch=0)
+    t.commit(0, {0, 1}, f0)
+    pid0 = [f for f in f0 if f["partition_id"] == 0]
+    f1 = t.stage_data_files(_df(spark, [("a", 99, 0, 20), ("c", 3, 2, 21)]), epoch=1)
+    t.commit(1, {0, 2}, f1, removed=pid0)
+    pid1 = [f for f in t.manifest_entries() if f["partition_id"] == 1]
+    t.commit(2, {1}, [], removed=pid1)
+    return t
+
+
+def test_changelog_iud(spark, tmp_path):
+    t = _build_iud_table(spark, tmp_path / "t")
+    assert _changes(t, 1, 2) == {"a": ("U", 99, 20), "c": ("I", 3, 21)}
+    assert _changes(t, 2, 3) == {"b": ("D", 2, 12)}  # pre-image, lsn+1
+    assert _changes(t, 0, 3) == {"a": ("I", 99, 20), "c": ("I", 3, 21)}
+    assert _changes(t, 1, 1) == {}
+    # net view: b existed at v1 and is gone at v3 — one D, no I/U churn
+    assert _changes(t, 1, 3) == {
+        "a": ("U", 99, 20),
+        "c": ("I", 3, 21),
+        "b": ("D", 2, 12),
+    }
+
+
+def test_changelog_prunes_unchanged_partitions(spark, tmp_path, monkeypatch):
+    t = _build_iud_table(spark, tmp_path / "t")
+    seen: list[set] = []
+    orig = IceTable.read_partitions
+
+    def spy(self, pids, *a, **k):
+        seen.append(set(pids))
+        return orig(self, pids, *a, **k)
+
+    monkeypatch.setattr(IceTable, "read_partitions", spy)
+    t.read_changes(1, 2).collect()
+    # v1→v2 touched pids 0 and 2 only; pid 1 (b) is never scanned
+    assert seen and all(s == {0, 2} for s in seen)
+
+
+def test_rewrite_only_commits_are_invisible(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    for e, rows in enumerate([[("a", 1, 0, 1)], [("x", 7, 0, 2)]]):
+        t.commit(e, {0}, t.stage_data_files(_df(spark, rows), epoch=e))
+    v = t.current_version()
+    assert t.compact(min_files=2) == [0]
+    assert t.read_changes(v).count() == 0
+    # and the pre-compaction diff still reports the real change
+    assert _changes(t, 1)["x"] == ("I", 7, 2)
+
+
+def test_mor_delete_surfaces_as_D(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    f0 = t.stage_data_files(_df(spark, [("a", 1, 0, 1), ("b", 2, 0, 2)]), epoch=0)
+    t.commit(0, {0}, f0)
+    dels = t.stage_delete_files(
+        spark.createDataFrame([("a", 0)], "url string, _pid int"), epoch=1
+    )
+    t.commit(1, {0}, [], added_deletes=dels)
+    assert _changes(t, 1) == {"a": ("D", 1, 2)}  # pre-lsn 1 → feed lsn 2
+
+
+def test_schema_evolution_null_postimage(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    f0 = t.stage_data_files(_df(spark, [("a", 1, 0, 1), ("b", 2, 1, 1)]), epoch=0)
+    t.commit(0, {0, 1}, f0)
+    evolved = T.StructType(SCHEMA.fields + [T.StructField("tag", T.StringType())])
+    rows = _df(
+        spark,
+        [("a", 5, "x", 0, 9)],
+        "url string, val long, tag string, _pid int, _lsn long",
+    )
+    pid0 = [f for f in f0 if f["partition_id"] == 0]
+    t.commit(1, {0}, t.stage_data_files(rows, epoch=1), removed=pid0, new_schema=evolved)
+    got = {r["url"]: r for r in t.read_changes(1).collect()}
+    assert set(got) == {"a"}  # b: old row null-fills 'tag', compares equal
+    assert (got["a"]["_op"], got["a"]["val"], got["a"]["tag"]) == ("U", 5, "x")
+    # now an update that NULLs the evolved column: post-image must be null
+    pid0b = [f for f in t.manifest_entries() if f["partition_id"] == 0]
+    rows2 = _df(
+        spark,
+        [("a", 5, None, 0, 12)],
+        "url string, val long, tag string, _pid int, _lsn long",
+    )
+    t.commit(2, {0}, t.stage_data_files(rows2, epoch=2), removed=pid0b)
+    got2 = {r["url"]: r for r in t.read_changes(2).collect()}
+    assert got2["a"]["tag"] is None and got2["a"]["_op"] == "U"
+
+
+def test_lake_to_lake_chain(spark, tmp_path):
+    """The changelog IS a change-event stream: renaming _op/_lsn yields a
+    batch the MERGE sink applies directly, so a second table follows the
+    first through inserts, updates, and deletes."""
+    src = _build_iud_table(spark, tmp_path / "src")
+    dst = _mk(spark, tmp_path / "dst")
+
+    def sync(from_v: int, epoch: int) -> int:
+        feed = (
+            src.read_changes(from_v)
+            .withColumnRenamed("_op", "op")
+            .withColumnRenamed("_lsn", "lsn")
+        )
+        apply_epoch(dst, feed, epoch=epoch, extract=False)
+        return src.current_version()
+
+    v = sync(0, epoch=0)  # full bootstrap: state at v3 = {a:99, c:3}
+    assert {r["url"]: r["val"] for r in dst.read().collect()} == {"a": 99, "c": 3}
+
+    # more churn on the source: re-insert b, delete c
+    src.commit(3, {1}, src.stage_data_files(_df(spark, [("b", 8, 1, 30)]), epoch=3))
+    pid2 = [f for f in src.manifest_entries() if f["partition_id"] == 2]
+    src.commit(4, {2}, [], removed=pid2)
+
+    sync(v, epoch=1)  # incremental
+    assert {r["url"]: r["val"] for r in dst.read().collect()} == {"a": 99, "b": 8}
+
+
+def test_changes_cli(spark, tmp_path):
+    """table_tool.py changes — the feed lands as parquet a downstream
+    job spec can read (fresh interpreter, the ops CLI path)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    _build_iud_table(spark, tmp_path / "t")
+    repo = Path(__file__).resolve().parents[1]
+    out = subprocess.run(
+        [sys.executable, str(repo / "tools" / "table_tool.py"),
+         str(tmp_path / "t"), "changes", "0", "-", str(tmp_path / "feed")],
+        capture_output=True, text=True, timeout=240, cwd=str(repo),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    feed = {r["url"]: (r["op"], r["val"]) for r in
+            spark.read.parquet(str(tmp_path / "feed")).collect()}
+    assert feed == {"a": ("I", 99), "c": ("I", 3)}

@@ -9,6 +9,10 @@ Commands:
     orphans [grace_seconds]      remove unreferenced files (default 3600)
     rollback <version>           restore an old snapshot as a new version
     report                       current version + summary JSON
+    changes <from> [to] [out]    changelog (CDF) between versions — JSON
+                                 lines, or parquet when [out] is given
+                                 (a change-event feed another table
+                                 ingests: lake-to-lake sync)
 
 Every command prints machine-readable JSON on stdout; exit 0 on success.
 """
@@ -49,6 +53,19 @@ def main(argv: list[str]) -> int:
     elif cmd == "rollback":
         v = table.rollback(int(args[0]))
         print(json.dumps({"version": v, "restored": int(args[0])}))
+    elif cmd == "changes":
+        from_v = int(args[0])
+        to_v = int(args[1]) if len(args) > 1 and args[1] != "-" else None
+        feed = table.read_changes(from_v, to_v)
+        if len(args) > 2:
+            feed.withColumnRenamed("_op", "op").withColumnRenamed(
+                "_lsn", "lsn"
+            ).write.mode("overwrite").parquet(args[2])
+            print(json.dumps({"rows": table.spark.read.parquet(args[2]).count(),
+                              "out": args[2]}))
+        else:
+            for r in feed.toLocalIterator():
+                print(json.dumps(r.asDict(), sort_keys=True, default=str))
     elif cmd == "report":
         meta = table.metadata()
         print(json.dumps(
