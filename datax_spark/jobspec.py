@@ -9,7 +9,8 @@ compiling to declarative Spark plans, so Catalyst owns optimization:
 {
   "reader": {
     "type": "parquet",             # parquet | csv | text | orc | json |
-                                   # table (registered view) | jdbc
+                                   # table (registered view) | jdbc |
+                                   # icetable_changes (CDF feed: lake-as-source)
     "path": "/data/in.parquet",
     "column": ["url", "lang", {"value": "batch-7", "name": "tag"}],
     "where": "lang = 'en'",        # pushed to the scan by Catalyst
@@ -24,7 +25,8 @@ compiling to declarative Spark plans, so Catalyst owns optimization:
   ],
   "writer": {
     "type": "parquet",             # parquet | csv | orc | json | text |
-                                   # jdbc | noop | icetable (CDC MERGE sink)
+                                   # jdbc | noop | icetable (bulk LOAD) |
+                                   # icetable_merge (one exactly-once MERGE epoch)
     "path": "/data/out",
     "mode": "overwrite"
   },
@@ -159,6 +161,21 @@ def compile_reader(spark: SparkSession, reader: dict[str, Any]) -> DataFrame:
         df = spark.read.json(str(reader["path"]))
     elif rtype == "table":
         df = spark.read.table(reader["table"])
+    elif rtype == "icetable_changes":
+        # lake-as-source: the changelog feed of an icetable between two
+        # versions, already shaped as a change-event batch (op/lsn/key +
+        # payload) — chain it into writer.type "icetable_merge" for
+        # lake-to-lake sync, or any batch writer for an export
+        from datax_spark.icetable.table import IceTable
+
+        tbl = IceTable.load(spark, reader["path"])
+        df = (
+            tbl.read_changes(
+                int(reader.get("fromVersion", 0)), reader.get("toVersion")
+            )
+            .withColumnRenamed("_op", "op")
+            .withColumnRenamed("_lsn", "lsn")
+        )
     else:
         raise ValueError(f"unknown reader type {rtype!r}")
     cols = reader.get("column")
@@ -411,6 +428,42 @@ def _write_batch_output(spark: SparkSession, df: DataFrame, writer: dict[str, An
                 epoch=int(writer.get("epoch", 0)),
                 lsn_col=writer.get("lsnColumn"),
                 base_lsn=int(writer.get("baseLsn", 0)),
+            )
+        elif wtype == "icetable_merge":
+            # apply the batch as ONE exactly-once MERGE epoch (op/lsn
+            # columns required — the icetable_changes reader emits them),
+            # so lake-to-lake sync is a single job spec end to end
+            from datax_spark.icetable.table import IceTable
+            from datax_spark.operators.merge import apply_epoch
+
+            root = Path(writer["path"])
+            if (root / "metadata" / "version-hint.text").exists():
+                tbl = IceTable.load(spark, root)
+            else:
+                schema = T.StructType(
+                    [
+                        T.StructField(f.name, f.dataType, True)
+                        for f in df.schema.fields
+                        if f.name not in ("op", "lsn")
+                    ]
+                )
+                tbl = IceTable.create(
+                    spark,
+                    root,
+                    schema,
+                    num_partitions=int(writer.get("numPartitions", 16)),
+                    key_column=writer.get("keyColumn", "url"),
+                )
+            committed = tbl.committed_epochs()
+            epoch = writer.get("epoch")
+            if epoch is None:
+                epoch = (max(committed) + 1) if committed else 0
+            apply_epoch(
+                tbl,
+                df,
+                epoch=int(epoch),
+                extract=bool(writer.get("extract", False)),
+                merge_strategy=writer.get("mergeStrategy", "auto"),
             )
         elif wtype == "noop":
             df.write.format("noop").mode("overwrite").save()

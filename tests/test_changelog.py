@@ -173,3 +173,27 @@ def test_changes_cli(spark, tmp_path):
     feed = {r["url"]: (r["op"], r["val"]) for r in
             spark.read.parquet(str(tmp_path / "feed")).collect()}
     assert feed == {"a": ("I", 99), "c": ("I", 3)}
+
+
+def test_lake_to_lake_as_one_job_spec(spark, tmp_path):
+    """The full sync is ONE DataX-style spec: icetable_changes reader →
+    icetable_merge writer, re-runnable for incremental catch-up."""
+    from datax_spark.jobspec import run_batch_job
+
+    src = _build_iud_table(spark, tmp_path / "src")
+    spec = {
+        "reader": {"type": "icetable_changes", "path": str(tmp_path / "src")},
+        "writer": {"type": "icetable_merge", "path": str(tmp_path / "dst"),
+                   "numPartitions": 4},
+    }
+    run_batch_job(spark, spec)
+    dst = IceTable.load(spark, tmp_path / "dst")
+    assert {r["url"]: r["val"] for r in dst.read().collect()} == {"a": 99, "c": 3}
+
+    synced_v = src.current_version()
+    pid0 = [f for f in src.manifest_entries() if f["partition_id"] == 0]
+    src.commit(3, {0}, [], removed=pid0)  # delete a
+    spec["reader"]["fromVersion"] = synced_v
+    run_batch_job(spark, spec)  # epoch auto-increments past the bootstrap
+    dst2 = IceTable.load(spark, tmp_path / "dst")
+    assert {r["url"]: r["val"] for r in dst2.read().collect()} == {"c": 3}
