@@ -575,6 +575,46 @@ def q_ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------- text analysis ---------------------------- #
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization (functions/embedding.py): per-vector
+    scale, code stats, and the max dequantize error — one narrow
+    codegen projection, no shuffle."""
+    from datax_spark.functions import embedding as EMB
+
+    v = F.col("embedding")
+    scale = EMB.quantize_scale(v)
+    q = EMB.quantize_int8(v, scale)
+    err = F.zip_with(
+        v, EMB.dequantize_int8(q, scale), lambda x, d: F.abs(x.cast("double") - d)
+    )
+    return _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.round(EMB.l2_norm(v), 4).alias("norm"),
+        F.round(scale, 6).alias("scale"),
+        F.aggregate(q, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min(q).alias("q_min"),
+        F.array_max(q).alias("q_max"),
+        F.round(
+            F.aggregate(err, F.lit(0.0), lambda a, x: F.greatest(a, x)), 4
+        ).alias("max_err"),
+    )
+
+
+_PROJ_DIMS = (64, 8, 42)  # dim_in, dim_out, seed — frozen with the oracle
+
+
+def q_embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Achlioptas ±1 random projection 64→8 dims: the sign matrix is a
+    frozen Python constant baked into BOTH plans (no join, no UDF)."""
+    from datax_spark.functions import embedding as EMB
+
+    di, do, seed = _PROJ_DIMS
+    cols = EMB.sign_project(F.col("embedding"), di, do, seed)
+    return _t(spark, sf_dir, "embeddings").select(
+        "vec_id", *[F.round(c, 4).alias(f"p{j}") for j, c in enumerate(cols)]
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality scoring, all JVM-side codegen
     expressions (functions/text.py)."""
@@ -994,6 +1034,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
     "ann_ivf_index_topk": q_ann_ivf_index_topk,
+    "embedding_quantize": q_embedding_quantize,
+    "embedding_projection": q_embedding_projection,
     "text_stats": q_text_stats,
     "lang_id_confusion": q_lang_id_confusion,
     "doc_fingerprint": q_doc_fingerprint,
@@ -1569,6 +1611,53 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id"""
 
 
+def _embedding_quantize_oracle() -> str:
+    return """
+WITH e AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+),
+s AS (
+  SELECT vec_id,
+         max(abs(x)) / 127.0 AS scale,
+         sqrt(sum(x * x)) AS norm
+  FROM e GROUP BY vec_id
+),
+q AS (
+  SELECT e.vec_id, x, scale, norm,
+         CASE WHEN scale > 0 THEN CAST(round(x / scale) AS INT) ELSE 0 END AS qi
+  FROM e JOIN s USING (vec_id)
+)
+SELECT vec_id,
+       round(any_value(norm), 4) AS norm,
+       round(any_value(scale), 6) AS scale,
+       CAST(sum(qi) AS BIGINT) AS q_sum,
+       min(qi) AS q_min,
+       max(qi) AS q_max,
+       round(max(abs(x - qi * scale)), 4) AS max_err
+FROM q GROUP BY vec_id"""
+
+
+def _embedding_projection_oracle() -> str:
+    """Generated from the SAME frozen sign matrix as the Spark plan —
+    term order matches Python sum() left-association, so the double
+    arithmetic is bit-identical before the 4dp round."""
+    from datax_spark.functions.embedding import projection_signs
+
+    di, do, seed = _PROJ_DIMS
+    signs = projection_signs(di, do, seed)
+    inv = repr(1.0 / (do ** 0.5))
+    cols = ",\n       ".join(
+        "round(("
+        + " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * ({signs[j][i]})"
+            for i in range(di)
+        )
+        + f") * {inv}, 4) AS p{j}"
+        for j in range(do)
+    )
+    return f"SELECT vec_id,\n       {cols}\nFROM embeddings"
+
+
 def _curation_pipeline_oracle() -> str:
     return f"""
 WITH {_curation_ctes(0.8, ("en",)).strip()}
@@ -1731,6 +1820,8 @@ FROM documents GROUP BY 1""",
     # the incremental index's contract IS one-shot equivalence: same SQL
     "dedup_minhash_incremental": _minhash_oracle(),
     "gopher_quality": _gopher_oracle(),
+    "embedding_quantize": _embedding_quantize_oracle(),
+    "embedding_projection": _embedding_projection_oracle(),
     "decontamination": _decontamination_oracle(),
     "dedup_embedding_kmeans": _embedding_kmeans_oracle(0.9, 8, 2),
     "dedup_embedding_lsh": _embedding_lsh_oracle(0.4, 16, 4),

@@ -62,6 +62,8 @@ HEADLINE = [
     "gopher_quality",
     "decontamination",
     "dedup_minhash_incremental",
+    "embedding_quantize",
+    "embedding_projection",
     "url_canonicalize",
     "curation_pipeline",
 ]
