@@ -492,9 +492,20 @@ def run_batch_job(spark: SparkSession, spec: dict[str, Any]) -> DataFrame:
 
     settings = spec.get("settings", {})
     err = settings.get("errorLimit")
+    # DataX speed.channel: the job's parallelism knob. Spark-first
+    # mapping: bound the job's shuffle width (session-scoped — every
+    # groupBy/join in this spec uses it) and the write fan-out. The
+    # source split count stays Catalyst's business (file splits / jdbc
+    # numPartitions), exactly as DataX readers own their own split.
+    channel = settings.get("speed", {}).get("channel")
+    if channel is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(int(channel)))
     for stmt in (spec.get("writer") or {}).get("preSql", []) or []:
         spark.sql(stmt)
     df = compile_reader(spark, spec["reader"])
+    if channel is not None:
+        # cap write fan-out without forcing a shuffle on narrow plans
+        df = df.coalesce(int(channel))
     df = apply_transforms(df, spec.get("transforms"), track_cast_ok=err is not None)
     writer = spec.get("writer") or {}
     if err is not None and CAST_OK_COL in df.columns:
