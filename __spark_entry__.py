@@ -575,6 +575,39 @@ def q_ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------- text analysis ---------------------------- #
 
+_PQ_DIMS = (4, 4, 2, 64, 3)  # m, k_codes, n_iter, dim, k — frozen with the oracle
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (operators/pq.py): per-subspace L2
+    k-means codebooks (deterministic init + tie-breaks), every vector
+    stored as m small codes — the oracle unrolls all m subspace
+    trainings in one SQL chain."""
+    from datax_spark.operators import pq as PQ
+
+    m, kc, it, dim, _ = _PQ_DIMS
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = PQ.train_pq(emb, m, kc, it, dim)
+    codes = PQ.pq_encode(emb, cb, m, dim)
+    return codes.select(
+        "vec_id", *[F.element_at("codes", s + 1).alias(f"c{s}") for s in range(m)]
+    )
+
+
+def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ + ADC top-k: the query's (m × k_codes) partial-distance lookup
+    table scores the coded corpus — the float corpus is never read at
+    scan time. Partials pivot to columns so the sum has a fixed
+    association order (oracle-identical doubles)."""
+    from datax_spark.operators import pq as PQ
+
+    m, kc, it, dim, k = _PQ_DIMS
+    emb = _t(spark, sf_dir, "embeddings")
+    return PQ.pq_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=k, m=m, k_codes=kc, n_iter=it, dim=dim
+    )
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization (functions/embedding.py): per-vector
     scale, code stats, and the max dequantize error — one narrow
@@ -1034,6 +1067,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
     "ann_ivf_index_topk": q_ann_ivf_index_topk,
+    "pq_codes": q_pq_codes,
+    "ann_pq_adc_topk": q_ann_pq_adc_topk,
     "embedding_quantize": q_embedding_quantize,
     "embedding_projection": q_embedding_projection,
     "text_stats": q_text_stats,
@@ -1611,6 +1646,99 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id"""
 
 
+def _pq_ctes() -> tuple[list[str], str, str]:
+    """Mechanical unroll of operators/pq.train_pq + pq_encode: per-
+    subspace L2 k-means (init = lowest-id subvectors, argmin over
+    round(d², 6) with code tie-break, member-mean centroids), squared L2
+    through the dot identity with the Spark operand order. Returns
+    (CTE parts, final codebook rel, encode rel (vec_id, sub, code))."""
+    m, kc, it, dim, _ = _PQ_DIMS
+    sd = dim // m
+    slices = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {s} AS sub, (embedding::DOUBLE[])[{s * sd + 1}:{(s + 1) * sd}] AS sv"
+        " FROM embeddings"
+        for s in range(m)
+    )
+    parts = [f"esub AS (\n  {slices})"]
+    parts.append(
+        f"""pb0 AS (
+  SELECT sub, code, sv AS centroid FROM (
+    SELECT sub, sv, row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS code
+    FROM esub) WHERE code < {kc})"""
+    )
+
+    def d2(a: str, c: str) -> str:
+        return (
+            f"list_dot_product({a}, {a}) - 2.0 * list_dot_product({a}, {c})"
+            f" + list_dot_product({c}, {c})"
+        )
+
+    assign = """p{out} AS (SELECT vec_id, sub, sv, code FROM (
+  SELECT e.vec_id, e.sub, e.sv, c.code,
+         row_number() OVER (PARTITION BY e.vec_id, e.sub
+           ORDER BY round({dist}, 6) ASC, c.code ASC) AS rn
+  FROM esub e JOIN pb{inn} c ON c.sub = e.sub) WHERE rn = 1)"""
+    for i in range(1, it + 1):
+        parts.append(assign.format(out=f"a{i}", inn=i - 1, dist=d2("e.sv", "c.centroid")))
+        parts.append(
+            f"""pcomp{i} AS (
+  SELECT sub, code, i AS pos, avg(x) AS avgv FROM (
+    SELECT sub, code, unnest(sv) AS x, generate_subscripts(sv, 1) AS i FROM pa{i}
+  ) GROUP BY sub, code, i),
+pb{i} AS (SELECT sub, code, list(avgv ORDER BY pos) AS centroid FROM pcomp{i} GROUP BY sub, code)"""
+        )
+    parts.append(assign.format(out="enc", inn=it, dist=d2("e.sv", "c.centroid")))
+    return parts, f"pb{it}", "penc"
+
+
+def _pq_codes_oracle() -> str:
+    m = _PQ_DIMS[0]
+    parts, _, enc = _pq_ctes()
+    cols = ",\n       ".join(
+        f"CAST(max(CASE WHEN sub = {s} THEN code END) AS INT) AS c{s}" for s in range(m)
+    )
+    return "WITH " + ",\n".join(parts) + f"""
+SELECT vec_id,
+       {cols}
+FROM {enc} GROUP BY vec_id"""
+
+
+def _pq_adc_oracle() -> str:
+    m, kc, it, dim, k = _PQ_DIMS
+    parts, cb, enc = _pq_ctes()
+    dist = (
+        "list_dot_product(q.sv, q.sv) - 2.0 * list_dot_product(q.sv, c.centroid)"
+        " + list_dot_product(c.centroid, c.centroid)"
+    )
+    dcols = ",\n         ".join(
+        f"max(CASE WHEN l.sub = {s} THEN l.pd END) AS dd{s}" for s in range(m)
+    )
+    total = " + ".join(f"dd{s}" for s in range(m))
+    parts.append("q AS (SELECT vec_id, sub, sv FROM esub WHERE vec_id < 8)")
+    parts.append(
+        f"""lut AS (
+  SELECT q.vec_id AS query_id, c.sub, c.code, {dist} AS pd
+  FROM q JOIN {cb} c ON c.sub = q.sub)"""
+    )
+    parts.append(
+        f"""pair AS (
+  SELECT l.query_id, e.vec_id AS neighbor_id,
+         {dcols}
+  FROM {enc} e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+  GROUP BY l.query_id, e.vec_id)"""
+    )
+    parts.append(
+        f"""ranked AS (
+  SELECT query_id, neighbor_id, {total} AS ad,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY round({total}, 6) ASC, neighbor_id ASC) AS rank
+  FROM pair WHERE query_id <> neighbor_id)"""
+    )
+    return "WITH " + ",\n".join(parts) + f"""
+SELECT query_id, neighbor_id, round(ad, 4) AS approx_dist, rank
+FROM ranked WHERE rank <= {k}"""
+
+
 def _embedding_quantize_oracle() -> str:
     return """
 WITH e AS (
@@ -1821,6 +1949,8 @@ FROM documents GROUP BY 1""",
     "dedup_minhash_incremental": _minhash_oracle(),
     "gopher_quality": _gopher_oracle(),
     "embedding_quantize": _embedding_quantize_oracle(),
+    "pq_codes": _pq_codes_oracle(),
+    "ann_pq_adc_topk": _pq_adc_oracle(),
     "embedding_projection": _embedding_projection_oracle(),
     "decontamination": _decontamination_oracle(),
     "dedup_embedding_kmeans": _embedding_kmeans_oracle(0.9, 8, 2),

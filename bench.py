@@ -53,6 +53,7 @@ HEADLINE = [
     "ann_bruteforce_topk",
     "ann_ivf_topk",
     "ann_ivf_trained_topk",
+    "ann_pq_adc_topk",
     "multimodal_meta",
     "multimodal_wav_roundtrip",
     "dedup_embedding_lsh_prod",
