@@ -608,6 +608,20 @@ def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VOCAB_DIMS = (256, 16)  # vocab size, oov buckets — frozen with the oracle
+
+
+def q_tokenize_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocab tokenizer (functions/tokenize.py): corpus-frequency top-N
+    vocab (total rank order), broadcast-join encoding, md5-bucketed OOV
+    ids — one row per (doc, position)."""
+    from datax_spark.functions.tokenize import build_vocab, encode
+
+    size, oov = _VOCAB_DIMS
+    docs = _t(spark, sf_dir, "documents")
+    return encode(docs, build_vocab(docs, size), vocab_size=size, oov_buckets=oov)
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization (functions/embedding.py): per-vector
     scale, code stats, and the max dequantize error — one narrow
@@ -1069,6 +1083,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_index_topk": q_ann_ivf_index_topk,
     "pq_codes": q_pq_codes,
     "ann_pq_adc_topk": q_ann_pq_adc_topk,
+    "tokenize_vocab_encode": q_tokenize_vocab_encode,
     "embedding_quantize": q_embedding_quantize,
     "embedding_projection": q_embedding_projection,
     "text_stats": q_text_stats,
@@ -1739,6 +1754,33 @@ SELECT query_id, neighbor_id, round(ad, 4) AS approx_dist, rank
 FROM ranked WHERE rank <= {k}"""
 
 
+def _tokenize_oracle() -> str:
+    size, oov = _VOCAB_DIMS
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+),
+tp AS (
+  SELECT doc_id, unnest(tk) AS tok,
+         generate_subscripts(tk, 1) - 1 AS pos
+  FROM toks
+),
+counts AS (SELECT tok, count(*) AS n FROM tp GROUP BY tok),
+vocab AS (
+  SELECT tok, token_id FROM (
+    SELECT tok, row_number() OVER (ORDER BY n DESC, tok ASC) - 1 AS token_id
+    FROM counts) WHERE token_id < {size}
+)
+SELECT tp.doc_id,
+       CAST(tp.pos AS BIGINT) AS pos,
+       CAST(coalesce(v.token_id,
+            {size} + CAST(concat('0x', substr(md5(tp.tok), 1, 4)) AS BIGINT) % {oov})
+         AS BIGINT) AS token_id,
+       CAST(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_oov
+FROM tp LEFT JOIN vocab v ON v.tok = tp.tok"""
+
+
 def _embedding_quantize_oracle() -> str:
     return """
 WITH e AS (
@@ -1948,6 +1990,7 @@ FROM documents GROUP BY 1""",
     # the incremental index's contract IS one-shot equivalence: same SQL
     "dedup_minhash_incremental": _minhash_oracle(),
     "gopher_quality": _gopher_oracle(),
+    "tokenize_vocab_encode": _tokenize_oracle(),
     "embedding_quantize": _embedding_quantize_oracle(),
     "pq_codes": _pq_codes_oracle(),
     "ann_pq_adc_topk": _pq_adc_oracle(),

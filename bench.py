@@ -50,6 +50,7 @@ HEADLINE = [
     "text_stats",
     "lang_id_confusion",
     "token_count_by_source",
+    "tokenize_vocab_encode",
     "ann_bruteforce_topk",
     "ann_ivf_topk",
     "ann_ivf_trained_topk",
