@@ -21,6 +21,15 @@ params (differential-tested) — persistence must not change results.
 At 10^9 vectors the corpus copy under the index root is the standard
 IVF trade (an inverted file IS a cell-clustered copy); incremental
 adds go to their assigned cell's directory without touching others.
+
+IVF-PQ (``build(..., pq_m=...)``): the index additionally trains
+product-quantization codebooks (operators/pq.py) and stores every
+vector's m codes as a column NEXT TO the float embedding in the same
+parquet — ``probe_adc`` then selects only (id, codes), so parquet
+column pruning keeps the float vectors unread at serve time (the
+IVF-PQ promise: probe cost = pruned cells × m byte-codes). The PQ
+codebook freezes at build like the coarse centroids; ``add`` encodes
+new vectors with it.
 """
 
 from __future__ import annotations
@@ -63,9 +72,14 @@ class IvfIndex:
         train_fraction: float = 1.0,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        pq_m: int | None = None,
+        pq_codes: int = 8,
+        pq_dim: int | None = None,
     ) -> "IvfIndex":
         """Train + tag + persist. The meta.json write is last (publish
-        point): a crashed build leaves no loadable index."""
+        point): a crashed build leaves no loadable index. ``pq_m`` turns
+        on IVF-PQ: per-subspace codebooks of ``pq_codes`` codewords over
+        ``pq_dim``-dim vectors, codes stored beside the floats."""
         root = Path(root)
         spark = corpus.sparkSession
         cells = train_kmeans_cells(
@@ -74,6 +88,15 @@ class IvfIndex:
         tagged = corpus.join(cells, id_col).select(
             F.col(id_col), _as_double(F.col(vec_col)).alias(vec_col), "cell"
         )
+        if pq_m is not None:
+            from datax_spark.operators.pq import pq_encode, train_pq
+
+            if pq_dim is None:
+                raise ValueError("pq_m requires pq_dim")
+            cb = train_pq(corpus, pq_m, pq_codes, n_iter, pq_dim, id_col, vec_col)
+            cb.write.mode("overwrite").parquet(str(root / "pq_codebook"))
+            codes = pq_encode(corpus, cb, pq_m, pq_dim, id_col, vec_col)
+            tagged = tagged.join(codes, id_col)
         tagged.write.mode("overwrite").partitionBy("cell").parquet(
             str(root / "corpus")
         )
@@ -91,6 +114,9 @@ class IvfIndex:
                     "id_col": id_col,
                     "vec_col": vec_col,
                     "rows": n_rows,
+                    "pq": None if pq_m is None else {
+                        "m": pq_m, "k_codes": pq_codes, "dim": pq_dim,
+                    },
                 },
                 indent=2,
             )
@@ -124,8 +150,17 @@ class IvfIndex:
             .withColumn("rn", F.row_number().over(aw))
             .filter(F.col("rn") == 1)
             .select(id_col, vec_col, "cell")
-            .persist()  # count + write: one assignment job, not two
         )
+        if self.meta.get("pq"):
+            from datax_spark.operators.pq import pq_encode
+
+            pq = self.meta["pq"]
+            codes = pq_encode(
+                new_vectors, F.broadcast(self.pq_codebook()),
+                pq["m"], pq["dim"], id_col, vec_col,
+            )
+            tagged = tagged.join(codes, id_col)
+        tagged = tagged.persist()  # count + write: one assignment job, not two
         n = tagged.count()
         tagged.write.mode("append").partitionBy("cell").parquet(
             str(self.root / "corpus")
@@ -138,6 +173,11 @@ class IvfIndex:
     # ---------------- read side ---------------- #
     def centroids(self) -> DataFrame:
         return self.spark.read.parquet(str(self.root / "centroids"))
+
+    def pq_codebook(self) -> DataFrame:
+        if not self.meta.get("pq"):
+            raise ValueError(f"index at {self.root} was built without PQ")
+        return self.spark.read.parquet(str(self.root / "pq_codebook"))
 
     def corpus(self, cells: list[int] | None = None) -> DataFrame:
         df = self.spark.read.parquet(str(self.root / "corpus"))
@@ -197,3 +237,88 @@ class IvfIndex:
         )
         out = _ranked_topk(scored, k, ["query_id"], ["probe_cell"])
         return out.select("query_id", "probe_cell", "neighbor_id", "cos_sim", "rank")
+
+    def probe_adc(
+        self, queries: DataFrame, k: int = 3, n_probe: int = 1
+    ) -> DataFrame:
+        """IVF-PQ probe: coarse-assign queries to ``n_probe`` cells,
+        then ADC-score ONLY the probed cells' (id, codes) columns — the
+        float vectors in those files are never read (parquet column
+        pruning). Output matches operators/pq.pq_topk:
+        (query_id, neighbor_id, approx_dist, rank); with
+        n_probe = n_cells it is bit-equal to the unpersisted pq_topk
+        (differential-tested)."""
+        from datax_spark.operators.pq import _sq_l2, subvectors
+
+        pq = self.meta.get("pq")
+        if not pq:
+            raise ValueError(f"index at {self.root} was built without PQ")
+        id_col, vec_col = self.meta["id_col"], self.meta["vec_col"]
+        m = pq["m"]
+
+        cents = F.broadcast(
+            self.centroids().select(F.col("cell").alias("probe_cell"), "centroid")
+        )
+        q = queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        )
+        aw = Window.partitionBy("query_id").orderBy(
+            F.round(F.col("ccs"), 6).desc(), F.col("probe_cell").asc()
+        )
+        assign = (
+            q.crossJoin(cents)
+            .select(
+                "query_id", "probe_cell",
+                cosine(F.col("qv"), F.col("centroid")).alias("ccs"),
+            )
+            .withColumn("rn", F.row_number().over(aw))
+            .filter(F.col("rn") <= n_probe)
+            .select("query_id", "probe_cell")
+            .persist()
+        )
+        probed = sorted(
+            r["probe_cell"] for r in assign.select("probe_cell").distinct().collect()
+        )
+
+        qsubs = subvectors(queries, m, pq["dim"], id_col, vec_col).select(
+            F.col(id_col).alias("query_id"), "sub", F.col("sv").alias("qsv")
+        )
+        lut = F.broadcast(
+            qsubs.join(F.broadcast(self.pq_codebook()), "sub").select(
+                "query_id", "sub", "code",
+                _sq_l2(F.col("qsv"), F.col("centroid")).alias("pd"),
+            )
+        )
+        # codes-only scan of the probed cells: vec_col stays unread
+        coded = self.corpus(cells=probed).select(
+            F.col("cell").alias("probe_cell"),
+            F.col(id_col).alias("neighbor_id"),
+            F.posexplode("codes").alias("sub", "code"),
+        )
+        # a neighbor scores only against queries that probed its cell
+        pairs = F.broadcast(assign).join(coded, "probe_cell")
+        per_pair = (
+            pairs.join(lut, ["query_id", "sub", "code"])
+            .groupBy("query_id", "neighbor_id")
+            .agg(*[
+                F.max(F.when(F.col("sub") == s, F.col("pd"))).alias(f"d{s}")
+                for s in range(m)
+            ])
+        )
+        total = F.col("d0")
+        for s in range(1, m):
+            total = total + F.col(f"d{s}")
+        scored = per_pair.filter(F.col("query_id") != F.col("neighbor_id")).select(
+            "query_id", "neighbor_id", total.alias("ad")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.round(F.col("ad"), 6).asc(), F.col("neighbor_id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id", "neighbor_id",
+                F.round(F.col("ad"), 4).alias("approx_dist"), "rank",
+            )
+        )

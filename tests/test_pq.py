@@ -83,3 +83,56 @@ def test_adc_separation(corpus):
     in_c = [r["approx_dist"] for r in rows if r["neighbor_id"] // 10 == 0]
     out_c = [r["approx_dist"] for r in rows if r["neighbor_id"] // 10 != 0]
     assert max(in_c) < min(out_c)
+
+
+def test_ivfpq_index_matches_unpersisted(corpus, tmp_path, spark):
+    """IVF-PQ: with every cell probed, the persisted index's ADC output
+    is bit-equal to the unpersisted pq_topk (same trained codebook —
+    both deterministic); with n_probe=1, neighbors stay in-cluster."""
+    from datax_spark.operators.ann_index import IvfIndex
+
+    idx = IvfIndex.build(
+        corpus, tmp_path / "ivfpq", n_cells=4, n_iter=2,
+        pq_m=M, pq_codes=K_CODES, pq_dim=DIM,
+    )
+    queries = corpus.filter("vec_id % 10 = 0")
+    full = idx.probe_adc(queries, k=3, n_probe=4)
+    ref = PQ.pq_topk(corpus, queries, k=3, m=M, k_codes=K_CODES, n_iter=2, dim=DIM)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, ref.collect()))
+
+    one = idx.probe_adc(queries, k=3, n_probe=1).collect()
+    assert len(one) == 12
+    assert all(r["neighbor_id"] // 10 == r["query_id"] // 10 for r in one)
+
+
+def test_ivfpq_add_encodes_with_frozen_codebook(corpus, tmp_path, spark):
+    from datax_spark.operators.ann_index import IvfIndex
+
+    idx = IvfIndex.build(
+        corpus, tmp_path / "ivfpq2", n_cells=4, n_iter=2,
+        pq_m=M, pq_codes=K_CODES, pq_dim=DIM,
+    )
+    cb_before = sorted(map(tuple, idx.pq_codebook().collect()))
+    # plant a duplicate of vec 0 under a new id
+    dup = corpus.filter("vec_id = 0").select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    assert idx.add(dup) == 1
+    assert sorted(map(tuple, idx.pq_codebook().collect())) == cb_before
+    rows = {r["vec_id"]: (r["cell"], r["codes"]) for r in
+            idx.corpus().filter("vec_id in (0, 1000)").collect()}
+    assert rows[1000] == rows[0]  # same cell, identical frozen-codebook codes
+    # and the probe scores it exactly like the original (ADC ties → ids)
+    got = idx.probe_adc(corpus.filter("vec_id = 0"), k=40, n_probe=1).collect()
+    by_id = {r["neighbor_id"]: r["approx_dist"] for r in got}
+    assert by_id[1000] == min(by_id.values())
+
+
+def test_pq_guard_on_plain_index(corpus, tmp_path, spark):
+    import pytest as _pytest
+
+    from datax_spark.operators.ann_index import IvfIndex
+
+    idx = IvfIndex.build(corpus, tmp_path / "plain", n_cells=4, n_iter=1)
+    with _pytest.raises(ValueError, match="without PQ"):
+        idx.probe_adc(corpus.limit(1))
