@@ -70,3 +70,128 @@ def streaming_lww_dedup(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ------------------------------------------------------------------ #
+# streaming near-dup: MinHash-LSH state per band bucket
+# ------------------------------------------------------------------ #
+
+NEARDUP_STATE = T.StructType(
+    [T.StructField("entries", T.ArrayType(T.StringType()))]
+)
+
+NEARDUP_OUTPUT = T.StructType(
+    [
+        T.StructField("bucket", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("matched_id", T.LongType()),
+        T.StructField("est_jaccard", T.DoubleType()),
+    ]
+)
+
+
+def minhash_sig_cols(text_col, k: int = 8) -> list:
+    """Per-doc MinHash signature as PURE projection (no explode/groupBy):
+    mh_i = min over tokens of xxhash64(token, i). Equivalent to the
+    batch aggregate form (min ignores duplicate tokens) but streaming-
+    safe — chains straight into a stateful operator with no intervening
+    aggregation. Empty docs get null signatures (filtered by callers)."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    text = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.filter(F.split(text, " "), lambda t: t != "")
+    return [
+        F.array_min(F.transform(toks, lambda t: F.xxhash64(t, F.lit(i)))).alias(
+            f"mh{i}"
+        )
+        for i in range(k)
+    ]
+
+
+def _make_neardup_fn(k: int, threshold: float):
+    def fn(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        bucket = key[0]
+        entries = list(state.get[0]) if state.exists else []
+        stored = [e.split("|") for e in entries]  # [id, mh0..mh{k-1}]
+        rows = []
+        for pdf in batches:
+            # arrival order within a micro-batch is partition-order
+            # nondeterministic — sort by id so replay emits identically
+            pdf = pdf.sort_values("doc_id")
+            for r in pdf.itertuples(index=False):
+                sig = [str(getattr(r, f"mh{i}")) for i in range(k)]
+                for s in stored:
+                    matches = sum(a == b for a, b in zip(sig, s[1:]))
+                    est = round(matches / k, 4)
+                    if est >= threshold:
+                        rows.append((bucket, r.doc_id, int(s[0]), est))
+                stored.append([str(r.doc_id)] + sig)
+                entries.append("|".join([str(r.doc_id)] + sig))
+        state.update((entries,))
+        if rows:
+            yield pd.DataFrame(rows, columns=["bucket", "doc_id", "matched_id", "est_jaccard"])
+
+    return fn
+
+
+def streaming_near_dup(
+    docs: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    jaccard_threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-batch near-duplicate detection over a streaming DataFrame —
+    the streaming twin of operators/dedup_index.MinHashIndex: signatures
+    are a codegen projection, band buckets the shuffle key, and each
+    bucket's seen signatures live in Spark state (RocksDB-backed on a
+    cluster). Emits (bucket, doc_id, matched_id, est_jaccard) whenever a
+    new doc's signature agrees with a stored one on ≥ threshold of the k
+    hashes — a doc pairing in several buckets emits once per bucket
+    (dedup downstream if exact pair sets matter; detection usually
+    drops on first match).
+
+    State per bucket is O(docs that ever hit the bucket); at web scale
+    the band hash spreads buckets uniformly, so state partitions evenly
+    across executors. The per-bucket comparison loop runs in pandas over
+    the (small) bucket membership — the corpus-side work (hashing,
+    banding) stays JVM-side."""
+    from pyspark.sql import functions as F
+
+    if k % bands:
+        raise ValueError(f"bands={bands} must divide k={k}")
+    rows_per_band = k // bands
+    sig = docs.select(F.col(id_col).alias("doc_id"), *minhash_sig_cols(text_col, k))
+    sig = sig.filter(F.col("mh0").isNotNull())  # empty docs have no signature
+    band_cols = [
+        F.concat(
+            F.lit(f"{b}:"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ),
+        )
+        for b in range(bands)
+    ]
+    bucketed = sig.select(
+        "doc_id", *[F.col(f"mh{i}") for i in range(k)],
+        F.explode(F.array(*band_cols)).alias("bucket"),
+    )
+    return bucketed.groupBy("bucket").applyInPandasWithState(
+        _make_neardup_fn(k, jaccard_threshold),
+        outputStructType=NEARDUP_OUTPUT,
+        stateStructType=NEARDUP_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -65,3 +65,78 @@ def test_streaming_lww_dedup_state(spark, tmp_path):
         assert lsns == sorted(set(lsns)), f"non-monotone emissions for {url}"
         assert lsns[-1] == final_lsn[url]
     assert set(by_url) == set(final_lsn)
+
+
+def test_streaming_near_dup_across_batches(spark, tmp_path):
+    """A near-duplicate arriving in a LATER micro-batch is flagged
+    against the batch where its twin first appeared — bucket state
+    carries signatures across triggers."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datax_spark.streaming.stateful import streaming_near_dup
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = base.replace("today", "tonight")
+    other = "completely different content about spark shuffles and parquet files"
+    d = tmp_path / "docs"
+    d.mkdir()
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    # one file per micro-batch (maxFilesPerTrigger=1)
+    pq.write_table(
+        pa.Table.from_pylist(
+            [{"doc_id": 0, "text": base}, {"doc_id": 1, "text": other}], schema=schema
+        ),
+        d / "b0.parquet",
+    )
+    pq.write_table(
+        pa.Table.from_pylist(
+            [{"doc_id": 2, "text": near}, {"doc_id": 3, "text": base}], schema=schema
+        ),
+        d / "b1.parquet",
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = streaming_near_dup(stream, jaccard_threshold=0.7)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("near_dup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.sql("SELECT * FROM near_dup_out").collect()
+    pairs = {(r["matched_id"], r["doc_id"]) for r in rows}
+    assert (0, 3) in pairs  # exact dup across batches
+    assert (0, 2) in pairs  # near dup across batches
+    assert all(r["matched_id"] < r["doc_id"] for r in rows)  # earlier-first
+    assert not any(1 in p for p in pairs)  # unrelated doc never pairs
+    ests = {(r["matched_id"], r["doc_id"]): r["est_jaccard"] for r in rows}
+    assert ests[(0, 3)] == 1.0
+
+
+def test_projection_signature_equals_aggregate_form(spark):
+    """minhash_sig_cols (streaming projection) and the batch
+    minhash_signatures aggregate must produce identical signatures —
+    min over all tokens == min over distinct tokens."""
+    from pyspark.sql import functions as F
+
+    from datax_spark.operators.dedup import minhash_signatures, tokens
+    from datax_spark.streaming.stateful import minhash_sig_cols
+
+    df = spark.createDataFrame(
+        [(0, "a b c a b"), (1, "x y"), (2, "single")],
+        "doc_id long, text string",
+    )
+    proj = {r["doc_id"]: [r[f"mh{i}"] for i in range(8)] for r in
+            df.select("doc_id", *minhash_sig_cols("text", 8)).collect()}
+    agg = {r["doc_id"]: [r[f"mh{i}"] for i in range(8)] for r in
+           minhash_signatures(tokens(df), 8, hash_fn="xxhash64").collect()}
+    assert proj == agg
