@@ -1586,7 +1586,7 @@ def _gopher_oracle() -> str:
     mean_wl = div.format(n=r"length(regexp_replace(text, '\s', '', 'g'))", d=nw)
     n_sym = (
         r"(length(text) - length(replace(text, '#', ''))"
-        r" + len(regexp_extract_all(text, '\.\.\.')))"
+        r" + len(regexp_extract_all(text, '(\.\.\.|…)')))"
     )
     sym = div.format(n=n_sym, d=nw)
     bullet = div.format(

@@ -169,7 +169,9 @@ def gopher_signals(text: Column) -> dict[str, Column]:
     )
     n_ellipsis = F.size(F.filter(lines, lambda x: F.trim(x).rlike("(\\.\\.\\.|…)$")))
     n_symbols = (
-        F.regexp_count(text, F.lit("#")) + F.regexp_count(text, F.lit("\\.\\.\\."))
+        F.regexp_count(text, F.lit("#"))
+        + F.regexp_count(text, F.lit("(\\.\\.\\.|…)"))  # both ellipsis forms,
+        # matching ellipsis_line_frac below (Gopher counts '#' or '…')
     )
     n_alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
     div = lambda a, b: F.round(F.when(b > 0, a / b).otherwise(F.lit(0.0)), 4)

@@ -488,25 +488,39 @@ def run_batch_job(spark: SparkSession, spec: dict[str, Any]) -> DataFrame:
     ``writer.postSql`` after a successful write (post(): swaps, stats) —
     executed via ``spark.sql`` against the session catalog. postSql is
     NOT run when the job aborts on the error budget, matching DataX."""
-    from datax_spark.operators.quarantine import ErrorBudgetExceeded, check_error_budget
-
     settings = spec.get("settings", {})
     err = settings.get("errorLimit")
-    # DataX speed.channel: the job's parallelism knob. Spark-first
-    # mapping: bound the job's shuffle width (session-scoped — every
-    # groupBy/join in this spec uses it) and the write fan-out. The
-    # source split count stays Catalyst's business (file splits / jdbc
-    # numPartitions), exactly as DataX readers own their own split.
+    # DataX speed.channel: the job's parallelism knob (a PER-JOB setting
+    # in DataX). Spark-first mapping: bound this job's shuffle width —
+    # saved and restored around the job so the session-scoped conf never
+    # leaks into later jobs — and cap the write fan-out with a coalesce
+    # AFTER the transforms, so the source scan and narrow pre-shuffle
+    # work keep their natural parallelism (DataX readers own their own
+    # split; only the sink-side pipe count is bounded).
     channel = settings.get("speed", {}).get("channel")
+    saved_shuffle = None
     if channel is not None:
+        saved_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(int(channel)))
+    try:
+        return _run_batch_job_body(spark, spec, err, channel)
+    finally:
+        if saved_shuffle is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", saved_shuffle)
+
+
+def _run_batch_job_body(
+    spark: SparkSession, spec: dict[str, Any], err, channel
+) -> DataFrame:
+    from datax_spark.operators.quarantine import ErrorBudgetExceeded, check_error_budget
+
     for stmt in (spec.get("writer") or {}).get("preSql", []) or []:
         spark.sql(stmt)
     df = compile_reader(spark, spec["reader"])
+    df = apply_transforms(df, spec.get("transforms"), track_cast_ok=err is not None)
     if channel is not None:
         # cap write fan-out without forcing a shuffle on narrow plans
         df = df.coalesce(int(channel))
-    df = apply_transforms(df, spec.get("transforms"), track_cast_ok=err is not None)
     writer = spec.get("writer") or {}
     if err is not None and CAST_OK_COL in df.columns:
         # one source pass: the budget count, the quarantine write and the

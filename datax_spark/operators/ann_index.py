@@ -248,7 +248,7 @@ class IvfIndex:
         (query_id, neighbor_id, approx_dist, rank); with
         n_probe = n_cells it is bit-equal to the unpersisted pq_topk
         (differential-tested)."""
-        from datax_spark.operators.pq import _sq_l2, subvectors
+        from datax_spark.operators.pq import adc_lut, adc_rank
 
         pq = self.meta.get("pq")
         if not pq:
@@ -280,14 +280,8 @@ class IvfIndex:
             r["probe_cell"] for r in assign.select("probe_cell").distinct().collect()
         )
 
-        qsubs = subvectors(queries, m, pq["dim"], id_col, vec_col).select(
-            F.col(id_col).alias("query_id"), "sub", F.col("sv").alias("qsv")
-        )
-        lut = F.broadcast(
-            qsubs.join(F.broadcast(self.pq_codebook()), "sub").select(
-                "query_id", "sub", "code",
-                _sq_l2(F.col("qsv"), F.col("centroid")).alias("pd"),
-            )
+        lut = adc_lut(
+            queries, F.broadcast(self.pq_codebook()), m, pq["dim"], id_col, vec_col
         )
         # codes-only scan of the probed cells: vec_col stays unread
         coded = self.corpus(cells=probed).select(
@@ -295,30 +289,13 @@ class IvfIndex:
             F.col(id_col).alias("neighbor_id"),
             F.posexplode("codes").alias("sub", "code"),
         )
-        # a neighbor scores only against queries that probed its cell
-        pairs = F.broadcast(assign).join(coded, "probe_cell")
-        per_pair = (
-            pairs.join(lut, ["query_id", "sub", "code"])
-            .groupBy("query_id", "neighbor_id")
-            .agg(*[
-                F.max(F.when(F.col("sub") == s, F.col("pd"))).alias(f"d{s}")
-                for s in range(m)
-            ])
+        # a neighbor scores only against queries that probed its cell —
+        # the only difference from pq_topk; the scoring tail is shared
+        # (adc_rank) so the two stay bit-identical by construction
+        joined = (
+            F.broadcast(assign)
+            .join(coded, "probe_cell")
+            .join(lut, ["query_id", "sub", "code"])
+            .select("query_id", "neighbor_id", "sub", "pd")
         )
-        total = F.col("d0")
-        for s in range(1, m):
-            total = total + F.col(f"d{s}")
-        scored = per_pair.filter(F.col("query_id") != F.col("neighbor_id")).select(
-            "query_id", "neighbor_id", total.alias("ad")
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.round(F.col("ad"), 6).asc(), F.col("neighbor_id").asc()
-        )
-        return (
-            scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-            .filter(F.col("rank") <= k)
-            .select(
-                "query_id", "neighbor_id",
-                F.round(F.col("ad"), 4).alias("approx_dist"), "rank",
-            )
-        )
+        return adc_rank(joined, m, k)

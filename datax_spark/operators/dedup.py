@@ -78,6 +78,45 @@ def minhash_signatures(
     )
 
 
+def band_bucket_exprs(k: int, bands: int, mh=None) -> list:
+    """THE LSH bucket-string construction — "{band}:" + md5 of the
+    band's comma-joined minhashes. Single definition shared by the
+    one-shot pairs below, the persisted MinHashIndex, and the streaming
+    near-dup operator: all three MUST bucket byte-identically (the
+    index's one-shot-equivalence contract and the streaming twin both
+    compare bucket strings across implementations), and the DuckDB
+    oracles rebuild the same strings."""
+    if mh is None:
+        mh = lambda i: F.col(f"mh{i}")
+    rpb = k // bands
+    return [
+        F.concat(
+            F.lit(f"{b}:"),
+            F.md5(
+                F.concat_ws(
+                    ",", *[mh(b * rpb + r).cast("string") for r in range(rpb)]
+                )
+            ),
+        )
+        for b in range(bands)
+    ]
+
+
+def signatures_with_class(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Per-doc MinHash signature plus its class key ``_sig`` (the
+    pipe-joined signature string) — the frame both the one-shot pair
+    search and the incremental index build from, computed ONCE."""
+    sig = minhash_signatures(tokens(df, id_col, text_col), k, id_col, hash_fn=hash_fn)
+    mh = [F.col(f"mh{i}") for i in range(k)]
+    return sig.withColumn("_sig", F.concat_ws("|", *[c.cast("string") for c in mh]))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     k: int = 8,
@@ -104,11 +143,20 @@ def minhash_lsh_pairs(
     signatures, and the only quadratic step is emitting the actual
     result pairs. Exact same output rows either way.
     """
-    rows_per_band = k // bands
-    tok = tokens(df, id_col, text_col)
-    sig = minhash_signatures(tok, k, id_col, hash_fn=hash_fn)
-    mh = [F.col(f"mh{i}") for i in range(k)]
-    sig = sig.withColumn("_sig", F.concat_ws("|", *[c.cast("string") for c in mh]))
+    sig = signatures_with_class(df, k, id_col, text_col, hash_fn)
+    return lsh_pairs_from_signatures(sig, k, bands, jaccard_threshold, id_col)
+
+
+def lsh_pairs_from_signatures(
+    sig: DataFrame,
+    k: int,
+    bands: int,
+    jaccard_threshold: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The pair search over a precomputed `signatures_with_class` frame
+    (callers that also persist/reuse signatures — the incremental index
+    — avoid signaturing the batch twice)."""
     members = sig.select("_sig", F.col(id_col))
 
     # ---- intra-class pairs: identical signatures, est = k/k = 1.0 ----- #
@@ -125,25 +173,9 @@ def minhash_lsh_pairs(
 
     # ---- cross-class: LSH on distinct signatures ---------------------- #
     reps = sig.groupBy("_sig").agg(*[F.first(f"mh{i}").alias(f"mh{i}") for i in range(k)])
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                ",",
-                *[
-                    F.col(f"mh{b * rows_per_band + r}").cast("string")
-                    for r in range(rows_per_band)
-                ],
-            )
-        ).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    buckets = reps.select("_sig", *band_cols).select(
+    buckets = reps.select(
         "_sig",
-        F.explode(
-            F.array(*[
-                F.concat(F.lit(f"{b}:"), F.col(f"band{b}")) for b in range(bands)
-            ])
-        ).alias("bucket"),
+        F.explode(F.array(*band_bucket_exprs(k, bands))).alias("bucket"),
     )
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (

@@ -36,33 +36,21 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datax_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures, tokens
+from datax_spark.operators.dedup import (
+    band_bucket_exprs,
+    lsh_pairs_from_signatures,
+    signatures_with_class,
+)
 
 FORMAT_VERSION = 1
 
 
 def _band_buckets(sig: DataFrame, k: int, bands: int) -> DataFrame:
-    """(bucket, _sig) rows — identical construction to
-    dedup.minhash_lsh_pairs (md5 over the band's comma-joined minhashes,
-    prefixed by the band index) so index probes and one-shot runs bucket
-    identically."""
-    rows_per_band = k // bands
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                ",",
-                *[
-                    F.col(f"mh{b * rows_per_band + r}").cast("string")
-                    for r in range(rows_per_band)
-                ],
-            )
-        ).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    return sig.select("_sig", *band_cols).select(
-        F.explode(
-            F.array(*[F.concat(F.lit(f"{b}:"), F.col(f"band{b}")) for b in range(bands)])
-        ).alias("bucket"),
+    """(bucket, _sig) rows via the ONE shared bucket construction
+    (dedup.band_bucket_exprs) — index probes, one-shot runs, and the
+    streaming operator bucket byte-identically."""
+    return sig.select(
+        F.explode(F.array(*band_bucket_exprs(k, bands))).alias("bucket"),
         "_sig",
     )
 
@@ -89,6 +77,10 @@ class MinHashIndex:
         if k % bands:
             raise ValueError(f"bands={bands} must divide k={k}")
         path = Path(path)
+        if (path / "meta.json").exists():
+            # same rule as IceTable.create: never silently reset an
+            # existing index (a retried job would orphan all signatures)
+            raise FileExistsError(f"MinHash index already exists at {path}")
         path.mkdir(parents=True, exist_ok=True)
         meta = {
             "format_version": FORMAT_VERSION,
@@ -141,16 +133,13 @@ class MinHashIndex:
         k, bands, thr = m["k"], m["bands"], m["jaccard_threshold"]
         id_col = m["id_col"]
 
-        # within-batch pairs: the exact one-shot machinery over the batch
-        within = minhash_lsh_pairs(
-            docs, k=k, bands=bands, jaccard_threshold=thr,
-            id_col=id_col, text_col=m["text_col"], hash_fn=m["hash_fn"],
+        # ONE signature pass feeds both the within-batch pair search and
+        # the index rows (the signature explode+agg is the dominant
+        # per-batch cost at corpus scale)
+        sig = signatures_with_class(
+            docs, k, id_col, m["text_col"], hash_fn=m["hash_fn"]
         )
-
-        tok = tokens(docs, id_col, m["text_col"])
-        sig = minhash_signatures(tok, k, id_col, hash_fn=m["hash_fn"])
-        mh = [F.col(f"mh{i}").cast("string") for i in range(k)]
-        sig = sig.withColumn("_sig", F.concat_ws("|", *mh))
+        within = lsh_pairs_from_signatures(sig, k, bands, thr, id_col)
         new_members = sig.select("_sig", F.col(id_col).alias("doc_id"))
         new_reps = sig.select("_sig", *[f"mh{i}" for i in range(k)]).distinct()
         new_buckets = _band_buckets(new_reps, k, bands)
@@ -206,10 +195,18 @@ class MinHashIndex:
         # stored parquet lazily, and the append below must not race it.
         pairs = pairs.localCheckpoint(eager=True)
 
+        # overwrite: a previous add() that crashed after writing data
+        # dirs but before committing meta leaves orphans under the same
+        # batch number — replacing them (instead of erroring) is what
+        # makes the documented crash-recovery story true
         n = (max(m["batches"]) + 1) if m["batches"] else 0
-        new_reps.write.parquet(str(self.path / "sigs" / f"batch={n}"))
-        new_buckets.write.parquet(str(self.path / "buckets" / f"batch={n}"))
-        new_members.write.parquet(str(self.path / "members" / f"batch={n}"))
+        new_reps.write.mode("overwrite").parquet(str(self.path / "sigs" / f"batch={n}"))
+        new_buckets.write.mode("overwrite").parquet(
+            str(self.path / "buckets" / f"batch={n}")
+        )
+        new_members.write.mode("overwrite").parquet(
+            str(self.path / "members" / f"batch={n}")
+        )
         m["batches"].append(n)
         self._write_meta()
         return pairs

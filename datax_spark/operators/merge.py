@@ -122,7 +122,7 @@ def apply_epoch(
         stats.skipped = True
         return stats
 
-    clean, dirty = split_dirty(events)
+    clean, dirty = split_dirty(events, key)
     do_extract = extract and "html" in clean.columns
 
     # ---- driver-side stats: ONE narrow job, bounded by P --------------- #
@@ -153,7 +153,7 @@ def apply_epoch(
     per_key = (
         events.select(
             url_partition(key, num_p).alias("_pid"),
-            dirty_predicate().alias("_dirty"),
+            dirty_predicate(key).alias("_dirty"),
             F.col(key).alias("_k"),
             F.col("lsn"),
             F.col("op"),

@@ -161,45 +161,39 @@ def pq_decode(codes: Column, codebook_rows: list[tuple[int, int, list[float]]]) 
     return F.concat(*parts)
 
 
-def pq_topk(
-    corpus: DataFrame,
+def adc_lut(
     queries: DataFrame,
-    k: int = 3,
-    m: int = 4,
-    k_codes: int = 8,
-    n_iter: int = 2,
-    dim: int = 64,
+    codebook: DataFrame,
+    m: int,
+    dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Train + encode + ADC top-k: (query_id, neighbor_id, approx_dist,
-    rank) — rank ascending on the rounded ADC squared-L2, id tie-break.
-    The corpus embedding column is read ONLY during train/encode; the
-    scan that serves queries touches codes alone."""
-    cb = train_pq(corpus, m, k_codes, n_iter, dim, id_col, vec_col)
-    codes = pq_encode(corpus, cb, m, dim, id_col, vec_col)
-
+    """Per-query ADC lookup table: (query_id, sub, code, pd) —
+    |queries| · m · k_codes rows, broadcastable."""
     qsubs = subvectors(queries, m, dim, id_col, vec_col).select(
         F.col(id_col).alias("query_id"), "sub", F.col("sv").alias("qsv")
     )
-    lut = F.broadcast(
-        qsubs.join(cb, "sub").select(
+    return F.broadcast(
+        qsubs.join(codebook, "sub").select(
             "query_id", "sub", "code",
             _sq_l2(F.col("qsv"), F.col("centroid")).alias("pd"),
         )
     )
-    exploded = codes.select(
-        F.col(id_col).alias("neighbor_id"), F.posexplode("codes").alias("sub", "code")
-    )
-    # pivot the m partials into columns → FIXED summation order (a plain
-    # sum() aggregates in partition order: nondeterministic ulps)
-    per_pair = (
-        exploded.join(lut, ["sub", "code"])
-        .groupBy("query_id", "neighbor_id")
-        .agg(*[
+
+
+def adc_rank(scored_subs: DataFrame, m: int, k: int) -> DataFrame:
+    """Shared ADC tail — used by both pq_topk and IvfIndex.probe_adc,
+    which must stay bit-identical (differential-tested): pivot the m
+    partials into columns so the sum has a FIXED association order (a
+    plain sum() aggregates in partition order: nondeterministic ulps),
+    drop self-pairs, rank ascending on round(·, 6) with id tie-break.
+    Input rows: (query_id, neighbor_id, sub, pd)."""
+    per_pair = scored_subs.groupBy("query_id", "neighbor_id").agg(
+        *[
             F.max(F.when(F.col("sub") == s, F.col("pd"))).alias(f"d{s}")
             for s in range(m)
-        ])
+        ]
     )
     total = F.col("d0")
     for s in range(1, m):
@@ -218,3 +212,31 @@ def pq_topk(
             "rank",
         )
     )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    m: int = 4,
+    k_codes: int = 8,
+    n_iter: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train + encode + ADC top-k: (query_id, neighbor_id, approx_dist,
+    rank) — rank ascending on the rounded ADC squared-L2, id tie-break.
+    The corpus embedding column is read ONLY during train/encode; the
+    scan that serves queries touches codes alone."""
+    cb = train_pq(corpus, m, k_codes, n_iter, dim, id_col, vec_col)
+    codes = pq_encode(corpus, cb, m, dim, id_col, vec_col)
+    lut = adc_lut(queries, cb, m, dim, id_col, vec_col)
+    exploded = codes.select(
+        F.col(id_col).alias("neighbor_id"), F.posexplode("codes").alias("sub", "code")
+    )
+    # the lut join pairs every neighbor-sub row with every query
+    joined = exploded.join(lut, ["sub", "code"]).select(
+        "query_id", "neighbor_id", "sub", "pd"
+    )
+    return adc_rank(joined, m, k)

@@ -23,20 +23,20 @@ class ErrorBudgetExceeded(RuntimeError):
     pass
 
 
-def dirty_predicate() -> F.Column:
+def dirty_predicate(key: str = "url") -> F.Column:
     return (
-        F.col("url").isNull()
-        | (F.length("url") == 0)
+        F.col(key).isNull()
+        | (F.length(key) == 0)
         | ~F.col("op").isin(*VALID_OPS)
         | F.col("lsn").isNull()
         | (F.col("lsn") <= 0)
     )
 
 
-def split_dirty(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+def split_dirty(df: DataFrame, key: str = "url") -> tuple[DataFrame, DataFrame]:
     """Returns (clean, dirty). Both are lazy filters over the same scan;
     Catalyst pushes each predicate into the source."""
-    pred = dirty_predicate()
+    pred = dirty_predicate(key)
     return df.filter(~pred), df.filter(pred)
 
 

@@ -164,29 +164,15 @@ def streaming_near_dup(
     banding) stays JVM-side."""
     from pyspark.sql import functions as F
 
+    from datax_spark.operators.dedup import band_bucket_exprs
+
     if k % bands:
         raise ValueError(f"bands={bands} must divide k={k}")
-    rows_per_band = k // bands
     sig = docs.select(F.col(id_col).alias("doc_id"), *minhash_sig_cols(text_col, k))
     sig = sig.filter(F.col("mh0").isNotNull())  # empty docs have no signature
-    band_cols = [
-        F.concat(
-            F.lit(f"{b}:"),
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"mh{b * rows_per_band + r}").cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                )
-            ),
-        )
-        for b in range(bands)
-    ]
     bucketed = sig.select(
         "doc_id", *[F.col(f"mh{i}") for i in range(k)],
-        F.explode(F.array(*band_cols)).alias("bucket"),
+        F.explode(F.array(*band_bucket_exprs(k, bands))).alias("bucket"),
     )
     return bucketed.groupBy("bucket").applyInPandasWithState(
         _make_neardup_fn(k, jaccard_threshold),

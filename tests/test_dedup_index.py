@@ -82,3 +82,28 @@ def test_load_roundtrip_and_format_guard(spark, corpus, tmp_path):
 def test_bands_must_divide_k(spark, tmp_path):
     with pytest.raises(ValueError, match="must divide"):
         MinHashIndex.create(spark, tmp_path / "bad", k=8, bands=3)
+
+
+def test_create_refuses_existing_index(spark, corpus, tmp_path):
+    path = tmp_path / "idx_guard"
+    MinHashIndex.create(spark, path)
+    with pytest.raises(FileExistsError, match="already exists"):
+        MinHashIndex.create(spark, path)
+
+
+def test_crashed_add_recovers(spark, corpus, tmp_path):
+    """A batch dir written by an add() that died before committing meta
+    is an orphan — the NEXT add() under the same number replaces it and
+    the result still equals the one-shot pairs."""
+    path = tmp_path / "idx_crash"
+    idx = MinHashIndex.create(spark, path, jaccard_threshold=0.7)
+    half1, half2 = corpus.filter("doc_id % 2 = 0"), corpus.filter("doc_id % 2 = 1")
+    got = _pairs(idx.add(half1))
+    # simulate a crashed second add: data dirs exist, meta not updated
+    import shutil
+    for kind in ("sigs", "buckets", "members"):
+        shutil.copytree(path / kind / "batch=0", path / kind / "batch=1")
+    re = MinHashIndex.load(spark, path)
+    assert re.meta["batches"] == [0]
+    got.update(_pairs(re.add(half2)))  # overwrites the orphan batch=1
+    assert got == _pairs(minhash_lsh_pairs(corpus, jaccard_threshold=0.7))

@@ -388,23 +388,21 @@ def test_gopher_filter_and_decontaminate_transforms(spark, tmp_path):
 
 
 def test_speed_channel_bounds_parallelism(spark, sf_dir, tmp_path):
-    """DataX speed.channel: bounds write fan-out and the job's shuffle
-    width (session-scoped)."""
+    """DataX speed.channel: bounds write fan-out for THIS job, and the
+    per-job shuffle conf is restored afterwards (never leaks into the
+    next job on the shared session)."""
     from datax_spark.jobspec import run_batch_job
 
     before = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        run_batch_job(
-            spark,
-            {
-                "reader": {"type": "parquet", "path": f"{sf_dir}/documents.parquet"},
-                "writer": {"type": "parquet", "path": str(tmp_path / "out"),
-                           "mode": "overwrite"},
-                "settings": {"speed": {"channel": 2}},
-            },
-        )
-        files = [p for p in (tmp_path / "out").glob("part-*") if p.suffix == ".parquet"]
-        assert 0 < len(files) <= 2
-        assert spark.conf.get("spark.sql.shuffle.partitions") == "2"
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", before)
+    run_batch_job(
+        spark,
+        {
+            "reader": {"type": "parquet", "path": f"{sf_dir}/documents.parquet"},
+            "writer": {"type": "parquet", "path": str(tmp_path / "out"),
+                       "mode": "overwrite"},
+            "settings": {"speed": {"channel": 2}},
+        },
+    )
+    files = [p for p in (tmp_path / "out").glob("part-*") if p.suffix == ".parquet"]
+    assert 0 < len(files) <= 2
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before

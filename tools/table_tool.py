@@ -56,11 +56,13 @@ def main(argv: list[str]) -> int:
     elif cmd == "changes":
         from_v = int(args[0])
         to_v = int(args[1]) if len(args) > 1 and args[1] != "-" else None
-        feed = table.read_changes(from_v, to_v)
+        # both output modes emit the SAME change-event schema (op/lsn):
+        # the stdout JSON lines are as ingestible as the parquet feed
+        feed = table.read_changes(from_v, to_v).withColumnRenamed(
+            "_op", "op"
+        ).withColumnRenamed("_lsn", "lsn")
         if len(args) > 2:
-            feed.withColumnRenamed("_op", "op").withColumnRenamed(
-                "_lsn", "lsn"
-            ).write.mode("overwrite").parquet(args[2])
+            feed.write.mode("overwrite").parquet(args[2])
             print(json.dumps({"rows": table.spark.read.parquet(args[2]).count(),
                               "out": args[2]}))
         else:
