@@ -197,9 +197,61 @@ class IceTable:
     def current_version(self) -> int:
         return int((self.meta_dir / "version-hint.text").read_text().strip())
 
-    def metadata(self, version: int | None = None) -> dict[str, Any]:
+    def metadata(self, version: int | str | None = None) -> dict[str, Any]:
+        if isinstance(version, str):  # named ref — every read path
+            version = self.resolve_ref(version)  # accepts a tag name
         v = self.current_version() if version is None else version
         return json.loads((self.meta_dir / f"v{v}.metadata.json").read_text())
+
+    # ------------------------------------------------------------------ #
+    # named refs (Iceberg table tags): a tag pins a snapshot against
+    # expiry and names it for time travel — read(version="prod") works
+    # anywhere an int version does (resolution happens in metadata()).
+    # Tagging publishes a rewrite-only metadata version, so it is
+    # changelog-invisible and CAS-safe against concurrent commits;
+    # commit() carries refs forward automatically ({**meta} spread).
+    # ------------------------------------------------------------------ #
+    def refs(self) -> dict[str, int]:
+        return dict(self.metadata().get("refs", {}))
+
+    def resolve_ref(self, name: str) -> int:
+        refs = self.metadata().get("refs", {})
+        if name not in refs:
+            raise KeyError(f"no tag {name!r} on table at {self.root}")
+        return refs[name]
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin ``version`` (default: current) under ``name``. Returns the
+        pinned version. Re-tagging an existing name moves it."""
+        meta = self.metadata()
+        target = meta["version"] if version is None else int(version)
+        self.metadata(target)  # must be a retained snapshot
+        refs = dict(meta.get("refs", {}))
+        refs[name] = target
+        self._publish(
+            {
+                **meta,
+                "version": meta["version"] + 1,
+                "parent_version": meta["version"],
+                "refs": refs,
+            }
+        )
+        return target
+
+    def drop_tag(self, name: str) -> None:
+        meta = self.metadata()
+        refs = dict(meta.get("refs", {}))
+        if name not in refs:
+            raise KeyError(f"no tag {name!r} on table at {self.root}")
+        del refs[name]
+        self._publish(
+            {
+                **meta,
+                "version": meta["version"] + 1,
+                "parent_version": meta["version"],
+                "refs": refs,
+            }
+        )
 
     def schema(self, version: int | None = None) -> T.StructType:
         meta = self.metadata(version)
@@ -716,10 +768,15 @@ class IceTable:
         stops working — exactly Iceberg's expire_snapshots contract."""
         current = self.current_version()
         cutoff = max(current - keep_last + 1, 0)
+        # tagged snapshots survive expiry regardless of age (Iceberg ref
+        # retention): they stay readable and their files stay live
+        keep = set(range(cutoff, current + 1)) | set(
+            self.metadata().get("refs", {}).values()
+        )
         live: set[str] = set()
         live_manifests: set[str] = set()
         live_blooms: set[str] = set()
-        for v in range(cutoff, current + 1):
+        for v in sorted(keep):
             live_manifests |= set(self.metadata(v)["manifests"].values())
             for f in self.manifest_entries(v):
                 live.add(f["path"])
@@ -733,7 +790,7 @@ class IceTable:
         expired = sorted(
             v
             for p in self.meta_dir.glob("v*.metadata.json")
-            if (v := int(p.name[1:].split(".")[0])) < cutoff
+            if (v := int(p.name[1:].split(".")[0])) < cutoff and v not in keep
         )
         for v in expired:
             for mrel in self.metadata(v)["manifests"].values():
@@ -781,6 +838,9 @@ class IceTable:
             **old,
             "version": cur["version"] + 1,
             "parent_version": cur["version"],
+            # refs are table-level, not snapshot-state: tags created
+            # after the restored version must survive the rollback
+            "refs": cur.get("refs", {}),
             "summary": {
                 **old["summary"],
                 "rolled_back_from": cur["version"],

@@ -555,3 +555,50 @@ def test_rollback_then_replay_converges(spark, tmp_path):
         assert again[u]["text"] == row["text"], u
     # rollback to the current head is a no-op
     assert table.rollback(table.current_version()) == table.current_version()
+
+
+def test_tags_pin_snapshots_and_survive_expiry(spark, tmp_path):
+    """Iceberg-style table refs: a tag names a version for time travel
+    (read(version='name')), protects it from expire_snapshots, and
+    drop_tag releases it."""
+    from pyspark.sql import types as T
+
+    from datax_spark.icetable.table import IceTable
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()), T.StructField("val", T.LongType()),
+    ])
+    t = IceTable.create(spark, tmp_path / "t", schema, num_partitions=2)
+    for e, rows in enumerate([[("a", 1)], [("b", 2)], [("c", 3)], [("d", 4)]]):
+        df = spark.createDataFrame(
+            [(u, v, 0, e + 1) for u, v in rows],
+            "url string, val long, _pid int, _lsn long",
+        )
+        t.commit(e, {0}, t.stage_data_files(df, epoch=e))
+    t.tag("first_batch", 1)
+    assert t.refs() == {"first_batch": 1}
+    # tagging is changelog-invisible (rewrite-only metadata version)
+    assert t.read_changes(t.current_version() - 1).count() == 0
+    assert {r["url"] for r in t.read(version="first_batch").collect()} == {"a"}
+
+    t.expire_snapshots(keep_last=2)
+    # v1 is older than the horizon but tagged: still readable
+    assert {r["url"] for r in t.read(version="first_batch").collect()} == {"a"}
+    assert t.read(version=1).count() == 1
+    # untagged old versions are gone
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        t.read(version=2)
+
+    # rollback keeps later-created tags (refs are table-level)
+    v = t.rollback(t.resolve_ref("first_batch"))
+    assert t.refs() == {"first_batch": 1}
+    assert {r["url"] for r in t.read().collect()} == {"a"}
+
+    t.drop_tag("first_batch")
+    assert t.refs() == {}
+    t.expire_snapshots(keep_last=2)
+    with _pytest.raises(FileNotFoundError):
+        t.read(version=1)  # unpinned: expired on the next sweep
+    with _pytest.raises(KeyError):
+        t.resolve_ref("first_batch")

@@ -9,6 +9,8 @@ Commands:
     orphans [grace_seconds]      remove unreferenced files (default 3600)
     rollback <version>           restore an old snapshot as a new version
     report                       current version + summary JSON
+    tag <name> [version]         pin a snapshot under a name (expiry-proof)
+    droptag <name>               release a tag
     changes <from> [to] [out]    changelog (CDF) between versions — JSON
                                  lines, or parquet when [out] is given
                                  (a change-event feed another table
@@ -68,6 +70,12 @@ def main(argv: list[str]) -> int:
         else:
             for r in feed.toLocalIterator():
                 print(json.dumps(r.asDict(), sort_keys=True, default=str))
+    elif cmd == "tag":
+        v = table.tag(args[0], int(args[1]) if len(args) > 1 else None)
+        print(json.dumps({"tag": args[0], "version": v, "refs": table.refs()}))
+    elif cmd == "droptag":
+        table.drop_tag(args[0])
+        print(json.dumps({"dropped": args[0], "refs": table.refs()}))
     elif cmd == "report":
         meta = table.metadata()
         print(json.dumps(
