@@ -281,6 +281,23 @@ def apply_transforms(
                 id_col=t.get("idCol", "doc_id"),
                 token_col=t.get("tokenCol", "n_tokens"),
             )
+        elif op == "tokenize":
+            from datax_spark.functions.tokenize import build_vocab, encode
+
+            size = int(t.get("vocabSize", 4096))
+            df = encode(
+                df,
+                build_vocab(
+                    df, size,
+                    id_col=t.get("idCol", "doc_id"),
+                    text_col=t.get("textCol", "text"),
+                    min_freq=int(t.get("minFreq", 1)),
+                ),
+                vocab_size=size,
+                oov_buckets=int(t.get("oovBuckets", 16)),
+                id_col=t.get("idCol", "doc_id"),
+                text_col=t.get("textCol", "text"),
+            )
         elif op == "gopherFilter":
             from datax_spark.functions.text import gopher_pass, gopher_signals
 

@@ -197,3 +197,88 @@ def test_lake_to_lake_as_one_job_spec(spark, tmp_path):
     run_batch_job(spark, spec)  # epoch auto-increments past the bootstrap
     dst2 = IceTable.load(spark, tmp_path / "dst")
     assert {r["url"]: r["val"] for r in dst2.read().collect()} == {"c": 3}
+
+
+from hypothesis import HealthCheck, given
+from hypothesis import settings as hsettings
+from hypothesis import strategies as st
+
+# an op sequence: each element commits one epoch of upserts (key→val)
+# and/or MoR deletes; 'C' sprinkles a compaction (rewrite-only)
+_KEYS = ["a", "b", "c", "d", "e"]
+_OPS = st.lists(
+    st.one_of(
+        st.dictionaries(st.sampled_from(_KEYS), st.integers(0, 9),
+                        min_size=1, max_size=3),   # upserts
+        st.sets(st.sampled_from(_KEYS), min_size=1, max_size=2),  # deletes
+        st.just("C"),
+    ),
+    min_size=2, max_size=6,
+)
+
+
+@hsettings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ops=_OPS, data=st.data())
+def test_read_changes_matches_model_diff(spark, tmp_path_factory, ops, data):
+    """Differential: for ANY commit sequence (upserts, MoR deletes,
+    compactions) and ANY version pair, read_changes == the diff of the
+    pure-python model states."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()), T.StructField("val", T.LongType()),
+    ])
+    base = tmp_path_factory.mktemp("cdf_prop")
+    t = IceTable.create(spark, base / "t", schema, num_partitions=2)
+    model: dict[str, tuple[int, int]] = {}  # key -> (val, lsn)
+    states = {0: {}}
+    lsn = 0
+    epoch = 0
+    for op in ops:
+        if op == "C":
+            t.compact(min_files=2)
+        elif isinstance(op, dict):
+            lsn += 1
+            rows = [(k, v, 0 if k < "c" else 1, lsn) for k, v in sorted(op.items())]
+            files = t.stage_data_files(
+                spark.createDataFrame(rows, "url string, val long, _pid int, _lsn long"),
+                epoch=epoch,
+            )
+            t.commit(epoch, {r[2] for r in rows}, files)
+            for k, v in op.items():
+                model[k] = (v, lsn)
+            epoch += 1
+        else:  # delete set
+            present = [k for k in op if k in model]
+            if not present:
+                continue
+            dels = t.stage_delete_files(
+                spark.createDataFrame(
+                    [(k, 0 if k < "c" else 1) for k in sorted(present)],
+                    "url string, _pid int",
+                ),
+                epoch=epoch,
+            )
+            t.commit(epoch, {0 if k < "c" else 1 for k in present}, [],
+                     added_deletes=dels)
+            for k in present:
+                del model[k]
+            epoch += 1
+        states[t.current_version()] = dict(model)
+
+    versions = sorted(states)
+    a = data.draw(st.sampled_from(versions))
+    b = data.draw(st.sampled_from([v for v in versions if v >= a]))
+    got = {
+        r["url"]: (r["_op"], r["val"]) for r in t.read_changes(a, b).collect()
+    }
+    sa, sb = states[a], states[b]
+    want = {}
+    for k in set(sa) | set(sb):
+        if k not in sa:
+            want[k] = ("I", sb[k][0])
+        elif k not in sb:
+            want[k] = ("D", sa[k][0])
+        elif sa[k][0] != sb[k][0]:
+            want[k] = ("U", sb[k][0])
+    assert got == want, (a, b, sa, sb)

@@ -406,3 +406,26 @@ def test_speed_channel_bounds_parallelism(spark, sf_dir, tmp_path):
     files = [p for p in (tmp_path / "out").glob("part-*") if p.suffix == ".parquet"]
     assert 0 < len(files) <= 2
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_tokenize_transform(spark, tmp_path):
+    from datax_spark.jobspec import run_batch_job
+
+    src = tmp_path / "docs"
+    spark.createDataFrame(
+        [(0, "the cat and the hat"), (1, "the dog")],
+        "doc_id long, text string",
+    ).write.parquet(str(src))
+    out = run_batch_job(
+        spark,
+        {
+            "reader": {"type": "parquet", "path": str(src)},
+            "transforms": [{"op": "tokenize", "vocabSize": 3, "oovBuckets": 4}],
+        },
+    )
+    rows = out.collect()
+    assert {r["doc_id"] for r in rows} == {0, 1}
+    # 'the'=0 everywhere; OOV ids live in [3, 7)
+    the_ids = {r["token_id"] for r in rows if r["is_oov"] == 0}
+    assert 0 in the_ids and all(i < 3 for i in the_ids)
+    assert all(3 <= r["token_id"] < 7 for r in rows if r["is_oov"] == 1)
