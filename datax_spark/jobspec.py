@@ -10,6 +10,7 @@ compiling to declarative Spark plans, so Catalyst owns optimization:
   "reader": {
     "type": "parquet",             # parquet | csv | text | orc | json |
                                    # table (registered view) | jdbc |
+                                   # icetable (lake table @ version/tag) |
                                    # icetable_changes (CDF feed: lake-as-source)
     "path": "/data/in.parquet",
     "column": ["url", "lang", {"value": "batch-7", "name": "tag"}],
@@ -161,6 +162,14 @@ def compile_reader(spark: SparkSession, reader: dict[str, Any]) -> DataFrame:
         df = spark.read.json(str(reader["path"]))
     elif rtype == "table":
         df = spark.read.table(reader["table"])
+    elif rtype == "icetable":
+        # lake table as a batch source — current snapshot, an int
+        # version, or a named tag (reader.version: 3 | "prod")
+        from datax_spark.icetable.table import IceTable
+
+        df = IceTable.load(spark, reader["path"]).read(
+            version=reader.get("version")
+        )
     elif rtype == "icetable_changes":
         # lake-as-source: the changelog feed of an icetable between two
         # versions, already shaped as a change-event batch (op/lsn/key +

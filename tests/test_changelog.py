@@ -282,3 +282,22 @@ def test_read_changes_matches_model_diff(spark, tmp_path_factory, ops, data):
         elif sa[k][0] != sb[k][0]:
             want[k] = ("U", sb[k][0])
     assert got == want, (a, b, sa, sb)
+
+
+def test_icetable_reader_with_tag(spark, tmp_path):
+    """reader.type 'icetable': the lake table as a batch source, at the
+    current snapshot or a named tag."""
+    from datax_spark.jobspec import run_batch_job
+
+    t = _build_iud_table(spark, tmp_path / "t")
+    t.tag("before_delete", 2)
+    now = run_batch_job(
+        spark, {"reader": {"type": "icetable", "path": str(tmp_path / "t")}}
+    )
+    assert {r["url"] for r in now.collect()} == {"a", "c"}
+    old = run_batch_job(
+        spark,
+        {"reader": {"type": "icetable", "path": str(tmp_path / "t"),
+                    "version": "before_delete", "where": "val > 1"}},
+    )
+    assert {r["url"]: r["val"] for r in old.collect()} == {"a": 99, "b": 2, "c": 3}
