@@ -821,6 +821,74 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return first.unionByName(second)
 
 
+def q_full_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE prep flow in production order (curation.full_prep):
+    Gopher gate → annotate → lang/quality → exact dedup → near-dup drop
+    → decontamination vs the doc_id % 37 eval slice → PII redaction.
+    The oracle chains every stage in one SQL CTE pipeline; the value
+    hash covers the redacted text bytes."""
+    from datax_spark.operators.curation import full_prep
+
+    docs = _relined(_t(spark, sf_dir, "documents"))
+    bench = docs.filter((F.col("doc_id") % 37) == 0)
+    return full_prep(docs, bench)
+
+
+def _full_prep_oracle() -> str:
+    from datax_spark.functions.pii import PII_PATTERNS
+
+    gram3 = """
+{out} AS (
+  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS gram
+  FROM {tp} a
+  JOIN {tp} b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  JOIN {tp} c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+)"""
+    tp = """
+{toks} AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM {src}{where}
+),
+{out} AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS i
+  FROM {toks}
+)"""
+    pii = []
+    for idx, (name, pattern, repl) in enumerate(PII_PATTERNS):
+        p = pattern.replace("'", "''")
+        src = "decon" if idx == 0 else f"pii{idx - 1}"
+        t_in = "text" if idx == 0 else f"t{idx}"
+        pii.append(
+            f"pii{idx} AS (SELECT *, regexp_replace({t_in}, '{p}', '{repl}', 'g')"
+            f" AS t{idx + 1} FROM {src})"
+        )
+    last = len(PII_PATTERNS)
+    pii_chain = ",\n".join(pii)
+    return f"""
+WITH {_RELINED_CTE},
+{_gopher_signals_ctes("relined").strip()},
+gf AS (
+  SELECT r.doc_id, d.source, r.text
+  FROM relined r
+  JOIN documents d ON d.doc_id = r.doc_id
+  JOIN gsig ON gsig.doc_id = r.doc_id
+  WHERE {_GOPHER_PASS_SQL}
+),
+{_curation_ctes(0.8, ("en",), src="gf").strip()},
+{tp.format(toks="ktoks", out="ktp", src="kept", where="").strip()},
+{gram3.format(out="kgrams", tp="ktp").strip()},
+{tp.format(toks="btoks", out="btp", src="relined", where=" WHERE doc_id % 37 = 0").strip()},
+{gram3.format(out="bgrams", tp="btp").strip()},
+bgr AS (SELECT DISTINCT gram FROM bgrams),
+cont AS (SELECT DISTINCT k.doc_id FROM kgrams k JOIN bgr ON bgr.gram = k.gram),
+decon AS (
+  SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+),
+{pii_chain}
+SELECT doc_id, source, lang_det, quality, n_tokens, t{last} AS text_redacted
+FROM pii{last - 1}"""
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data prep flow (operators/curation.py):
     lang-id + quality annotate → filter → exact dedup (window over
@@ -1091,6 +1159,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "token_count_by_source": q_token_count_by_source,
     "curation_pipeline": q_curation_pipeline,
+    "full_prep_pipeline": q_full_prep_pipeline,
     "curation_funnel": q_curation_funnel,
     "line_dedup_corpus": q_line_dedup_corpus,
     "repetition_signals": q_repetition_signals,
@@ -1513,7 +1582,7 @@ _RELINED_CTE = r"""relined AS (
 )"""
 
 
-def _curation_ctes(min_quality: float, langs: tuple[str, ...]) -> str:
+def _curation_ctes(min_quality: float, langs: tuple[str, ...], src: str = "documents") -> str:
     """Shared CTE chain mirroring operators/curation._stages stage by
     stage: annotate (lang argmax + quality + token count) → lang/quality
     filter → exact dedup via row_number over the canon md5 → MinHash-LSH
@@ -1530,7 +1599,7 @@ def _curation_ctes(min_quality: float, langs: tuple[str, ...]) -> str:
         f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(8)
     )
     return f"""
-scored AS (SELECT doc_id, source, text, {scols} FROM documents),
+scored AS (SELECT doc_id, source, text, {scols} FROM {src}),
 best_t AS (SELECT *, {best} AS best FROM scored),
 ann AS (
   SELECT doc_id, source, text,
@@ -1577,9 +1646,19 @@ kept AS (
 )"""
 
 
-def _gopher_oracle() -> str:
-    """Mirror of q_gopher_quality: every gopher_signals expression and
-    the threshold verdict, over the same re-lined documents."""
+_GOPHER_PASS_SQL = """n_words BETWEEN 8 AND 100000
+                  AND mean_word_len BETWEEN 3.0 AND 10.0
+                  AND symbol_word_ratio <= 0.1
+                  AND bullet_line_frac <= 0.9
+                  AND ellipsis_line_frac <= 0.3
+                  AND alpha_word_frac >= 0.8
+                  AND n_stopwords >= 2"""
+
+
+def _gopher_signals_ctes(src: str, extra_cols: str = "") -> str:
+    """g/s CTE pair computing every gopher_signals expression over
+    ``src`` (which must provide doc_id + text). Shared by the
+    gopher_quality oracle and the full-prep chain."""
     nw = "len(toks)"
     nl = "len(lines)"
     div = "round(CASE WHEN {d} > 0 THEN CAST({n} AS DOUBLE) / {d} ELSE 0.0 END, 4)"
@@ -1598,16 +1677,14 @@ def _gopher_oracle() -> str:
     alpha = div.format(
         n="len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))", d=nw
     )
-    return rf"""
-WITH {_RELINED_CTE},
-g AS (
-  SELECT doc_id, text,
+    return rf"""gph AS (
+  SELECT doc_id, text,{extra_cols}
          list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks,
          list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines
-  FROM relined
+  FROM {src}
 ),
-s AS (
-  SELECT doc_id,
+gsig AS (
+  SELECT doc_id,{extra_cols}
          CAST({nw} AS BIGINT) AS n_words,
          {mean_wl} AS mean_word_len,
          {sym} AS symbol_word_ratio,
@@ -1615,18 +1692,20 @@ s AS (
          {ellip} AS ellipsis_line_frac,
          {alpha} AS alpha_word_frac,
          CAST({_STOPWORD_SQL} AS BIGINT) AS n_stopwords
-  FROM g
-)
+  FROM gph
+)"""
+
+
+def _gopher_oracle() -> str:
+    """Mirror of q_gopher_quality: every gopher_signals expression and
+    the threshold verdict, over the same re-lined documents."""
+    return f"""
+WITH {_RELINED_CTE},
+{_gopher_signals_ctes("relined").strip()}
 SELECT *,
-       CAST(CASE WHEN n_words BETWEEN 8 AND 100000
-                  AND mean_word_len BETWEEN 3.0 AND 10.0
-                  AND symbol_word_ratio <= 0.1
-                  AND bullet_line_frac <= 0.9
-                  AND ellipsis_line_frac <= 0.3
-                  AND alpha_word_frac >= 0.8
-                  AND n_stopwords >= 2
+       CAST(CASE WHEN {_GOPHER_PASS_SQL}
              THEN 1 ELSE 0 END AS INTEGER) AS pass_flag
-FROM s"""
+FROM gsig"""
 
 
 def _decontamination_oracle() -> str:
@@ -2089,6 +2168,7 @@ SELECT source, count(*) AS n_docs,
        round(avg(n_chars), 2) AS avg_chars
 FROM documents GROUP BY source""",
     "curation_pipeline": _curation_pipeline_oracle(),
+    "full_prep_pipeline": _full_prep_oracle(),
     "curation_funnel": _curation_funnel_oracle(),
     "url_canonicalize": _URL_ORACLE,
     "pii_redaction": _pii_oracle(),

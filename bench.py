@@ -68,6 +68,7 @@ HEADLINE = [
     "embedding_projection",
     "url_canonicalize",
     "curation_pipeline",
+    "full_prep_pipeline",
 ]
 
 CDC_EVENTS = int(os.environ.get("DATAX_BENCH_EVENTS", "1000000"))

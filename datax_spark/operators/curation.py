@@ -122,6 +122,65 @@ def curate(
     return kept.select(id_col, *keep_cols, "lang_det", "quality", "n_tokens")
 
 
+def full_prep(
+    df: DataFrame,
+    benchmark: DataFrame | None = None,
+    *,
+    min_quality: float = 0.8,
+    langs: tuple[str, ...] | None = ("en",),
+    k: int = 8,
+    bands: int = 4,
+    jaccard_threshold: float = 0.7,
+    hash_fn: str = "md5",
+    decontaminate_n: int = 3,
+    gopher: bool = True,
+    redact: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """The COMPLETE prep flow, every stage this library implements in
+    its production order (FineWeb/Dolma-style):
+
+        Gopher-rules gate → annotate → lang/quality filter
+          → exact dedup → MinHash near-dup drop
+          → benchmark decontamination → PII redaction
+
+    Cheap codegen gates (Gopher, lang/quality) run before any shuffle;
+    decontamination sees only dedup survivors (its per-doc gram explode
+    is the widest stage, so it goes last among the drops); redaction is
+    a final projection. Returns kept docs with annotations and — when
+    ``redact`` — the scrubbed text as ``text_redacted``."""
+    out = df
+    if gopher:
+        sig = TXT.gopher_signals(F.col(text_col))
+        out = out.filter(TXT.gopher_pass(sig))
+    _, _, _, kept = _stages(
+        out,
+        min_quality=min_quality,
+        langs=langs,
+        k=k,
+        bands=bands,
+        jaccard_threshold=jaccard_threshold,
+        hash_fn=hash_fn,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    if benchmark is not None:
+        from .decontaminate import decontaminate as _decon
+
+        kept = _decon(
+            kept, benchmark, n=decontaminate_n, id_col=id_col, text_col=text_col
+        )
+    cols = [id_col, *keep_cols, "lang_det", "quality", "n_tokens"]
+    if redact:
+        from ..functions.pii import redact_pii
+
+        kept = kept.withColumn("text_redacted", redact_pii(F.col(text_col)))
+        cols.append("text_redacted")
+    return kept.select(*cols)
+
+
 def funnel(
     df: DataFrame,
     *,

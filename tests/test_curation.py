@@ -84,3 +84,40 @@ def test_language_allowlist_none_keeps_all_langs(planted):
     kept = CUR.curate(planted, langs=None)
     ids = sorted(r["doc_id"] for r in kept.collect())
     assert 6 in ids  # German doc passes with no language gate
+
+
+def test_full_prep_drops_each_offender_class(spark):
+    """One planted offender per stage, one clean survivor — the complete
+    prep flow (gopher → lang/quality → exact → near-dup → decontaminate
+    → redact) drops each for its own reason."""
+    from datax_spark.operators.curation import full_prep
+
+    clean = ("the black cat sat on the warm mat and it is truly a fine day "
+             "in the sun today with the wind calm and the light golden over the hills")
+    near = clean.replace("golden", "silver")
+    corpus = spark.createDataFrame(
+        [
+            (0, "web", clean),
+            (1, "web", "- a\n- b\n- c"),                      # gopher: bullets/short
+            (2, "web", "der hund und die katze und das haus und der baum und die "
+                       "sonne und der wind und das licht und der tag und die nacht"),  # de
+            (3, "web", clean),                                 # exact dup of 0
+            (4, "web", near),                                  # near dup of 0
+            (5, "web", "the quick brown fox jumps over the lazy dog and then the "
+                       "fox runs down to the river bank to rest in the shade today"),
+            (6, "web", "the tall ship sails on the wide sea and the crew works "
+                       "hard while the captain watches the far horizon with a "
+                       "calm eye and contact me at bob@example.com for the log"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps")], "doc_id long, text string"
+    )
+    out = full_prep(corpus, bench, min_quality=0.0)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # 1 gopher-failed, 2 non-en, 3 exact-dup, 4 near-dup, 5 contaminated
+    assert set(rows) == {0, 6}
+    assert "<EMAIL>" in rows[6]["text_redacted"]
+    assert "bob@example.com" not in rows[6]["text_redacted"]
+    assert rows[0]["lang_det"] == "en" and rows[0]["n_tokens"] > 0
