@@ -542,7 +542,33 @@ def _run_batch_job_body(
 
     for stmt in (spec.get("writer") or {}).get("preSql", []) or []:
         spark.sql(stmt)
-    df = compile_reader(spark, spec["reader"])
+    reader = spec["reader"]
+    cursor = None  # (source table, tag name, version to pin on success)
+    if reader.get("type") == "icetable_changes" and (
+        "sinceTag" in reader or "advanceTag" in reader
+    ):
+        # tag-driven incremental sync: read the feed SINCE the cursor
+        # tag (0 = full bootstrap when the tag doesn't exist yet) up to
+        # a to-version PINNED NOW — commits racing the job land after
+        # the pin and are picked up by the next run — and move the tag
+        # there only after the write succeeds. Re-running a failed job
+        # re-reads the same span; the icetable_merge sink's exactly-once
+        # epochs make the overlap harmless. This is DataX's saved sync
+        # position, kept IN the source table's metadata.
+        from datax_spark.icetable.table import IceTable
+
+        src_tbl = IceTable.load(spark, reader["path"])
+        reader = dict(reader)
+        tag_name = reader.get("advanceTag") or reader.get("sinceTag")
+        if "sinceTag" in reader:
+            try:
+                reader["fromVersion"] = src_tbl.resolve_ref(reader["sinceTag"])
+            except KeyError:
+                reader["fromVersion"] = 0
+        if reader.get("toVersion") is None:
+            reader["toVersion"] = src_tbl.current_version()
+        cursor = (src_tbl, tag_name, reader["toVersion"])
+    df = compile_reader(spark, reader)
     df = apply_transforms(df, spec.get("transforms"), track_cast_ok=err is not None)
     if channel is not None:
         # cap write fan-out without forcing a shuffle on narrow plans
@@ -570,11 +596,24 @@ def _run_batch_job_body(
                 ).parquet(str(writer["quarantinePath"]))
             clean = df.filter(F.col(CAST_OK_COL)).drop(CAST_OK_COL)
             _write_batch_output(spark, clean, writer)
+            _advance_cursor(cursor)
             return clean
         finally:
             df.unpersist()
     _write_batch_output(spark, df, writer)
+    _advance_cursor(cursor)
     return df
+
+
+def _advance_cursor(cursor) -> None:
+    """Move the sync-position tag to the span's pinned to-version —
+    only reached after a successful write (a failed job leaves the
+    cursor where it was, so the next run re-reads the span)."""
+    if cursor is None:
+        return
+    src_tbl, tag_name, to_v = cursor
+    if tag_name:
+        src_tbl.tag(tag_name, to_v)
 
 
 def run_cdc_job(spark: SparkSession, spec: dict[str, Any]):

@@ -301,3 +301,40 @@ def test_icetable_reader_with_tag(spark, tmp_path):
                     "version": "before_delete", "where": "val > 1"}},
     )
     assert {r["url"]: r["val"] for r in old.collect()} == {"a": 99, "b": 2, "c": 3}
+
+
+def test_sync_cursor_tag(spark, tmp_path):
+    """sinceTag/advanceTag: the sync position lives as a tag on the
+    SOURCE table — bootstrap from 0 when the tag doesn't exist, pin the
+    to-version before reading, move the tag only on success."""
+    from datax_spark.jobspec import run_batch_job
+
+    src = _build_iud_table(spark, tmp_path / "src")
+    spec = {
+        "reader": {"type": "icetable_changes", "path": str(tmp_path / "src"),
+                   "sinceTag": "synced", "advanceTag": "synced"},
+        "writer": {"type": "icetable_merge", "path": str(tmp_path / "dst"),
+                   "numPartitions": 4},
+    }
+    run_batch_job(spark, spec)
+    assert src.load(spark, tmp_path / "src").refs()["synced"] == 3  # pinned span end
+    dst = IceTable.load(spark, tmp_path / "dst")
+    assert {r["url"]: r["val"] for r in dst.read().collect()} == {"a": 99, "c": 3}
+
+    # churn on the source, re-run the SAME spec: only the delta applies
+    s = IceTable.load(spark, tmp_path / "src")
+    s.commit(3, {1}, s.stage_data_files(_df(spark, [("b", 8, 1, 30)]), epoch=3))
+    run_batch_job(spark, spec)
+    s2 = IceTable.load(spark, tmp_path / "src")
+    assert s2.refs()["synced"] == s2.current_version() - 1  # pre-tag-commit pin
+    dst2 = IceTable.load(spark, tmp_path / "dst")
+    assert {r["url"]: r["val"] for r in dst2.read().collect()} == {
+        "a": 99, "b": 8, "c": 3,
+    }
+
+    # idle re-run: empty span, cursor moves forward, state unchanged
+    run_batch_job(spark, spec)
+    dst3 = IceTable.load(spark, tmp_path / "dst")
+    assert {r["url"]: r["val"] for r in dst3.read().collect()} == {
+        "a": 99, "b": 8, "c": 3,
+    }
