@@ -435,6 +435,17 @@ def q_dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: connected components over the
+    MinHash pair graph via min-label propagation (4 unrolled rounds in
+    both engines — resolves any component of diameter ≤ 4; the
+    keep-one-per-cluster upgrade over pairwise drops)."""
+    pairs = DD.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), k=8, bands=4, jaccard_threshold=0.7
+    )
+    return DD.connected_components(pairs, n_iter=4)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash near-dup classes."""
     return DD.simhash_dedup(_t(spark, sf_dir, "documents"))
@@ -1137,6 +1148,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_normalized": q_dedup_normalized,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_lsh_fast": q_dedup_minhash_lsh_fast,
+    "near_dup_clusters": q_near_dup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash64": q_dedup_simhash64,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1257,6 +1269,37 @@ FROM cand c
 JOIN sig sa ON sa.doc_id = c.id_a
 JOIN sig sb ON sb.doc_id = c.id_b
 WHERE CAST({matches} AS DOUBLE) / 8 >= 0.7"""
+
+
+def _near_dup_clusters_oracle(n_iter: int = 4) -> str:
+    """MinHash pair CTEs + unrolled min-label propagation."""
+    mh = _minhash_oracle()
+    ctes, final_select = mh.rsplit("\nSELECT ", 1)
+    ctes = ctes.replace("\nWITH ", "", 1)
+    parts = [
+        ctes,
+        f"prs AS (SELECT {final_select.strip()})",
+        """cnodes AS (
+  SELECT DISTINCT id FROM (
+    SELECT id_a AS id FROM prs UNION ALL SELECT id_b AS id FROM prs))""",
+        """cedges AS (
+  SELECT id_a AS src, id_b AS dst FROM prs
+  UNION ALL SELECT id_b AS src, id_a AS dst FROM prs
+  UNION ALL SELECT id AS src, id AS dst FROM cnodes)""",
+        "l0 AS (SELECT id AS src, id AS label FROM cnodes)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""l{i} AS (
+  SELECT e.src, min(l.label) AS label
+  FROM cedges e JOIN l{i - 1} l ON l.src = e.dst
+  GROUP BY e.src)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT src AS doc_id, label AS cluster_id FROM l{n_iter}"
+    )
 
 
 def _ngram_oracle() -> str:
@@ -2068,6 +2111,7 @@ FROM documents GROUP BY 1""",
     "dedup_minhash_lsh": _minhash_oracle(),
     # the incremental index's contract IS one-shot equivalence: same SQL
     "dedup_minhash_incremental": _minhash_oracle(),
+    "near_dup_clusters": _near_dup_clusters_oracle(),
     "gopher_quality": _gopher_oracle(),
     "tokenize_vocab_encode": _tokenize_oracle(),
     "embedding_quantize": _embedding_quantize_oracle(),

@@ -64,6 +64,7 @@ HEADLINE = [
     "gopher_quality",
     "decontamination",
     "dedup_minhash_incremental",
+    "near_dup_clusters",
     "embedding_quantize",
     "embedding_projection",
     "url_canonicalize",

@@ -682,3 +682,42 @@ def line_dedup(
         )
         .filter(F.col("n_lines_kept") > 0)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    n_iter: int = 4,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Near-dup CLUSTERS from a pair list: (doc_id, cluster_id) where
+    cluster_id = the minimum id reachable through pair edges — so
+    "keep cluster_id, drop the rest" is the transitive-closure version
+    of the pairwise keep-lowest-id rule (pairwise drops under-delete:
+    b dropped for a does not drop c paired only with b).
+
+    Min-label propagation: every node starts labeled with itself; each
+    round, a node's label becomes the min over its own and all
+    neighbors' labels — one groupBy per round over the symmetrized edge
+    list. ``n_iter`` rounds resolve any component whose DIAMETER is
+    ≤ n_iter; near-dup graphs are star-ish (template clusters), so the
+    default 4 converges in practice. For adversarial chain-shaped
+    graphs at web scale use more rounds or the large-star/small-star
+    contraction (O(log n) rounds, same per-round shape — this simple
+    form is the SQL-oracle-comparable contract).
+    """
+    a = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    b = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    nodes = a.select("src").union(b.select("src")).distinct()
+    self_loop = nodes.select("src", F.col("src").alias("dst"))
+    edges = a.union(b).union(self_loop)
+    labels = nodes.select("src", F.col("src").alias("label"))
+    for _ in range(n_iter):
+        labels = (
+            edges.join(labels.withColumnRenamed("src", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("label"))
+        )
+    return labels.select(
+        F.col("src").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

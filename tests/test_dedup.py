@@ -271,3 +271,26 @@ def test_simhash64_determinism_and_locality(spark):
     # re-run in a fresh plan: bit-identical signatures
     sig2 = {r["doc_id"]: r["simhash64"] for r in simhash64(tokens(docs)).collect()}
     assert sig == sig2
+
+
+def test_connected_components_transitive_closure(spark):
+    """a-b and b-c pairs: the pairwise rule keeps {a, c}; components
+    collapse the chain into ONE cluster rooted at the min id."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    pairs = spark.createDataFrame(
+        [(0, 5), (5, 9), (20, 21), (9, 30)],
+        "id_a long, id_b long",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in
+           DD.connected_components(pairs, n_iter=4).collect()}
+    assert got == {0: 0, 5: 0, 9: 0, 30: 0, 20: 20, 21: 20}
+
+
+def test_connected_components_on_minhash_pairs(docs):
+    pairs = DD.minhash_lsh_pairs(docs, jaccard_threshold=0.7)
+    got = {r["doc_id"]: r["cluster_id"] for r in
+           DD.connected_components(pairs).collect()}
+    # docs 0,1 exact dups (+3 near): one cluster rooted at 0; 4 absent
+    assert got[0] == 0 and got[1] == 0
+    assert 4 not in got
