@@ -10,6 +10,7 @@ compiling to declarative Spark plans, so Catalyst owns optimization:
   "reader": {
     "type": "parquet",             # parquet | csv | text | orc | json |
                                    # table (registered view) | jdbc |
+                                   # warc (Common-Crawl archives) |
                                    # icetable (lake table @ version/tag) |
                                    # icetable_changes (CDF feed: lake-as-source)
     "path": "/data/in.parquet",
@@ -162,6 +163,17 @@ def compile_reader(spark: SparkSession, reader: dict[str, Any]) -> DataFrame:
         df = spark.read.json(str(reader["path"]))
     elif rtype == "table":
         df = spark.read.table(reader["table"])
+    elif rtype == "warc":
+        # Common-Crawl web archives as a source (sources/warc.py):
+        # binaryFile distribution + Arrow-batched record explode;
+        # malformed archives become quarantine-able error rows
+        from datax_spark.sources.warc import read_warc
+
+        df = read_warc(
+            spark,
+            str(reader["path"]),
+            record_types=tuple(reader.get("recordTypes", ["response"])),
+        )
     elif rtype == "icetable":
         # lake table as a batch source — current snapshot, an int
         # version, or a named tag (reader.version: 3 | "prod")
