@@ -503,6 +503,30 @@ def _write_batch_output(spark: SparkSession, df: DataFrame, writer: dict[str, An
                 extract=bool(writer.get("extract", False)),
                 merge_strategy=writer.get("mergeStrategy", "auto"),
             )
+        elif wtype == "icetable_diff_merge":
+            # recrawl ingestion: diff the incoming SNAPSHOT against the
+            # table state (operators/snapshot_diff.py — unchanged keys
+            # emit nothing) and apply the minimal batch as one
+            # exactly-once MERGE epoch. emitDeletes only for full crawls.
+            from datax_spark.icetable.table import IceTable
+            from datax_spark.operators.merge import apply_epoch
+            from datax_spark.operators.snapshot_diff import snapshot_to_events
+
+            tbl = IceTable.load(spark, Path(writer["path"]))
+            events = snapshot_to_events(
+                tbl, df, emit_deletes=bool(writer.get("emitDeletes", False))
+            )
+            committed = tbl.committed_epochs()
+            epoch = writer.get("epoch")
+            if epoch is None:
+                epoch = (max(committed) + 1) if committed else 0
+            apply_epoch(
+                tbl,
+                events,
+                epoch=int(epoch),
+                extract=bool(writer.get("extract", False)),
+                merge_strategy=writer.get("mergeStrategy", "auto"),
+            )
         elif wtype == "noop":
             df.write.format("noop").mode("overwrite").save()
         else:

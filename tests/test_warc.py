@@ -100,3 +100,97 @@ def test_warc_to_lake_bulk_load_spec(spark, tmp_path):
     t = IceTable.load(spark, tmp_path / "tbl")
     got = {r["url"]: bytes(r["html"]) for r in t.read().collect()}
     assert got == {u: h for u, _, h in PAGES}
+
+
+def test_recrawl_snapshot_diff_chain(spark, tmp_path):
+    """Incremental recrawl: WARC snapshot → minimal event batch →
+    exactly-once MERGE. Only churned pages produce events; unvisited
+    pages survive (no deletes unless asked)."""
+    from datetime import datetime
+
+    from datax_spark.icetable.table import IceTable
+    from datax_spark.operators.merge import apply_epoch
+    from datax_spark.operators.snapshot_diff import snapshot_to_events
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+    ])
+    t = IceTable.create(spark, tmp_path / "tbl", schema, num_partitions=4)
+    boot = spark.createDataFrame(
+        [(u, ts, h) for u, ts, h in PAGES], "url string, warc_ts timestamp, html binary"
+    )
+    t.bulk_overwrite(boot, epoch=0)
+
+    # recrawl: page 1 unchanged, page 2 changed, page 3 unvisited, page 4 new
+    crawl_dir = tmp_path / "crawl2"
+    crawl_dir.mkdir()
+    write_warc(
+        crawl_dir / "seg.warc.gz",
+        [
+            PAGES[0],
+            (PAGES[1][0], datetime(2017, 2, 1), b"<html><p>beta v2</p></html>"),
+            ("http://d.example/4", datetime(2017, 2, 2), b"<html>new</html>"),
+        ],
+        gzip_members=True,
+    )
+    snap = read_warc(spark, str(crawl_dir)).filter("url IS NOT NULL").select(
+        "url", "warc_ts", "html"
+    )
+    events = snapshot_to_events(t, snap)
+    got = {r["url"]: r["op"] for r in events.collect()}
+    # UNCHANGED page emits nothing (warc_ts equal matters: PAGES[0] kept its ts)
+    assert got == {PAGES[1][0]: "U", "http://d.example/4": "I"}
+
+    apply_epoch(t, events, epoch=1, extract=False)
+    state = {r["url"]: bytes(r["html"]) for r in t.read().collect()}
+    assert state[PAGES[1][0]] == b"<html><p>beta v2</p></html>"
+    assert state["http://d.example/4"] == b"<html>new</html>"
+    assert state[PAGES[2][0]] == PAGES[2][2]  # unvisited page survives
+
+    # full-crawl semantics: deletes for unvisited keys
+    events_d = snapshot_to_events(t, snap, emit_deletes=True)
+    ops = {r["url"]: r["op"] for r in events_d.collect()}
+    assert ops[PAGES[2][0]] == "D"
+    apply_epoch(t, events_d, epoch=2, extract=False)
+    assert PAGES[2][0] not in {r["url"] for r in t.read().collect()}
+
+
+def test_recrawl_as_one_job_spec(spark, tmp_path):
+    """warc reader → icetable_diff_merge writer: incremental recrawl
+    ingestion is one re-runnable spec."""
+    from datax_spark.icetable.table import IceTable
+    from datax_spark.jobspec import run_batch_job
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+    ])
+    t = IceTable.create(spark, tmp_path / "tbl", schema, num_partitions=4)
+    t.bulk_overwrite(
+        spark.createDataFrame(
+            [(u, ts, h) for u, ts, h in PAGES],
+            "url string, warc_ts timestamp, html binary",
+        ),
+        epoch=0,
+    )
+    d = tmp_path / "crawl"
+    d.mkdir()
+    from datetime import datetime
+    write_warc(d / "seg.warc", [
+        (PAGES[0][0], datetime(2017, 3, 1), b"<html>v3</html>"),
+    ])
+    run_batch_job(spark, {
+        "reader": {"type": "warc", "path": str(d),
+                   "column": ["url", "warc_ts", "html"],
+                   "where": "url IS NOT NULL"},
+        "writer": {"type": "icetable_diff_merge", "path": str(tmp_path / "tbl")},
+    })
+    t2 = IceTable.load(spark, tmp_path / "tbl")
+    got = {r["url"]: bytes(r["html"]) for r in t2.read().collect()}
+    assert got[PAGES[0][0]] == b"<html>v3</html>"
+    assert len(got) == 3  # others untouched
