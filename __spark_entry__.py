@@ -848,22 +848,6 @@ def q_full_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _full_prep_oracle() -> str:
     from datax_spark.functions.pii import PII_PATTERNS
 
-    gram3 = """
-{out} AS (
-  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS gram
-  FROM {tp} a
-  JOIN {tp} b ON b.doc_id = a.doc_id AND b.i = a.i + 1
-  JOIN {tp} c ON c.doc_id = a.doc_id AND c.i = a.i + 2
-)"""
-    tp = """
-{toks} AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
-  FROM {src}{where}
-),
-{out} AS (
-  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS i
-  FROM {toks}
-)"""
     pii = []
     for idx, (name, pattern, repl) in enumerate(PII_PATTERNS):
         p = pattern.replace("'", "''")
@@ -886,10 +870,8 @@ gf AS (
   WHERE {_GOPHER_PASS_SQL}
 ),
 {_curation_ctes(0.8, ("en",), src="gf").strip()},
-{tp.format(toks="ktoks", out="ktp", src="kept", where="").strip()},
-{gram3.format(out="kgrams", tp="ktp").strip()},
-{tp.format(toks="btoks", out="btp", src="relined", where=" WHERE doc_id % 37 = 0").strip()},
-{gram3.format(out="bgrams", tp="btp").strip()},
+{_gram3_ctes("k", "kept").strip()},
+{_gram3_ctes("b", "relined", " WHERE doc_id % 37 = 0").strip()},
 bgr AS (SELECT DISTINCT gram FROM bgrams),
 cont AS (SELECT DISTINCT k.doc_id FROM kgrams k JOIN bgr ON bgr.gram = k.gram),
 decon AS (
@@ -1241,7 +1223,10 @@ SELECT simhash, count(*) AS n_docs, min(doc_id) AS keep_id
 FROM sh GROUP BY simhash"""
 
 
-def _minhash_oracle() -> str:
+def _minhash_pair_parts() -> tuple[str, str]:
+    """(CTE chain, final pair SELECT) for the MinHash-LSH pair search —
+    consumed whole by _minhash_oracle and as a prs CTE by the
+    connected-components oracle (no string surgery on finished SQL)."""
     mins = ",\n    ".join(
         f"min(md5('{i}:' || tok)) AS mh{i}" for i in range(8)
     )
@@ -1252,8 +1237,7 @@ def _minhash_oracle() -> str:
     matches = " + ".join(
         f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(8)
     )
-    return f"""
-WITH {_TOK_CTE.strip()},
+    ctes = f"""{_TOK_CTE.strip()},
 sig AS (SELECT doc_id, {mins} FROM tok GROUP BY doc_id),
 banded AS (SELECT doc_id, {bands} FROM sig),
 bucket AS (
@@ -1262,23 +1246,27 @@ bucket AS (
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bucket a JOIN bucket b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-)
-SELECT c.id_a, c.id_b,
+)"""
+    select = f"""SELECT c.id_a, c.id_b,
        round(CAST({matches} AS DOUBLE) / 8, 4) AS est_jaccard
 FROM cand c
 JOIN sig sa ON sa.doc_id = c.id_a
 JOIN sig sb ON sb.doc_id = c.id_b
 WHERE CAST({matches} AS DOUBLE) / 8 >= 0.7"""
+    return ctes, select
+
+
+def _minhash_oracle() -> str:
+    ctes, select = _minhash_pair_parts()
+    return f"\nWITH {ctes}\n{select}"
 
 
 def _near_dup_clusters_oracle(n_iter: int = 4) -> str:
     """MinHash pair CTEs + unrolled min-label propagation."""
-    mh = _minhash_oracle()
-    ctes, final_select = mh.rsplit("\nSELECT ", 1)
-    ctes = ctes.replace("\nWITH ", "", 1)
+    ctes, pair_select = _minhash_pair_parts()
     parts = [
         ctes,
-        f"prs AS (SELECT {final_select.strip()})",
+        f"prs AS ({pair_select})",
         """cnodes AS (
   SELECT DISTINCT id FROM (
     SELECT id_a AS id FROM prs UNION ALL SELECT id_b AS id FROM prs))""",
@@ -1751,25 +1739,33 @@ SELECT *,
 FROM gsig"""
 
 
-def _decontamination_oracle() -> str:
-    """Mirror of q_decontamination: positional 3-grams (post-filter word
-    positions, exactly word_ngrams), distinct per doc; the eval side is
-    the doc_id % 37 slice's distinct gram set."""
-    return """
-WITH toks AS (
+def _gram3_ctes(prefix: str, src: str, where: str = "") -> str:
+    """toks/tp/grams CTE triple: distinct positional 3-grams per doc of
+    ``src`` (post-filter word positions, exactly functions/text.py
+    word_ngrams) — THE shared builder for every oracle that n-gram-
+    matches (decontamination, full-prep); a gram-semantics change moves
+    all of them together."""
+    return f"""{prefix}toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
-  FROM documents
+  FROM {src}{where}
 ),
-tp AS (
+{prefix}tp AS (
   SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS i
-  FROM toks
+  FROM {prefix}toks
 ),
-grams AS (
+{prefix}grams AS (
   SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS gram
-  FROM tp a
-  JOIN tp b ON b.doc_id = a.doc_id AND b.i = a.i + 1
-  JOIN tp c ON c.doc_id = a.doc_id AND c.i = a.i + 2
-),
+  FROM {prefix}tp a
+  JOIN {prefix}tp b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  JOIN {prefix}tp c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+)"""
+
+
+def _decontamination_oracle() -> str:
+    """Mirror of q_decontamination: the eval side is the doc_id % 37
+    slice's distinct gram set."""
+    return f"""
+WITH {_gram3_ctes("", "documents").strip()},
 bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 37 = 0),
 hits AS (
   SELECT g.doc_id, count(*) AS n_hit

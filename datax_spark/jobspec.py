@@ -632,12 +632,16 @@ def _run_batch_job_body(
                 ).parquet(str(writer["quarantinePath"]))
             clean = df.filter(F.col(CAST_OK_COL)).drop(CAST_OK_COL)
             _write_batch_output(spark, clean, writer)
-            _advance_cursor(cursor)
+            if writer:
+                _advance_cursor(cursor)
             return clean
         finally:
             df.unpersist()
     _write_batch_output(spark, df, writer)
-    _advance_cursor(cursor)
+    if writer:
+        # a writer-less run is a PREVIEW (nothing was consumed) — the
+        # cursor must not move or the span would be skipped forever
+        _advance_cursor(cursor)
     return df
 
 

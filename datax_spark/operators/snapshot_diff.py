@@ -39,15 +39,43 @@ def snapshot_to_events(
     snapshot: DataFrame,
     base_lsn: int | None = None,
     emit_deletes: bool = False,
+    order_col: str | None = None,
 ) -> DataFrame:
     """(lsn, op, key, *payload columns) — the minimal event batch that
     moves ``table`` to the snapshot's state (∪ untouched keys unless
     ``emit_deletes``). Payload columns are the snapshot's non-key
     columns; D rows carry null payloads (the MERGE delete leg only
-    needs the key)."""
+    needs the key). Snapshot-only columns (schema evolution) count as
+    changed whenever non-null — the table must converge to them.
+
+    Duplicate snapshot keys (the same URL in two crawl segments is
+    routine): when ``order_col`` is given (e.g. ``warc_ts``) the
+    LATEST row per key wins deterministically; without it the key set
+    is VALIDATED unique and duplicates raise — silently fanning out
+    one key into several same-LSN events would make the merged row
+    nondeterministic."""
     key = table.key_column
     if key not in snapshot.columns:
         raise ValueError(f"snapshot lacks the table key column {key!r}")
+    if order_col is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
+        snapshot = (
+            snapshot.withColumn("_sd_rn", F.row_number().over(w))
+            .filter(F.col("_sd_rn") == 1)
+            .drop("_sd_rn")
+        )
+    else:
+        row = snapshot.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(key)).alias("d"),
+        ).first()
+        if row["n"] != row["d"]:
+            raise ValueError(
+                f"snapshot has {row['n'] - row['d']} duplicate {key!r} rows — "
+                "pass order_col to resolve them deterministically"
+            )
     state = table.read(with_lsn=True)
     if base_lsn is None:
         row = state.agg(F.max("_lsn").alias("m")).first()
@@ -55,6 +83,7 @@ def snapshot_to_events(
 
     payload = [c for c in snapshot.columns if c != key]
     compare = [c for c in payload if c in state.columns]
+    new_cols = [c for c in payload if c not in state.columns]
     a = state.select(
         F.col(key).alias(f"a_{key}"),
         *[F.col(c).alias(f"a_{c}") for c in compare],
@@ -68,6 +97,8 @@ def snapshot_to_events(
     changed = F.lit(False)
     for c in compare:
         changed = changed | ~F.col(f"a_{c}").eqNullSafe(F.col(f"b_{c}"))
+    for c in new_cols:  # evolved column with a value: row must update
+        changed = changed | F.col(f"b_{c}").isNotNull()
     op = (
         F.when(F.col(f"a_{key}").isNull(), "I")
         .when(F.col(f"b_{key}").isNull(), "D")

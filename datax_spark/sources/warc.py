@@ -80,6 +80,10 @@ def parse_warc_bytes(data: bytes) -> Iterator[dict]:
             length = int(headers["content-length"])
         except (KeyError, ValueError) as e:
             raise ValueError(f"bad Content-Length in record at {start}") from e
+        if length < 0:
+            # a negative length would move the cursor BACKWARDS and loop
+            # the generator forever on the same record
+            raise ValueError(f"negative Content-Length in record at {start}")
         body_start = head_end + 4
         if body_start + length > n:
             raise ValueError("truncated WARC payload")
@@ -110,6 +114,8 @@ def split_http_response(payload: bytes) -> tuple[int | None, dict[str, str], byt
 
 
 def _rows_for_file(path: str, data: bytes, types: tuple[str, ...]) -> Iterator[tuple]:
+    import zlib
+
     try:
         for rec in parse_warc_bytes(data):
             rtype = rec.get("warc-type", "")
@@ -136,8 +142,10 @@ def _rows_for_file(path: str, data: bytes, types: tuple[str, ...]) -> Iterator[t
                 bytes(body),
                 None,
             )
-    except ValueError as e:
-        # archive-level damage: one error row, scan continues
+    except (ValueError, OSError, EOFError, zlib.error) as e:
+        # archive-level damage — structural (ValueError) or compression
+        # (BadGzipFile is an OSError; truncated members raise EOFError /
+        # zlib.error): one error row, scan continues
         yield (path, None, None, None, None, None, None, str(e))
 
 

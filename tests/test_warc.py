@@ -194,3 +194,47 @@ def test_recrawl_as_one_job_spec(spark, tmp_path):
     got = {r["url"]: bytes(r["html"]) for r in t2.read().collect()}
     assert got[PAGES[0][0]] == b"<html>v3</html>"
     assert len(got) == 3  # others untouched
+
+
+def test_gzip_damage_and_negative_length_become_error_rows(spark, tmp_path):
+    d = tmp_path / "warcs"
+    d.mkdir()
+    (d / "bad.warc.gz").write_bytes(b"\x1f\x8b" + b"garbage not gzip at all")
+    evil = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"Content-Length: -1000000\r\n\r\npayload")
+    (d / "neg.warc").write_bytes(evil)
+    rows = read_warc(spark, str(d)).collect()
+    assert len(rows) == 2 and all(r["warc_error"] for r in rows)
+
+
+def test_snapshot_diff_duplicate_keys_and_evolution(spark, tmp_path):
+    from datetime import datetime
+
+    from datax_spark.icetable.table import IceTable
+    from datax_spark.operators.snapshot_diff import snapshot_to_events
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("html", T.BinaryType()),
+    ])
+    t = IceTable.create(spark, tmp_path / "tbl", schema, num_partitions=2)
+    t.bulk_overwrite(
+        spark.createDataFrame([("u1", b"v1")], "url string, html binary"), epoch=0
+    )
+    dup = spark.createDataFrame(
+        [("u1", b"old", datetime(2017, 1, 1)), ("u1", b"newer", datetime(2017, 2, 1))],
+        "url string, html binary, warc_ts timestamp",
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        snapshot_to_events(t, dup).collect()
+    ev = {r["url"]: (r["op"], bytes(r["html"])) for r in
+          snapshot_to_events(t, dup, order_col="warc_ts").collect()}
+    assert ev["u1"][1] == b"newer"  # latest crawl row wins
+
+    # evolved column: identical html but a NEW non-null column → U event
+    snap2 = spark.createDataFrame(
+        [("u1", b"v1", "en")], "url string, html binary, lang string"
+    )
+    ev2 = [r for r in snapshot_to_events(t, snap2).collect()]
+    assert [r["op"] for r in ev2] == ["U"] and ev2[0]["lang"] == "en"
