@@ -435,6 +435,15 @@ def q_dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-distance pairs via the pigeonhole block join
+    (≤3 differing bits must leave one of the 4 blocks intact) —
+    subsumes the identical-hash classes at distance 0."""
+    return DD.simhash_hamming_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=3
+    )
+
+
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters: connected components over the
     MinHash pair graph via min-label propagation (4 unrolled rounds in
@@ -1130,6 +1139,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_normalized": q_dedup_normalized,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_lsh_fast": q_dedup_minhash_lsh_fast,
+    "simhash_hamming": q_simhash_hamming,
     "near_dup_clusters": q_near_dup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash64": q_dedup_simhash64,
@@ -1221,6 +1231,40 @@ sums AS (SELECT doc_id, {sums} FROM tok GROUP BY doc_id),
 sh AS (SELECT doc_id, {bits} AS simhash FROM sums)
 SELECT simhash, count(*) AS n_docs, min(doc_id) AS keep_id
 FROM sh GROUP BY simhash"""
+
+
+def _simhash_hamming_oracle(max_hamming: int = 3) -> str:
+    sums = ",\n    ".join(
+        "sum(CASE WHEN substr(md5(tok), %d, 1) IN "
+        "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s%d" % (b + 1, b)
+        for b in range(16)
+    )
+    bits = " || ".join(
+        f"CASE WHEN s{b} > 0 THEN '1' ELSE '0' END" for b in range(16)
+    )
+    blocks = ", ".join(
+        f"'{b}:' || substr(simhash, {b * 4 + 1}, 4)" for b in range(4)
+    )
+    ham = " + ".join(
+        f"(CASE WHEN substr(sh_a, {i + 1}, 1) <> substr(sh_b, {i + 1}, 1) "
+        "THEN 1 ELSE 0 END)"
+        for i in range(16)
+    )
+    return f"""
+WITH {_TOK_CTE.strip()},
+sums AS (SELECT doc_id, {sums} FROM tok GROUP BY doc_id),
+sh AS (SELECT doc_id, {bits} AS simhash FROM sums),
+blk AS (
+  SELECT doc_id, simhash, u.block
+  FROM sh, unnest([{blocks}]) AS u(block)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM blk a JOIN blk b ON a.block = b.block AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST({ham} AS INTEGER) AS hamming
+FROM cand WHERE {ham} <= {max_hamming}"""
 
 
 def _minhash_pair_parts() -> tuple[str, str]:
@@ -2108,6 +2152,7 @@ FROM documents GROUP BY 1""",
     # the incremental index's contract IS one-shot equivalence: same SQL
     "dedup_minhash_incremental": _minhash_oracle(),
     "near_dup_clusters": _near_dup_clusters_oracle(),
+    "simhash_hamming": _simhash_hamming_oracle(),
     "gopher_quality": _gopher_oracle(),
     "tokenize_vocab_encode": _tokenize_oracle(),
     "embedding_quantize": _embedding_quantize_oracle(),

@@ -264,6 +264,65 @@ def simhash_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def simhash_hamming_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by SimHash HAMMING distance (the real SimHash
+    dedup — identical-hash classes miss hashes that differ in a bit or
+    two): (id_a, id_b, hamming) with id_a < id_b, hamming ≤ max.
+
+    Candidate generation is the pigeonhole block join Manku/Google
+    dedup uses: split the 16-bit hash into 4 contiguous 4-bit blocks —
+    two hashes within Hamming distance 3 MUST agree on at least one
+    whole block (3 differing bits can ruin at most 3 of 4 blocks) — so
+    candidates come from an equi-join on (block index, block bits),
+    never all-pairs. Exact Hamming verify on candidates only. Identical
+    hashes co-block everywhere and verify at 0, so this SUBSUMES the
+    exact-class form. ``max_hamming`` must stay < number of blocks."""
+    if max_hamming >= 4:
+        raise ValueError("max_hamming must be < 4 (the block count)")
+    sh = simhash16(tokens(df, id_col, text_col), id_col)
+    blocks = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.concat(F.lit(f"{b}:"), F.substring("simhash", b * 4 + 1, 4))
+                for b in range(4)
+            ])
+        ).alias("block"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = sum(
+        F.when(
+            F.substring("sh_a", i + 1, 1) != F.substring("sh_b", i + 1, 1), 1
+        ).otherwise(0)
+        for i in range(16)
+    )
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash64(tok: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Production 64-bit SimHash (the resolution real web pipelines use —
     16 bits collides randomly past ~2^8 docs; 64 bits holds to ~2^32):

@@ -294,3 +294,23 @@ def test_connected_components_on_minhash_pairs(docs):
     # docs 0,1 exact dups (+3 near): one cluster rooted at 0; 4 absent
     assert got[0] == 0 and got[1] == 0
     assert 4 not in got
+
+
+def test_simhash_hamming_pairs(docs):
+    """Identical docs pair at 0; the near dup within the bit budget; the
+    unrelated doc never pairs; guard on max_hamming."""
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             DD.simhash_hamming_pairs(docs, max_hamming=3).collect()}
+    assert pairs[(0, 1)] == 0          # identical docs: distance zero
+    assert (0, 2) in pairs             # normalized dup: tiny distance
+    assert all(4 not in p for p in pairs)
+    with pytest.raises(ValueError, match="max_hamming"):
+        DD.simhash_hamming_pairs(docs, max_hamming=4)
+
+
+def test_simhash_hamming_subsumes_exact_classes(docs):
+    classes = DD.simhash_dedup(docs).collect()
+    expect = sum(c["n_docs"] * (c["n_docs"] - 1) // 2 for c in classes)
+    pairs = DD.simhash_hamming_pairs(docs, max_hamming=0).collect()
+    # 0-distance pairs are exactly the within-class pairs
+    assert expect > 0 and len(pairs) == expect
