@@ -138,3 +138,60 @@ def test_apply_epoch_writes_one_file_per_partition_when_misaligned_session(
         assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_text_signal_projections_are_exchange_free(spark, sf_dir):
+    """Gopher signals / quality / lang-id / tokens: one codegen
+    projection — no shuffle, no Python, scan prunes to (doc_id, text)."""
+    from datax_spark.functions import text as TXT
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sig = TXT.gopher_signals(F.col("text"))
+    q = docs.select("doc_id", *[c.alias(n) for n, c in sig.items()],
+                    TXT.lang_id(F.col("text")).alias("lang_det"),
+                    TXT.quality_score(F.col("text")).alias("quality"))
+    plan = _plan(q)
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_embedding_ops_are_exchange_free(spark, sf_dir):
+    from datax_spark.functions import embedding as EMB
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = F.col("embedding")
+    scale = EMB.quantize_scale(v)
+    q = emb.select("vec_id", EMB.l2_norm(v).alias("n"),
+                   EMB.quantize_int8(v, scale).alias("q"),
+                   *EMB.sign_project(v, 64, 4))
+    plan = _plan(q)
+    assert "Exchange" not in plan and "EvalPython" not in plan
+    assert "ReadSchema: struct<vec_id:bigint,embedding:array<float>>" in plan
+
+
+def test_tokenizer_encode_broadcasts_vocab(spark, sf_dir):
+    from datax_spark.functions.tokenize import build_vocab, encode
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = encode(docs, build_vocab(docs, 64), vocab_size=64)
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan  # the corpus side never shuffles
+
+
+def test_ivfpq_probe_never_reads_float_vectors(spark, tmp_path):
+    """The IVF-PQ serving promise, plan-asserted: probe_adc's scan of
+    the index corpus reads (vec_id, codes) — the embedding column is
+    pruned at the parquet footer."""
+    from datax_spark.operators.ann_index import IvfIndex
+
+    rows = [(i, [float((i * 7 + j) % 5) for j in range(8)]) for i in range(24)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = IvfIndex.build(corpus, tmp_path / "ivfpq", n_cells=2, n_iter=1,
+                         pq_m=2, pq_codes=2, pq_dim=8)
+    plan = _plan(idx.probe_adc(corpus.filter("vec_id = 0"), k=2, n_probe=1))
+    # the corpus-side parquet scan (the one reading codes) never lists
+    # the embedding column in its read schema
+    scans = [ln for ln in plan.splitlines()
+             if "ReadSchema" in ln and "codes" in ln]
+    assert scans and all("embedding" not in ln for ln in scans)
