@@ -145,3 +145,34 @@ def test_gopher_pass_rejects_pathologies(spark):
     sig = gopher_signals(F.col("text"))
     got = {r["i"]: r["ok"] for r in df.select("i", gopher_pass(sig).alias("ok")).collect()}
     assert got == {0: False, 1: False, 2: False, 3: True}
+
+
+def test_compression_ratio_separates_boilerplate_from_prose(spark):
+    from datax_spark.functions.text import compression_ratio_udf
+
+    ratio = compression_ratio_udf()
+    import hashlib
+
+    prose = (
+        "The river bent east of the village where the old mill stood, and "
+        "every morning the baker carried flour across the wooden bridge while "
+        "children counted barges sliding under it. Nobody remembered who built "
+        "the first arch, though the mason's marks were still visible when the "
+        "water dropped in August, odd letters worn smooth by a century of ice "
+        "and thaw."
+    )
+    noise = "".join(  # ~6.55 bits/char: printable bytes off md5 digests
+        chr(33 + b % 94)
+        for i in range(60)
+        for b in hashlib.md5(str(i).encode()).digest()
+    )
+    df = spark.createDataFrame(
+        [(0, prose), (1, "buy now " * 200), (2, noise), (3, "")],
+        "i long, text string",
+    )
+    got = {r["i"]: r["r"] for r in df.select("i", ratio(F.col("text")).alias("r")).collect()}
+    assert got[1] < got[0] < got[2]   # boilerplate < prose < noise
+    assert got[3] == 1.0
+    # plan: Arrow transport, not row-at-a-time Python
+    plan = df.select(ratio(F.col("text")))._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
