@@ -181,6 +181,70 @@ def full_prep(
     return kept.select(*cols)
 
 
+def incremental_prep(
+    batch: DataFrame,
+    index,
+    benchmark: DataFrame | None = None,
+    *,
+    min_quality: float = 0.8,
+    langs: tuple[str, ...] | None = ("en",),
+    decontaminate_n: int = 3,
+    gopher: bool = True,
+    redact: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """``full_prep`` for a corpus that ARRIVES IN BATCHES: near-dup
+    removal runs against the persisted MinHashIndex
+    (operators/dedup_index.py) instead of the batch alone, so a new
+    document duplicating ANYTHING already ingested is dropped — and the
+    already-ingested text is never re-read (the index probe touches
+    signatures and buckets only). Surviving docs' signatures are
+    appended by the probe, so the next batch sees this one.
+
+    Contract: document ids increase across batches (the CDC key
+    discipline), so a cross-batch pair's ``id_b`` is always the NEW
+    doc — the keep-lowest-id drop rule therefore never evicts an
+    already-kept document. The cheap gates (Gopher, lang/quality,
+    within-batch exact dedup) run BEFORE the index probe, so the index
+    only ever holds documents that passed curation — matching what
+    `full_prep` indexes implicitly. MinHash parameters come from the
+    index's own metadata (one source of truth)."""
+    out = batch
+    if gopher:
+        sig = TXT.gopher_signals(F.col(text_col))
+        out = out.filter(TXT.gopher_pass(sig))
+    ann = annotate(out, id_col, text_col)
+    cond = F.col("quality") >= F.lit(min_quality)
+    if langs is not None:
+        cond = cond & F.col("lang_det").isin(*langs)
+    filtered = ann.filter(cond)
+    canon = TXT.normalized_fingerprint(F.col(text_col))
+    w = Window.partitionBy(canon).orderBy(F.col(id_col).asc())
+    exact = (
+        filtered.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    pairs = index.add(exact.select(F.col(id_col).alias("doc_id"), text_col))
+    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    kept = exact.join(F.broadcast(drops), id_col, "left_anti")
+    if benchmark is not None:
+        from .decontaminate import decontaminate as _decon
+
+        kept = _decon(
+            kept, benchmark, n=decontaminate_n, id_col=id_col, text_col=text_col
+        )
+    cols = [id_col, *keep_cols, "lang_det", "quality", "n_tokens"]
+    if redact:
+        from ..functions.pii import redact_pii
+
+        kept = kept.withColumn("text_redacted", redact_pii(F.col(text_col)))
+        cols.append("text_redacted")
+    return kept.select(*cols)
+
+
 def funnel(
     df: DataFrame,
     *,

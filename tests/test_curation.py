@@ -121,3 +121,43 @@ def test_full_prep_drops_each_offender_class(spark):
     assert "<EMAIL>" in rows[6]["text_redacted"]
     assert "bob@example.com" not in rows[6]["text_redacted"]
     assert rows[0]["lang_det"] == "en" and rows[0]["n_tokens"] > 0
+
+
+def test_incremental_prep_dedups_across_batches(spark, tmp_path):
+    """Batch 2's near-dup of a batch-1 document is dropped by the INDEX
+    probe — the already-ingested corpus text is never re-read."""
+    from datax_spark.operators.curation import incremental_prep
+    from datax_spark.operators.dedup_index import MinHashIndex
+
+    clean = ("the black cat sat on the warm mat and it is truly a fine day "
+             "in the sun today with the wind calm and the light golden over the hills")
+    other = ("the tall ship sails on the wide sea and the crew works hard "
+             "while the captain watches the far horizon with a calm eye today")
+    near = clean.replace("golden", "copper")
+
+    idx = MinHashIndex.create(spark, tmp_path / "idx", jaccard_threshold=0.7)
+    b1 = spark.createDataFrame(
+        [(0, "web", clean), (1, "web", other)], "doc_id long, source string, text string"
+    )
+    out1 = {r["doc_id"] for r in
+            incremental_prep(b1, idx, min_quality=0.0).collect()}
+    assert out1 == {0, 1}
+
+    b2 = spark.createDataFrame(
+        [
+            (10, "web", near),    # cross-batch near-dup of 0 → dropped
+            (11, "web", clean),   # cross-batch EXACT dup of 0 → dropped
+            (12, "web", "the grey fox runs down the long hill to the cold river "
+                        "and it drinks in the shade while the birds call out today"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out2 = {r["doc_id"] for r in
+            incremental_prep(b2, idx, min_quality=0.0).collect()}
+    assert out2 == {12}
+    # the index grew: batch 3 dups of batch-2 survivors are caught too
+    b3 = spark.createDataFrame(
+        [(20, "web", b2.collect()[2]["text"])], "doc_id long, source string, text string"
+    )
+    out3 = incremental_prep(b3, idx, min_quality=0.0).collect()
+    assert out3 == []
