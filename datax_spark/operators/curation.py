@@ -48,6 +48,34 @@ def annotate(
     )
 
 
+def _gates(
+    df: DataFrame,
+    *,
+    min_quality: float,
+    langs: tuple[str, ...] | None,
+    id_col: str,
+    text_col: str,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(annotated, lang/quality-filtered, exact-deduped) — the cheap
+    pre-near-dup gate chain shared by the one-shot and incremental
+    pipelines. Exact dedup uses the one canonical fingerprint (shared
+    with doc_fingerprint / normalized_dedup — a spec change must move
+    all three together)."""
+    ann = annotate(df, id_col, text_col)
+    cond = F.col("quality") >= F.lit(min_quality)
+    if langs is not None:
+        cond = cond & F.col("lang_det").isin(*langs)
+    filtered = ann.filter(cond)
+    canon = TXT.normalized_fingerprint(F.col(text_col))
+    w = Window.partitionBy(canon).orderBy(F.col(id_col).asc())
+    exact = (
+        filtered.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return ann, filtered, exact
+
+
 def _stages(
     df: DataFrame,
     *,
@@ -63,22 +91,9 @@ def _stages(
     """(annotated, filtered, exact-deduped, near-dup-removed) frames —
     each stage consumes the previous, so a caller materializing only the
     last pays each shuffle once."""
-    ann = annotate(df, id_col, text_col)
-    cond = F.col("quality") >= F.lit(min_quality)
-    if langs is not None:
-        cond = cond & F.col("lang_det").isin(*langs)
-    filtered = ann.filter(cond)
-
-    # the one canonical fingerprint (shared with doc_fingerprint /
-    # normalized_dedup — a spec change must move all three together)
-    canon = TXT.normalized_fingerprint(F.col(text_col))
-    w = Window.partitionBy(canon).orderBy(F.col(id_col).asc())
-    exact = (
-        filtered.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    ann, filtered, exact = _gates(
+        df, min_quality=min_quality, langs=langs, id_col=id_col, text_col=text_col
     )
-
     pairs = DD.minhash_lsh_pairs(
         exact,
         k=k,
@@ -215,17 +230,8 @@ def incremental_prep(
     if gopher:
         sig = TXT.gopher_signals(F.col(text_col))
         out = out.filter(TXT.gopher_pass(sig))
-    ann = annotate(out, id_col, text_col)
-    cond = F.col("quality") >= F.lit(min_quality)
-    if langs is not None:
-        cond = cond & F.col("lang_det").isin(*langs)
-    filtered = ann.filter(cond)
-    canon = TXT.normalized_fingerprint(F.col(text_col))
-    w = Window.partitionBy(canon).orderBy(F.col(id_col).asc())
-    exact = (
-        filtered.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    _, _, exact = _gates(
+        out, min_quality=min_quality, langs=langs, id_col=id_col, text_col=text_col
     )
     pairs = index.add(exact.select(F.col(id_col).alias("doc_id"), text_col))
     drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
