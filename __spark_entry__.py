@@ -854,22 +854,11 @@ def q_full_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return full_prep(docs, bench)
 
 
-def _full_prep_oracle() -> str:
-    from datax_spark.functions.pii import PII_PATTERNS
-
-    pii = []
-    for idx, (name, pattern, repl) in enumerate(PII_PATTERNS):
-        p = pattern.replace("'", "''")
-        src = "decon" if idx == 0 else f"pii{idx - 1}"
-        t_in = "text" if idx == 0 else f"t{idx}"
-        pii.append(
-            f"pii{idx} AS (SELECT *, regexp_replace({t_in}, '{p}', '{repl}', 'g')"
-            f" AS t{idx + 1} FROM {src})"
-        )
-    last = len(PII_PATTERNS)
-    pii_chain = ",\n".join(pii)
-    return f"""
-WITH {_RELINED_CTE},
+def _full_prep_ctes() -> str:
+    """The WITH-chain through gopher gate → curation → decontamination
+    (relations: relined, gf, filtered, exact, kept, decon) — shared by
+    the full-prep pipeline and funnel oracles."""
+    return f"""{_RELINED_CTE},
 {_gopher_signals_ctes("relined").strip()},
 gf AS (
   SELECT r.doc_id, d.source, r.text
@@ -885,10 +874,55 @@ bgr AS (SELECT DISTINCT gram FROM bgrams),
 cont AS (SELECT DISTINCT k.doc_id FROM kgrams k JOIN bgr ON bgr.gram = k.gram),
 decon AS (
   SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM cont)
-),
+)"""
+
+
+def _full_prep_oracle() -> str:
+    from datax_spark.functions.pii import PII_PATTERNS
+
+    pii = []
+    for idx, (name, pattern, repl) in enumerate(PII_PATTERNS):
+        p = pattern.replace("'", "''")
+        src = "decon" if idx == 0 else f"pii{idx - 1}"
+        t_in = "text" if idx == 0 else f"t{idx}"
+        pii.append(
+            f"pii{idx} AS (SELECT *, regexp_replace({t_in}, '{p}', '{repl}', 'g')"
+            f" AS t{idx + 1} FROM {src})"
+        )
+    last = len(PII_PATTERNS)
+    pii_chain = ",\n".join(pii)
+    return f"""
+WITH {_full_prep_ctes().strip()},
 {pii_chain}
 SELECT doc_id, source, lang_det, quality, n_tokens, t{last} AS text_redacted
 FROM pii{last - 1}"""
+
+
+def _full_prep_funnel_oracle() -> str:
+    stages = [("raw", "relined"), ("gopher", "gf"), ("lang_quality", "filtered"),
+              ("exact_dedup", "exact"), ("near_dup", "kept"),
+              ("decontaminated", "decon")]
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INTEGER) AS stage_idx, '{name}' AS stage,"
+        f" count(*) AS n_docs,"
+        f" CAST(coalesce(sum({_REGEX_TOK_SQL}), 0) AS BIGINT) AS n_tokens"
+        f" FROM {rel}"
+        for i, (name, rel) in enumerate(stages)
+    )
+    return f"""
+WITH {_full_prep_ctes().strip()}
+{rows}"""
+
+
+def q_full_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-by-stage retention for the full prep flow — the lineage
+    view a pipeline operator reads: docs + tokens surviving raw →
+    gopher → lang/quality → exact → near-dup → decontamination."""
+    from datax_spark.operators.curation import full_prep_funnel
+
+    docs = _relined(_t(spark, sf_dir, "documents"))
+    bench = docs.filter((F.col("doc_id") % 37) == 0)
+    return full_prep_funnel(docs, bench)
 
 
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1164,6 +1198,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count_by_source": q_token_count_by_source,
     "curation_pipeline": q_curation_pipeline,
     "full_prep_pipeline": q_full_prep_pipeline,
+    "full_prep_funnel": q_full_prep_funnel,
     "curation_funnel": q_curation_funnel,
     "line_dedup_corpus": q_line_dedup_corpus,
     "repetition_signals": q_repetition_signals,
@@ -2254,6 +2289,7 @@ SELECT source, count(*) AS n_docs,
 FROM documents GROUP BY source""",
     "curation_pipeline": _curation_pipeline_oracle(),
     "full_prep_pipeline": _full_prep_oracle(),
+    "full_prep_funnel": _full_prep_funnel_oracle(),
     "curation_funnel": _curation_funnel_oracle(),
     "url_canonicalize": _URL_ORACLE,
     "pii_redaction": _pii_oracle(),

@@ -70,6 +70,7 @@ HEADLINE = [
     "url_canonicalize",
     "curation_pipeline",
     "full_prep_pipeline",
+    "full_prep_funnel",
 ]
 
 CDC_EVENTS = int(os.environ.get("DATAX_BENCH_EVENTS", "1000000"))

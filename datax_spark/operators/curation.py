@@ -196,6 +196,78 @@ def full_prep(
     return kept.select(*cols)
 
 
+def full_prep_funnel(
+    df: DataFrame,
+    benchmark: DataFrame | None = None,
+    *,
+    min_quality: float = 0.8,
+    langs: tuple[str, ...] | None = ("en",),
+    k: int = 8,
+    bands: int = 4,
+    jaccard_threshold: float = 0.7,
+    hash_fn: str = "md5",
+    decontaminate_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Retention accounting for the full prep flow: (stage_idx, stage,
+    n_docs, n_tokens) for raw → gopher → lang_quality → exact_dedup →
+    near_dup → decontaminated. Token counts use the same BPE-ish
+    counter the curated output reports.
+
+    Built as a UNION of one-row aggregates over the staged frames —
+    Spark runs the whole union as one job, and each later stage's
+    subtree subsumes the earlier ones, so the compiler shares scans
+    where it can. (`funnel` shows the single-action tag-based form for
+    the inner four stages; this variant favors mirroring the SQL oracle
+    stage-for-stage over squeezing the last pass out.)"""
+    sig = TXT.gopher_signals(F.col(text_col))
+    gophered = df.filter(TXT.gopher_pass(sig))
+    _, filtered, exact, kept = _stages(
+        gophered,
+        min_quality=min_quality,
+        langs=langs,
+        k=k,
+        bands=bands,
+        jaccard_threshold=jaccard_threshold,
+        hash_fn=hash_fn,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    stages = [
+        ("raw", df),
+        ("gopher", gophered),
+        ("lang_quality", filtered),
+        ("exact_dedup", exact),
+        ("near_dup", kept),
+    ]
+    if benchmark is not None:
+        from .decontaminate import decontaminate as _decon
+
+        stages.append(
+            (
+                "decontaminated",
+                _decon(kept, benchmark, n=decontaminate_n,
+                       id_col=id_col, text_col=text_col),
+            )
+        )
+    out = None
+    for i, (name, frame) in enumerate(stages):
+        agg = frame.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(
+                F.sum(TXT.regex_token_count(F.col(text_col))), F.lit(0)
+            ).cast("bigint").alias("n_tokens"),
+        ).select(
+            F.lit(i).cast("int").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+            "n_tokens",
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
 def incremental_prep(
     batch: DataFrame,
     index,

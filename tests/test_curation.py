@@ -161,3 +161,32 @@ def test_incremental_prep_dedups_across_batches(spark, tmp_path):
     )
     out3 = incremental_prep(b3, idx, min_quality=0.0).collect()
     assert out3 == []
+
+
+def test_full_prep_funnel_counts(spark):
+    """The funnel's per-stage doc counts match the planted-offender
+    scenario: each stage drops exactly its offender."""
+    from datax_spark.operators.curation import full_prep_funnel
+
+    clean = ("the black cat sat on the warm mat and it is truly a fine day "
+             "in the sun today with the wind calm and the light golden over the hills")
+    corpus = spark.createDataFrame(
+        [
+            (0, "web", clean),
+            (1, "web", "- a\n- b\n- c"),          # gopher
+            (2, "web", clean),                     # exact dup
+            (3, "web", clean.replace("golden", "silver")),  # near dup
+            (4, "web", "the quick brown fox jumps over the lazy dog and then the "
+                       "fox runs down to the river bank to rest in the shade today"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps")], "doc_id long, text string"
+    )
+    rows = {r["stage"]: r["n_docs"] for r in
+            full_prep_funnel(corpus, bench, min_quality=0.0).collect()}
+    assert rows == {
+        "raw": 5, "gopher": 4, "lang_quality": 4,
+        "exact_dedup": 3, "near_dup": 2, "decontaminated": 1,
+    }
