@@ -140,3 +140,54 @@ def test_projection_signature_equals_aggregate_form(spark):
     agg = {r["doc_id"]: [r[f"mh{i}"] for i in range(8)] for r in
            minhash_signatures(tokens(df), 8, hash_fn="xxhash64").collect()}
     assert proj == agg
+
+
+def test_streaming_near_dup_state_survives_restart(spark, tmp_path):
+    """A SECOND streaming query over the same checkpoint restores bucket
+    state: a twin arriving after the restart is still flagged against
+    the pre-restart original."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datax_spark.streaming.stateful import streaming_near_dup
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    d = tmp_path / "docs"
+    d.mkdir()
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+
+    out_dir = tmp_path / "out"
+
+    def _run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+        )
+        q = (
+            streaming_near_dup(stream, jaccard_threshold=0.7)
+            .writeStream.format("parquet")  # recoverable sink (memory isn't)
+            .option("path", str(out_dir))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    pq.write_table(
+        pa.Table.from_pylist([{"doc_id": 0, "text": base}], schema=schema),
+        d / "b0.parquet",
+    )
+    _run()
+    assert spark.read.parquet(str(out_dir)).count() == 0  # nothing to pair yet
+
+    # restart: new query instance, same checkpoint, new data
+    pq.write_table(
+        pa.Table.from_pylist([{"doc_id": 7, "text": base}], schema=schema),
+        d / "b1.parquet",
+    )
+    _run()  # restart: new query instance, same checkpoint
+    rows = spark.read.parquet(str(out_dir)).collect()
+    assert {(r["matched_id"], r["doc_id"]) for r in rows} == {(0, 7)}
+    assert all(r["est_jaccard"] == 1.0 for r in rows)
