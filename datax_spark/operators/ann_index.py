@@ -239,7 +239,8 @@ class IvfIndex:
         return out.select("query_id", "probe_cell", "neighbor_id", "cos_sim", "rank")
 
     def probe_adc(
-        self, queries: DataFrame, k: int = 3, n_probe: int = 1
+        self, queries: DataFrame, k: int = 3, n_probe: int = 1,
+        rerank: int | None = None,
     ) -> DataFrame:
         """IVF-PQ probe: coarse-assign queries to ``n_probe`` cells,
         then ADC-score ONLY the probed cells' (id, codes) columns — the
@@ -247,7 +248,15 @@ class IvfIndex:
         pruning). Output matches operators/pq.pq_topk:
         (query_id, neighbor_id, approx_dist, rank); with
         n_probe = n_cells it is bit-equal to the unpersisted pq_topk
-        (differential-tested)."""
+        (differential-tested).
+
+        ``rerank=R`` turns on the standard two-stage serving flow: the
+        ADC pass shortlists the top R (R ≥ k) per query, then ONLY those
+        R rows' float vectors are read back (a semi-join against the
+        probed cells — R·|queries| rows, not a cell's worth) and exact
+        cosine re-orders them into the final top-k. Output then carries
+        ``cos_sim`` instead of ``approx_dist`` — quantization error
+        affects the SHORTLIST, never the final ordering."""
         from datax_spark.operators.pq import adc_lut, adc_rank
 
         pq = self.meta.get("pq")
@@ -298,4 +307,28 @@ class IvfIndex:
             .join(lut, ["query_id", "sub", "code"])
             .select("query_id", "neighbor_id", "sub", "pd")
         )
-        return adc_rank(joined, m, k)
+        if rerank is None:
+            return adc_rank(joined, m, k)
+        if rerank < k:
+            raise ValueError(f"rerank={rerank} must be >= k={k}")
+        shortlist = adc_rank(joined, m, rerank).select("query_id", "neighbor_id")
+        floats = self.corpus(cells=probed).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        )
+        rw = Window.partitionBy("query_id").orderBy(
+            F.round(F.col("cs"), 6).desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            F.broadcast(shortlist)
+            .join(floats, "neighbor_id")
+            .join(q, "query_id")
+            .select(
+                "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cs")
+            )
+            .withColumn("rank", F.row_number().over(rw).cast("bigint"))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id", "neighbor_id", F.round(F.col("cs"), 4).alias("cos_sim"),
+                "rank",
+            )
+        )

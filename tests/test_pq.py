@@ -136,3 +136,27 @@ def test_pq_guard_on_plain_index(corpus, tmp_path, spark):
     idx = IvfIndex.build(corpus, tmp_path / "plain", n_cells=4, n_iter=1)
     with _pytest.raises(ValueError, match="without PQ"):
         idx.probe_adc(corpus.limit(1))
+
+
+def test_probe_adc_rerank_exact_ordering(corpus, tmp_path, spark):
+    """Two-stage serving: ADC shortlists, exact cosine orders the final
+    top-k — every reranked neighbor comes from the ADC shortlist, and
+    with a full shortlist the ordering matches bruteforce cosine."""
+    from datax_spark.operators.ann_index import IvfIndex
+
+    idx = IvfIndex.build(
+        corpus, tmp_path / "rr", n_cells=4, n_iter=2,
+        pq_m=M, pq_codes=K_CODES, pq_dim=DIM,
+    )
+    queries = corpus.filter("vec_id % 10 = 0")
+    short = {(r["query_id"], r["neighbor_id"]) for r in
+             idx.probe_adc(queries, k=9, n_probe=4).collect()}
+    rr = idx.probe_adc(queries, k=3, n_probe=4, rerank=9).collect()
+    assert {(r["query_id"], r["neighbor_id"]) for r in rr} <= short
+    # exact ordering: agree with bruteforce restricted to the shortlist
+    exact = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in
+             bruteforce_topk(corpus, queries, k=39).collect()}
+    for r in rr:
+        assert r["cos_sim"] == exact[(r["query_id"], r["neighbor_id"])]
+    with pytest.raises(ValueError, match="rerank"):
+        idx.probe_adc(queries, k=5, rerank=3)
