@@ -1044,6 +1044,19 @@ def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "n_chars")
 
 
+_STRATA = {"src0": 1.0, "src1": 0.5, "src2": 0.1}  # frozen with the oracle
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source deterministic mix (operators/sampling.py): each group
+    passes its own md5 gate; unknown sources drop (explicit recipe)."""
+    from datax_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"), _STRATA, by="source"
+    ).select("doc_id", "source")
+
+
 def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token-budget mix: fill 600 tokens per source in
     (quality desc, doc_id) priority order via one windowed cumsum."""
@@ -1208,6 +1221,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_canonicalize": q_url_canonicalize,
     "sample_deterministic": q_sample_deterministic,
     "token_budget_mix": q_token_budget_mix,
+    "stratified_sample": q_stratified_sample,
     "pii_redaction": q_pii_redaction,
     "chunk_documents": q_chunk_documents,
     "pack_documents": q_pack_documents,
@@ -2332,6 +2346,13 @@ FROM tagged GROUP BY source, pack_id""",
     "sample_deterministic": """
 SELECT doc_id, source, n_chars FROM documents
 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) < '400000'""",
+    "stratified_sample": """
+SELECT doc_id, source FROM documents
+WHERE CASE
+  WHEN source = 'src0' THEN TRUE
+  WHEN source = 'src1' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) < '800000'
+  WHEN source = 'src2' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) < '199999'
+  ELSE FALSE END""",
     "token_budget_mix": f"""
 WITH ann AS (
   SELECT doc_id, source,

@@ -68,6 +68,7 @@ HEADLINE = [
     "embedding_quantize",
     "embedding_projection",
     "url_canonicalize",
+    "stratified_sample",
     "curation_pipeline",
     "full_prep_pipeline",
     "full_prep_funnel",

@@ -69,3 +69,25 @@ def token_budget_sample(
         df.withColumn("cum_tokens", cum)
         .filter(F.col("cum_tokens") - F.col(token_col) < budget_tokens)
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    by: str = "source",
+    key_col: str = "doc_id",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-group deterministic sample — the corpus-mixing primitive
+    (upsample curated sources, downsample crawl bulk): each row passes
+    its GROUP's md5 gate, so membership inherits every
+    ``deterministic_sample`` property (no RNG, growth-stable,
+    engine-portable) per group. Groups absent from ``fractions`` get
+    ``default_fraction`` (0.0 = drop unknown sources — the safe default
+    for an explicit mix recipe)."""
+    gate = sample_gate(F.col(key_col), default_fraction)
+    for group, frac in sorted(fractions.items()):
+        gate = F.when(
+            F.col(by) == group, sample_gate(F.col(key_col), frac)
+        ).otherwise(gate)
+    return df.filter(gate)

@@ -53,3 +53,29 @@ def test_token_budget_priority_and_first_doc_guarantee(spark):
     # 7 would start at 110 >= 100; 1 likewise
     # b: 9 always taken (first doc), 10 starts at 500 >= 100 -> out
     assert kept == {4: 50, 2: 110, 9: 500}
+
+
+def test_stratified_sample_per_group_gates(spark):
+    from datax_spark.operators.sampling import (
+        deterministic_sample,
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(2000)],
+        "doc_id long, source string",
+    )
+    out = stratified_sample(df, {"a": 0.5, "b": 0.1}, by="source")
+    rows = out.collect()
+    a = [r["doc_id"] for r in rows if r["source"] == "a"]
+    b = [r["doc_id"] for r in rows if r["source"] == "b"]
+    assert 380 < len(a) < 620 and 40 < len(b) < 160  # ~500 / ~100
+    # per-group membership IS the flat deterministic sample of the group
+    flat_a = {r["doc_id"] for r in
+              deterministic_sample(df.filter("source = 'a'"), 0.5).collect()}
+    assert set(a) == flat_a
+    # unknown groups drop by default; default_fraction overrides
+    df2 = df.withColumn("source", F.lit("other"))
+    assert stratified_sample(df2, {"a": 0.5}).count() == 0
+    kept = stratified_sample(df2, {"a": 0.5}, default_fraction=0.1).count()
+    assert 100 < kept < 320
