@@ -413,8 +413,9 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH banding near-dup pairs with exact-Jaccard verify;
-    candidate join is keyed on (band, bucket), never all-pairs."""
+    """MinHash + LSH banding near-dup pairs thresholded on the
+    signature-estimated Jaccard; candidate join is keyed on
+    (band, bucket), never all-pairs."""
     return DD.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), k=8, bands=4, jaccard_threshold=0.7
     )
