@@ -357,6 +357,16 @@ def apply_transforms(
 
             col = t.get("col", "text")
             df = df.withColumn(t.get("as", col), redact_pii(F.col(col)))
+        elif op == "stratify":
+            from datax_spark.operators.sampling import stratified_sample
+
+            df = stratified_sample(
+                df,
+                dict(t["fractions"]),
+                by=t.get("by", "source"),
+                key_col=t.get("keyCol", "doc_id"),
+                default_fraction=float(t.get("defaultFraction", 0.0)),
+            )
         elif op == "sample":
             from datax_spark.operators.sampling import deterministic_sample
 

@@ -9,6 +9,12 @@ Common-Crawl corpus actually runs):
       → near-dup removal (MinHash LSH pairs → drop larger id)
       → curated corpus + per-stage funnel counts
 
+plus the full production composition on top: ``full_prep`` (adds the
+Gopher gate, benchmark decontamination, PII redaction),
+``full_prep_funnel`` (its retention accounting), and
+``incremental_prep`` (the same flow for batch-arriving corpora, near-
+dup against the persisted MinHashIndex).
+
 Scale design: annotation is a narrow JVM-codegen projection (no Python,
 no shuffle), and the cheap filters run FIRST so every downstream shuffle
 (the exact-dedup window, the MinHash token explode/agg, the LSH band

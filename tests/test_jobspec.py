@@ -429,3 +429,22 @@ def test_tokenize_transform(spark, tmp_path):
     the_ids = {r["token_id"] for r in rows if r["is_oov"] == 0}
     assert 0 in the_ids and all(i < 3 for i in the_ids)
     assert all(3 <= r["token_id"] < 7 for r in rows if r["is_oov"] == 1)
+
+
+def test_stratify_transform(spark, tmp_path):
+    from datax_spark.jobspec import run_batch_job
+
+    src = tmp_path / "docs"
+    spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", "t") for i in range(400)],
+        "doc_id long, source string, text string",
+    ).write.parquet(str(src))
+    out = run_batch_job(
+        spark,
+        {
+            "reader": {"type": "parquet", "path": str(src)},
+            "transforms": [{"op": "stratify", "fractions": {"a": 1.0}}],
+        },
+    )
+    rows = out.collect()
+    assert all(r["source"] == "a" for r in rows) and len(rows) == 200
