@@ -484,6 +484,13 @@ def _write_batch_output(spark: SparkSession, df: DataFrame, writer: dict[str, An
             from datax_spark.icetable.table import IceTable
             from datax_spark.operators.merge import apply_epoch
 
+            missing = {"op", "lsn"} - set(df.columns)
+            if missing:
+                raise ValueError(
+                    f"icetable_merge needs change-event columns {sorted(missing)} "
+                    "— read from icetable_changes/change_tail, or use "
+                    "icetable_diff_merge for a plain snapshot"
+                )
             root = Path(writer["path"])
             if (root / "metadata" / "version-hint.text").exists():
                 tbl = IceTable.load(spark, root)

@@ -338,3 +338,17 @@ def test_sync_cursor_tag(spark, tmp_path):
     assert {r["url"]: r["val"] for r in dst3.read().collect()} == {
         "a": 99, "b": 8, "c": 3,
     }
+
+
+def test_icetable_merge_rejects_non_event_input(spark, tmp_path):
+    import pytest
+
+    from datax_spark.jobspec import run_batch_job
+
+    src = tmp_path / "plain"
+    spark.createDataFrame([(0, "x")], "doc_id long, text string").write.parquet(str(src))
+    with pytest.raises(ValueError, match="icetable_diff_merge"):
+        run_batch_job(spark, {
+            "reader": {"type": "parquet", "path": str(src)},
+            "writer": {"type": "icetable_merge", "path": str(tmp_path / "t")},
+        })
