@@ -84,6 +84,12 @@ class TableCommitConflict(RuntimeError):
     """Another writer committed this version first (optimistic CAS lost)."""
 
 
+class TableInvariantError(ValueError):
+    """A raw commit would break the one-live-row-per-key invariant
+    (added data files share keys with live files in the same partition
+    and nothing in the commit shadows or removes the old copies)."""
+
+
 def _key_stats(meta: "pq.FileMetaData", key: str) -> tuple[str, str]:
     """min/max of the key column from parquet footer statistics only —
     no data pages are read (files are sorted by key, stats are exact)."""
@@ -759,6 +765,9 @@ class IceTable:
             # interleaved ingest invalidates it → conflict, not silent
             # row resurrection
             expected_version=meta["version"],
+            # pure rewrite of one partition's full file set: disjoint by
+            # construction, skip the raw-commit overlap guard
+            verify_disjoint=False,
         )
 
     def expire_snapshots(self, keep_last: int = 2) -> list[str]:
@@ -995,6 +1004,8 @@ class IceTable:
             new_schema=new_schema,
             summary_extra={"bulk_overwrite": True, "base_lsn": int(base_lsn)},
             expected_version=old["version"],
+            # full-table replace: nothing survives to overlap with
+            verify_disjoint=False,
         )
 
     def stage_data_files(
@@ -1577,6 +1588,98 @@ class IceTable:
         kept = [f for f in files if not f.get("bloom") or f["path"] in hits]
         return kept
 
+    def _assert_disjoint_commit(
+        self,
+        added_files: list[dict],
+        removed: list[dict],
+        added_deletes: list[dict],
+    ) -> None:
+        """Enforce the one-live-row-per-key invariant at commit time for
+        RAW data-file appends: an added file whose keys overlap a still-
+        live file in the same partition, with nothing in the commit
+        removing or shadowing the old copies, would make every read
+        surface duplicate rows per key (and read_changes emit phantom
+        updates — the bug tests/test_changelog.py's property test
+        caught). Exemptions, in increasing cost order:
+
+        - partitions where this commit also adds equality-delete files:
+          the caller is doing a MoR upsert and its delete files shadow
+          the replaced copies (the engine trusts writer-produced delete
+          coverage, exactly as Iceberg trusts its writers);
+        - added files whose [min,max] key envelope is disjoint from
+          every surviving live file's (footer stats, zero I/O);
+        - otherwise ONE exact narrow check: scan only the key column of
+          the just-written files and semi-join it against the candidate
+          live files' post-delete state. Raises TableInvariantError with
+          sample clashing keys. (No bloom fast path here: bloom_prune
+          joins on pid = url_partition(key), which tables written with a
+          synthetic pid column legitimately violate — the exact check
+          must not trust that equivalence.)
+
+        Internal invariant-maintaining paths (apply_epoch's CoW rewrite /
+        MoR delete coverage, compaction, bulk_overwrite) skip this via
+        verify_disjoint=False — they prove disjointness by construction.
+        """
+        removed_paths = {f["path"] for f in removed}
+        del_pids = {d["partition_id"] for d in added_deletes}
+        adds_by_pid: dict[int, list[dict]] = {}
+        for f in added_files:
+            if f["partition_id"] not in del_pids:
+                adds_by_pid.setdefault(f["partition_id"], []).append(f)
+        if not adds_by_pid:
+            return
+        candidates: list[dict] = []
+        probe_adds: list[dict] = []
+        for pid, adds in adds_by_pid.items():
+            live = [
+                f
+                for f in self.manifest_entries(partition_ids={pid})
+                if f["path"] not in removed_paths
+            ]
+            hit_any = False
+            for lf in live:
+                if any(
+                    not (lf["max_url"] < a["min_url"] or lf["min_url"] > a["max_url"])
+                    for a in adds
+                ):
+                    candidates.append(lf)
+                    hit_any = True
+            if hit_any:
+                probe_adds.extend(adds)
+        if not candidates:
+            return
+        key = self.key_column
+        key_schema = T.StructType([T.StructField(key, T.StringType())])
+        added_keys = self.spark.read.schema(key_schema).parquet(
+            *[str(self.root / f["path"]) for f in probe_adds]
+        )
+        # exact check against the LIVE state of the candidate files:
+        # rows already shadowed by existing delete files are dead and
+        # must not be counted as clashes (re-inserting a MoR-deleted key
+        # via a raw append is legal)
+        pids = {f["partition_id"] for f in candidates}
+        live_keys = self._read_files(
+            candidates, None, with_lsn=False,
+            deletes=self.delete_entries(None, pids),
+        ).select(key)
+        clash = (
+            live_keys.join(F.broadcast(added_keys), key, "left_semi")
+            .limit(5)
+            .collect()
+        )
+        if clash:
+            sample = sorted(r[key] for r in clash)
+            raise TableInvariantError(
+                f"commit would create duplicate live rows for key(s) "
+                f"{sample} in partition(s) {sorted(pids)}: added data "
+                f"files overlap live files and the commit neither "
+                f"removes the old copies (removed=) nor shadows them "
+                f"with equality-delete files (added_deletes=). Upserts "
+                f"must go through apply_epoch / stage_data_and_delete_"
+                f"files, or pass verify_disjoint=False if the keys are "
+                f"provably disjoint."
+            )
+
     def commit(
         self,
         epoch: int,
@@ -1587,6 +1690,7 @@ class IceTable:
         summary_extra: dict | None = None,
         added_deletes: list[dict] | None = None,
         expected_version: int | None = None,
+        verify_disjoint: bool = True,
     ) -> int:
         """Publish a new snapshot: per touched partition, manifest = old −
         removed + added (data and equality-delete lists alike); untouched
@@ -1604,6 +1708,8 @@ class IceTable:
         """
         removed = removed or []
         added_deletes = added_deletes or []
+        if verify_disjoint and added_files:
+            self._assert_disjoint_commit(added_files, removed, added_deletes)
         meta = self.metadata()
         if expected_version is not None and meta["version"] != expected_version:
             # optimistic-transaction validation for multi-snapshot

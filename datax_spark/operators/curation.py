@@ -221,57 +221,108 @@ def full_prep_funnel(
     near_dup → decontaminated. Token counts use the same BPE-ish
     counter the curated output reports.
 
-    Built as a UNION of one-row aggregates over the staged frames —
-    Spark runs the whole union as one job, and each later stage's
-    subtree subsumes the earlier ones, so the compiler shares scans
-    where it can. (`funnel` shows the single-action tag-based form for
-    the inner four stages; this variant favors mirroring the SQL oracle
-    stage-for-stage over squeezing the last pass out.)"""
-    sig = TXT.gopher_signals(F.col(text_col))
-    gophered = df.filter(TXT.gopher_pass(sig))
-    _, filtered, exact, kept = _stages(
-        gophered,
-        min_quality=min_quality,
-        langs=langs,
+    Single-pass tag form (the `funnel` shape extended to all six
+    stages): every document gets a max-stage-reached tag and ONE
+    conditional aggregation emits every stage row — stage s counts docs
+    with tag >= s. The earlier UNION-of-staged-aggregates form
+    recomputed the MinHash-LSH subtree once per later stage (~2-3 full
+    passes over the corpus just for accounting). Here the expensive
+    subtrees each run exactly once, reduced to small broadcast id sets:
+    the LSH pairs' drop ids and the benchmark-contaminated ids (probed
+    only over near-dup survivors, so the gram explode — the widest
+    stage — sees the smallest frame). The corpus text is scanned three
+    times (annotate+tag, MinHash over exact survivors, decon grams)
+    with nothing persisted; the tag window shuffles a NARROW projection
+    (canon hash, id, flags, token count — never the text)."""
+    ann = annotate(df, id_col, text_col)
+    g = TXT.gopher_pass(TXT.gopher_signals(F.col(text_col)))
+    cond = F.col("quality") >= F.lit(min_quality)
+    if langs is not None:
+        cond = cond & F.col("lang_det").isin(*langs)
+    canon = TXT.normalized_fingerprint(F.col(text_col))
+    flagged = ann.select(
+        id_col,
+        text_col,
+        "n_tokens",
+        canon.alias("_canon"),
+        F.coalesce(g, F.lit(False)).alias("_g"),
+        F.coalesce(g & cond, F.lit(False)).alias("_p"),
+    )
+    # lowest-id PASSING doc per canon group is the staged-form exact-
+    # dedup winner (passers ordered first, then id)
+    w = Window.partitionBy("_canon").orderBy(
+        F.col("_p").desc(), F.col(id_col).asc()
+    )
+    ranked = flagged.withColumn(
+        "_exact", F.col("_p") & (F.row_number().over(w) == 1)
+    )
+    exact_docs = ranked.filter(F.col("_exact")).select(id_col, text_col)
+    pairs = DD.minhash_lsh_pairs(
+        exact_docs,
         k=k,
         bands=bands,
         jaccard_threshold=jaccard_threshold,
-        hash_fn=hash_fn,
         id_col=id_col,
         text_col=text_col,
+        hash_fn=hash_fn,
     )
-    stages = [
-        ("raw", df),
-        ("gopher", gophered),
-        ("lang_quality", filtered),
-        ("exact_dedup", exact),
-        ("near_dup", kept),
-    ]
+    drops = (
+        pairs.select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    names = ["raw", "gopher", "lang_quality", "exact_dedup", "near_dup"]
+    stage = (
+        F.when(~F.col("_g"), F.lit(0))
+        .when(~F.col("_p"), F.lit(1))
+        .when(~F.col("_exact"), F.lit(2))
+        .when(F.col("_dropped"), F.lit(3))
+    )
+    tagged = ranked.drop(text_col).join(F.broadcast(drops), id_col, "left")
     if benchmark is not None:
-        from .decontaminate import decontaminate as _decon
+        from .decontaminate import ngram_contamination
 
-        stages.append(
-            (
-                "decontaminated",
-                _decon(kept, benchmark, n=decontaminate_n,
-                       id_col=id_col, text_col=text_col),
+        names.append("decontaminated")
+        survivors = exact_docs.join(
+            F.broadcast(drops.select(id_col)), id_col, "left_anti"
+        )
+        contaminated = (
+            ngram_contamination(
+                survivors, benchmark, n=decontaminate_n,
+                id_col=id_col, text_col=text_col,
             )
+            .filter(F.col("contaminated"))
+            .select(id_col)
+            .withColumn("_cont", F.lit(True))
         )
-    out = None
-    for i, (name, frame) in enumerate(stages):
-        agg = frame.agg(
-            F.count(F.lit(1)).alias("n_docs"),
+        tagged = tagged.join(F.broadcast(contaminated), id_col, "left")
+        stage = stage.when(F.col("_cont"), F.lit(4))
+    n_stages = len(names)
+    tagged = tagged.select(
+        stage.otherwise(F.lit(n_stages - 1)).alias("_stage"), "n_tokens"
+    )
+    agg = tagged.agg(
+        *[
             F.coalesce(
-                F.sum(TXT.regex_token_count(F.col(text_col))), F.lit(0)
-            ).cast("bigint").alias("n_tokens"),
-        ).select(
-            F.lit(i).cast("int").alias("stage_idx"),
-            F.lit(name).alias("stage"),
-            "n_docs",
-            "n_tokens",
-        )
-        out = agg if out is None else out.unionByName(agg)
-    return out
+                F.sum(F.when(F.col("_stage") >= s, F.lit(1))), F.lit(0)
+            ).alias(f"d{s}")
+            for s in range(n_stages)
+        ],
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("_stage") >= s, F.col("n_tokens"))),
+                F.lit(0),
+            ).alias(f"t{s}")
+            for s in range(n_stages)
+        ],
+    ).first()
+    rows = [
+        (s, names[s], int(agg[f"d{s}"]), int(agg[f"t{s}"]))
+        for s in range(n_stages)
+    ]
+    return df.sparkSession.createDataFrame(
+        rows, "stage_idx int, stage string, n_docs long, n_tokens long"
+    )
 
 
 def incremental_prep(

@@ -466,6 +466,11 @@ def apply_epoch(
         new_schema=new_schema if batch_only else None,
         summary_extra={"epoch": epoch},
         added_deletes=new_deletes,
+        # invariant maintained by construction: CoW removes the full
+        # rewrite set (bloom-pruned-out files provably hold no batch
+        # key), MoR shadows every replaced copy with a delete file —
+        # skip commit's raw-append overlap guard on the hot path
+        verify_disjoint=False,
     )
     commit_id = table.metadata(version)["summary"]["commit_id"]
     for row in lineage_rows:

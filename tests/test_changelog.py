@@ -217,12 +217,20 @@ _OPS = st.lists(
 )
 
 
-@hsettings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@hsettings(
+    max_examples=20, deadline=None, derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
 @given(ops=_OPS, data=st.data())
 def test_read_changes_matches_model_diff(spark, tmp_path_factory, ops, data):
     """Differential: for ANY commit sequence (upserts, MoR deletes,
     compactions) and ANY version pair, read_changes == the diff of the
-    pure-python model states."""
+    pure-python model states. Upserts go through the REAL MoR staging
+    path (stage_data_and_delete_files: the new rows plus equality-delete
+    coverage of any older copies) — raw overlapping-key appends are now
+    rejected at commit time (test_raw_overlapping_commit_rejected), so
+    the one-live-row-per-key invariant holds at every version here.
+    Derandomized: green means green, not a lucky draw."""
     from pyspark.sql import types as T
 
     schema = T.StructType([
@@ -240,11 +248,15 @@ def test_read_changes_matches_model_diff(spark, tmp_path_factory, ops, data):
         elif isinstance(op, dict):
             lsn += 1
             rows = [(k, v, 0 if k < "c" else 1, lsn) for k, v in sorted(op.items())]
-            files = t.stage_data_files(
+            files, dels = t.stage_data_and_delete_files(
                 spark.createDataFrame(rows, "url string, val long, _pid int, _lsn long"),
+                spark.createDataFrame(
+                    [(k, 0 if k < "c" else 1) for k in sorted(op)],
+                    "url string, _pid int",
+                ),
                 epoch=epoch,
             )
-            t.commit(epoch, {r[2] for r in rows}, files)
+            t.commit(epoch, {r[2] for r in rows}, files, added_deletes=dels)
             for k, v in op.items():
                 model[k] = (v, lsn)
             epoch += 1
@@ -282,6 +294,59 @@ def test_read_changes_matches_model_diff(spark, tmp_path_factory, ops, data):
         elif sa[k][0] != sb[k][0]:
             want[k] = ("U", sb[k][0])
     assert got == want, (a, b, sa, sb)
+
+
+def test_raw_overlapping_commit_rejected(spark, tmp_path):
+    """The one-live-row-per-key invariant is ENFORCED at commit time: a
+    raw data-file append whose keys overlap a live file, with nothing
+    removing or shadowing the old copies, raises instead of silently
+    corrupting every read (the hole the property test's falsifier
+    ops=[{'a':0},{'a':1},'C'] exposed)."""
+    import pytest
+
+    from datax_spark.icetable.table import TableInvariantError
+
+    t = _mk(spark, tmp_path / "t")
+    t.commit(0, {0}, t.stage_data_files(_df(spark, [("a", 1, 0, 1)]), epoch=0))
+    f1 = t.stage_data_files(_df(spark, [("a", 2, 0, 2)]), epoch=1)
+    with pytest.raises(TableInvariantError, match="'a'"):
+        t.commit(1, {0}, f1)
+    # a key-disjoint raw append to the same partition stays legal
+    t.commit(2, {0}, t.stage_data_files(_df(spark, [("m", 3, 0, 3)]), epoch=2))
+    assert {r["url"]: r["val"] for r in t.read().collect()} == {"a": 1, "m": 3}
+
+
+def test_raw_append_after_mor_delete_is_legal(spark, tmp_path):
+    """Re-inserting a key whose only copies are MoR-shadowed must pass
+    the commit guard — the exact check runs against the LIVE (post-
+    delete) state, not the physical rows."""
+    t = _mk(spark, tmp_path / "t")
+    t.commit(0, {0}, t.stage_data_files(_df(spark, [("a", 1, 0, 1)]), epoch=0))
+    dels = t.stage_delete_files(
+        spark.createDataFrame([("a", 0)], "url string, _pid int"), epoch=1
+    )
+    t.commit(1, {0}, [], added_deletes=dels)
+    t.commit(2, {0}, t.stage_data_files(_df(spark, [("a", 9, 0, 5)]), epoch=2))
+    assert {r["url"]: r["val"] for r in t.read().collect()} == {"a": 9}
+
+
+def test_mor_upsert_upsert_compact_changes_empty(spark, tmp_path):
+    """Regression for the round-2 falsifier: upsert a key twice (MoR
+    path), compact — the compaction snapshot's changelog must be EMPTY
+    and the table must hold exactly the last write, not a duplicate or
+    a phantom stale-value update."""
+    t = _mk(spark, tmp_path / "t")
+    for e, v in enumerate([0, 1]):
+        files, dels = t.stage_data_and_delete_files(
+            _df(spark, [("a", v, 0, e + 1)]),
+            spark.createDataFrame([("a", 0)], "url string, _pid int"),
+            epoch=e,
+        )
+        t.commit(e, {0}, files, added_deletes=dels)
+    pre = t.current_version()
+    assert t.compact(min_files=2) == [0]
+    assert t.read_changes(pre).count() == 0
+    assert [(r["url"], r["val"]) for r in t.read().collect()] == [("a", 1)]
 
 
 def test_icetable_reader_with_tag(spark, tmp_path):
