@@ -561,6 +561,22 @@ class IceTable:
         payload)."""
         to_version = self.current_version() if to_version is None else to_version
         key = self.metadata(to_version)["partition_spec"]["key"]
+        bootstrap_empty = from_version == 0 and not (
+            self.meta_dir / "v0.metadata.json"
+        ).exists()
+        if not bootstrap_empty and not (
+            self.meta_dir / f"v{from_version}.metadata.json"
+        ).exists():
+            retained = sorted(
+                int(p.name[1:].split(".")[0])
+                for p in self.meta_dir.glob("v*.metadata.json")
+            )
+            raise ValueError(
+                f"read_changes from_version={from_version} is expired "
+                f"(retained versions: {retained}); re-bootstrap from 0 "
+                f"(full state as inserts) or tag sync cursors so expiry "
+                f"keeps them"
+            )
 
         def _file_sets(v: int) -> dict[int, set[str]]:
             sets: dict[int, set[str]] = {}
@@ -568,16 +584,31 @@ class IceTable:
                 sets.setdefault(f["partition_id"], set()).add(f["path"])
             return sets
 
-        spec_a = self.metadata(from_version)["partition_spec"]
-        spec_b = self.metadata(to_version)["partition_spec"]
-        if spec_a == spec_b:
+        if bootstrap_empty:
+            # v0 — the freshly-created table — is empty BY CONSTRUCTION
+            # (create() publishes no files), so even after snapshot
+            # expiry deletes its metadata the v0 state is known: the
+            # bootstrap diff is "every live row is an insert". Without
+            # this, the first sync against an aged source table crashed
+            # on the missing v0 metadata file.
+            schema_lsn = T.StructType(
+                self.schema(to_version).fields
+                + [T.StructField("_lsn", T.LongType(), True)]
+            )
+            state_a = self.spark.createDataFrame([], schema_lsn)
+            state_b = self.read(to_version, with_lsn=True)
+            spec_a = spec_b = None
+        else:
+            spec_a = self.metadata(from_version)["partition_spec"]
+            spec_b = self.metadata(to_version)["partition_spec"]
+        if spec_a is not None and spec_a == spec_b:
             fa, fb = _file_sets(from_version), _file_sets(to_version)
             pids = {
                 p for p in set(fa) | set(fb) if fa.get(p, set()) != fb.get(p, set())
             }
             state_a, _ = self.read_partitions(pids, from_version, with_lsn=True)
             state_b, _ = self.read_partitions(pids, to_version, with_lsn=True)
-        else:  # cross-rebucket diff: partition ids are incomparable
+        elif spec_a is not None:  # cross-rebucket diff: pids incomparable
             state_a = self.read(from_version, with_lsn=True)
             state_b = self.read(to_version, with_lsn=True)
 

@@ -495,6 +495,16 @@ def _write_batch_output(spark: SparkSession, df: DataFrame, writer: dict[str, An
             if (root / "metadata" / "version-hint.text").exists():
                 tbl = IceTable.load(spark, root)
             else:
+                key_column = writer.get("keyColumn", "url")
+                if key_column not in df.columns:
+                    # fail HERE with the fix spelled out, not later with
+                    # apply_epoch's opaque missing-column AnalysisException
+                    raise ValueError(
+                        f"icetable_merge auto-create: key column "
+                        f"{key_column!r} is not in the feed's columns "
+                        f"{sorted(c for c in df.columns if c not in ('op', 'lsn'))} "
+                        f"— set writer.keyColumn to one of them"
+                    )
                 schema = T.StructType(
                     [
                         T.StructField(f.name, f.dataType, True)
@@ -507,7 +517,7 @@ def _write_batch_output(spark: SparkSession, df: DataFrame, writer: dict[str, An
                     root,
                     schema,
                     num_partitions=int(writer.get("numPartitions", 16)),
-                    key_column=writer.get("keyColumn", "url"),
+                    key_column=key_column,
                 )
             committed = tbl.committed_epochs()
             epoch = writer.get("epoch")

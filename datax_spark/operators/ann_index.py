@@ -61,6 +61,22 @@ class IvfIndex:
         self.meta = json.loads(meta_path.read_text())
         if self.meta.get("format") != FORMAT:
             raise ValueError(f"unknown index format {self.meta.get('format')!r}")
+        # cached query→cell assignments of the LATEST probe (see
+        # _track_assign): bounds cache growth on long-lived sessions
+        self._live_assign: DataFrame | None = None
+
+    def _track_assign(self, assign: DataFrame) -> DataFrame:
+        """Register a probe's persisted assignment frame, evicting the
+        previous probe's. The cache exists so the in-method collect()
+        (probed-cell list) and the returned plan share one
+        queries×centroids crossJoin; keeping only the latest bounds a
+        long-lived serving session at one assignment's blocks instead of
+        accumulating one per probe call. The evicted frame stays
+        CORRECT for any still-held result plan — it just recomputes."""
+        if self._live_assign is not None:
+            self._live_assign.unpersist(blocking=False)
+        self._live_assign = assign
+        return assign
 
     # ---------------- build ---------------- #
     @staticmethod
@@ -216,6 +232,7 @@ class IvfIndex:
             # crossJoin and its window twice
             .persist()
         )
+        assign = self._track_assign(assign)
         # the probed cell set is ≤ n_cells — collect it so the corpus
         # scan becomes a partition-pruned read of exactly those dirs
         probed = sorted(
@@ -285,6 +302,7 @@ class IvfIndex:
             .select("query_id", "probe_cell")
             .persist()
         )
+        assign = self._track_assign(assign)
         probed = sorted(
             r["probe_cell"] for r in assign.select("probe_cell").distinct().collect()
         )

@@ -82,10 +82,13 @@ def band_bucket_exprs(k: int, bands: int, mh=None) -> list:
     """THE LSH bucket-string construction — "{band}:" + md5 of the
     band's comma-joined minhashes. Single definition shared by the
     one-shot pairs below, the persisted MinHashIndex, and the streaming
-    near-dup operator: all three MUST bucket byte-identically (the
-    index's one-shot-equivalence contract and the streaming twin both
-    compare bucket strings across implementations), and the DuckDB
-    oracles rebuild the same strings."""
+    near-dup operator: the three bucket byte-identically WHEN RUN WITH
+    THE SAME hash_fn (the index's one-shot-equivalence contract and the
+    streaming twin both compare bucket strings across implementations).
+    Note the defaults differ: batch/index default to md5 (the DuckDB-
+    oracle contract), streaming_near_dup defaults to xxhash64 (the
+    production hash) — pass hash_fn explicitly to match across sides.
+    The DuckDB oracles rebuild the md5-form strings."""
     if mh is None:
         mh = lambda i: F.col(f"mh{i}")
     rpb = k // bands

@@ -50,17 +50,21 @@ def snapshot_to_events(
 
     Duplicate snapshot keys (the same URL in two crawl segments is
     routine): when ``order_col`` is given (e.g. ``warc_ts``) the
-    LATEST row per key wins deterministically; without it the key set
-    is VALIDATED unique and duplicates raise — silently fanning out
-    one key into several same-LSN events would make the merged row
-    nondeterministic."""
+    LATEST row per key wins deterministically — ties on ``order_col``
+    (same URL, same warc_ts in two segments) break on a hash of the
+    payload columns, so the winner never depends on partition order;
+    rows tied on that too are bit-identical and the pick is moot.
+    Without ``order_col`` the key set is VALIDATED unique and
+    duplicates raise — silently fanning out one key into several
+    same-LSN events would make the merged row nondeterministic."""
     key = table.key_column
     if key not in snapshot.columns:
         raise ValueError(f"snapshot lacks the table key column {key!r}")
     if order_col is not None:
         from pyspark.sql import Window
 
-        w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
+        tie = F.xxhash64(*[F.col(c) for c in snapshot.columns])
+        w = Window.partitionBy(key).orderBy(F.col(order_col).desc(), tie.desc())
         snapshot = (
             snapshot.withColumn("_sd_rn", F.row_number().over(w))
             .filter(F.col("_sd_rn") == 1)

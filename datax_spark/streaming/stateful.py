@@ -90,21 +90,32 @@ NEARDUP_OUTPUT = T.StructType(
 )
 
 
-def minhash_sig_cols(text_col, k: int = 8) -> list:
+def minhash_sig_cols(text_col, k: int = 8, hash_fn: str = "xxhash64") -> list:
     """Per-doc MinHash signature as PURE projection (no explode/groupBy):
-    mh_i = min over tokens of xxhash64(token, i). Equivalent to the
-    batch aggregate form (min ignores duplicate tokens) but streaming-
-    safe — chains straight into a stateful operator with no intervening
-    aggregation. Empty docs get null signatures (filtered by callers)."""
+    mh_i = min over tokens of hash(token, i). Equivalent to the batch
+    aggregate form (min ignores duplicate tokens) but streaming-safe —
+    chains straight into a stateful operator with no intervening
+    aggregation. Empty docs get null signatures (filtered by callers).
+
+    ``hash_fn`` mirrors operators/dedup.minhash_signatures so buckets
+    can match byte-identically across the one-shot, indexed, and
+    streaming implementations — but the DEFAULTS differ on purpose:
+    streaming defaults to ``xxhash64`` (production: one JVM op per
+    (token, seed)), batch defaults to ``md5`` (the DuckDB-oracle
+    contract). Pass the same value on both sides when comparing."""
     from pyspark.sql import Column
     from pyspark.sql import functions as F
 
     text = F.col(text_col) if isinstance(text_col, str) else text_col
     toks = F.filter(F.split(text, " "), lambda t: t != "")
+    if hash_fn == "xxhash64":
+        h = lambda t, i: F.xxhash64(t, F.lit(i))
+    elif hash_fn == "md5":
+        h = lambda t, i: F.md5(F.concat(F.lit(f"{i}:"), t))
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     return [
-        F.array_min(F.transform(toks, lambda t: F.xxhash64(t, F.lit(i)))).alias(
-            f"mh{i}"
-        )
+        F.array_min(F.transform(toks, lambda t: h(t, i))).alias(f"mh{i}")
         for i in range(k)
     ]
 
@@ -146,6 +157,7 @@ def streaming_near_dup(
     jaccard_threshold: float = 0.7,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Cross-batch near-duplicate detection over a streaming DataFrame —
     the streaming twin of operators/dedup_index.MinHashIndex: signatures
@@ -168,7 +180,9 @@ def streaming_near_dup(
 
     if k % bands:
         raise ValueError(f"bands={bands} must divide k={k}")
-    sig = docs.select(F.col(id_col).alias("doc_id"), *minhash_sig_cols(text_col, k))
+    sig = docs.select(
+        F.col(id_col).alias("doc_id"), *minhash_sig_cols(text_col, k, hash_fn)
+    )
     sig = sig.filter(F.col("mh0").isNotNull())  # empty docs have no signature
     bucketed = sig.select(
         "doc_id", *[F.col(f"mh{i}") for i in range(k)],

@@ -349,6 +349,61 @@ def test_mor_upsert_upsert_compact_changes_empty(spark, tmp_path):
     assert [(r["url"], r["val"]) for r in t.read().collect()] == [("a", 1)]
 
 
+def test_bootstrap_sync_after_v0_expired(spark, tmp_path):
+    """First sync against an AGED source table: the cursor tag doesn't
+    exist and snapshot expiry has deleted v0's metadata. read_changes(0)
+    must still bootstrap — v0 (the freshly-created table) is empty by
+    construction, so the diff is 'every live row is an insert' — and
+    an expired NON-ZERO from_version must fail with a clear error, not
+    a FileNotFoundError."""
+    import pytest
+
+    from datax_spark.jobspec import run_batch_job
+
+    src = _build_iud_table(spark, tmp_path / "src")  # v3 = {a:99, c:3}
+    src.expire_snapshots(keep_last=2)  # v0, v1 metadata gone
+    assert not (src.meta_dir / "v0.metadata.json").exists()
+
+    feed = {r["url"]: (r["_op"], r["val"]) for r in src.read_changes(0).collect()}
+    assert feed == {"a": ("I", 99), "c": ("I", 3)}
+    with pytest.raises(ValueError, match="expired"):
+        src.read_changes(1).collect()
+
+    # the whole flow as the tag-driven sync job spec (the crash path)
+    run_batch_job(spark, {
+        "reader": {"type": "icetable_changes", "path": str(tmp_path / "src"),
+                   "sinceTag": "synced", "advanceTag": "synced"},
+        "writer": {"type": "icetable_merge", "path": str(tmp_path / "dst"),
+                   "numPartitions": 4},
+    })
+    dst = IceTable.load(spark, tmp_path / "dst")
+    assert {r["url"]: r["val"] for r in dst.read().collect()} == {"a": 99, "c": 3}
+
+
+def test_icetable_merge_rejects_missing_key_column(spark, tmp_path):
+    """Auto-creating the target with a key column the feed doesn't have
+    must fail immediately with the available columns named, not later
+    inside apply_epoch with an opaque AnalysisException."""
+    import pytest
+
+    from datax_spark.jobspec import run_batch_job
+
+    src_dir = tmp_path / "feed"
+    spark.createDataFrame(
+        [("k1", 5, "I", 1)], "page_key string, val long, op string, lsn long"
+    ).write.parquet(str(src_dir))
+    spec = {
+        "reader": {"type": "parquet", "path": str(src_dir)},
+        "writer": {"type": "icetable_merge", "path": str(tmp_path / "dst")},
+    }
+    with pytest.raises(ValueError, match="page_key"):
+        run_batch_job(spark, spec)
+    spec["writer"]["keyColumn"] = "page_key"
+    run_batch_job(spark, spec)
+    dst = IceTable.load(spark, tmp_path / "dst")
+    assert {r["page_key"]: r["val"] for r in dst.read().collect()} == {"k1": 5}
+
+
 def test_icetable_reader_with_tag(spark, tmp_path):
     """reader.type 'icetable': the lake table as a batch source, at the
     current snapshot or a named tag."""

@@ -26,7 +26,8 @@ def test_basic_lww(spark, strategy):
     assert got == {"a": (3, "v3"), "b": (10, "b10")}
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=12, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
 @given(
     st.lists(
         st.tuples(st.sampled_from("abcdef"), st.integers(1, 1000)),

@@ -106,7 +106,8 @@ url_st = st.builds(
 # ------------------------------- tests ------------------------------- #
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=12, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
 @given(st.lists(url_st, min_size=1, max_size=24))
 def test_canonical_url_matches_python_reference(spark, urls):
     df = spark.createDataFrame(list(enumerate(urls)), "i long, url string")
@@ -118,7 +119,8 @@ def test_canonical_url_matches_python_reference(spark, urls):
         assert got[i] == py_canonical_url(u), (u, got[i], py_canonical_url(u))
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=12, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
 @given(st.lists(doc_st, min_size=1, max_size=10))
 def test_line_dedup_matches_python_fold(spark, texts):
     docs = dict(enumerate(texts))
@@ -130,7 +132,8 @@ def test_line_dedup_matches_python_fold(spark, texts):
     assert got == py_line_dedup(docs)
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=12, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
 @given(st.lists(doc_st, min_size=1, max_size=12))
 def test_repetition_signals_match_python(spark, texts):
     df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")

@@ -144,3 +144,12 @@ def test_structured_streaming_runner(spark, log_dir, reference_run):
         return [t[:i] + t[i + 1:] for t in states]
     ref_table = reference_run[0]
     assert drop_title(got, table) == drop_title(ref_state, ref_table)
+
+    # checkpoint resume: re-running the same query over the same shard
+    # set must be a no-op — the streaming checkpoint (not the table's
+    # idempotence ledger) skips the consumed files, so no new snapshot
+    # commits and the state is bit-identical
+    v_before = table.current_version()
+    run_structured(spark, base / "events", table, base / "ss" / "ckpt")
+    assert table.current_version() == v_before
+    assert _state(table) == got

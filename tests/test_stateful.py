@@ -140,6 +140,13 @@ def test_projection_signature_equals_aggregate_form(spark):
     agg = {r["doc_id"]: [r[f"mh{i}"] for i in range(8)] for r in
            minhash_signatures(tokens(df), 8, hash_fn="xxhash64").collect()}
     assert proj == agg
+    # and the md5 contract form matches too, so streaming buckets can be
+    # made byte-identical to the batch/index default by passing hash_fn
+    proj_md5 = {r["doc_id"]: [r[f"mh{i}"] for i in range(8)] for r in
+                df.select("doc_id", *minhash_sig_cols("text", 8, "md5")).collect()}
+    agg_md5 = {r["doc_id"]: [r[f"mh{i}"] for i in range(8)] for r in
+               minhash_signatures(tokens(df), 8, hash_fn="md5").collect()}
+    assert proj_md5 == agg_md5
 
 
 def test_streaming_near_dup_state_survives_restart(spark, tmp_path):

@@ -238,3 +238,33 @@ def test_snapshot_diff_duplicate_keys_and_evolution(spark, tmp_path):
     )
     ev2 = [r for r in snapshot_to_events(t, snap2).collect()]
     assert [r["op"] for r in ev2] == ["U"] and ev2[0]["lang"] == "en"
+
+
+def test_snapshot_diff_order_col_tie_is_deterministic(spark, tmp_path):
+    """Two snapshot rows with the SAME key and SAME order_col value
+    (same URL, same warc_ts in two crawl segments) must pick the same
+    winner regardless of input partition order — the window breaks
+    the tie on a payload hash, not on arrival order."""
+    from datetime import datetime
+
+    from datax_spark.icetable.table import IceTable
+    from datax_spark.operators.snapshot_diff import snapshot_to_events
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("html", T.BinaryType()),
+    ])
+    t = IceTable.create(spark, tmp_path / "tbl", schema, num_partitions=2)
+    ts = datetime(2017, 3, 1)
+    rows = [("u1", b"alpha", ts), ("u1", b"beta", ts), ("u2", b"solo", ts)]
+    winners = []
+    for perm in (rows, rows[::-1]):
+        snap = spark.createDataFrame(
+            perm, "url string, html binary, warc_ts timestamp"
+        ).repartition(3)
+        ev = {r["url"]: bytes(r["html"]) for r in
+              snapshot_to_events(t, snap, order_col="warc_ts").collect()}
+        winners.append(ev)
+    assert winners[0] == winners[1]
+    assert winners[0]["u2"] == b"solo"
