@@ -237,20 +237,27 @@ def run_cluster_cdc_job(
     spec: dict[str, Any],
     event_schema,
     extract: bool = True,
+    available_now: bool = False,
 ) -> None:
     """Execute the cluster CDC loop (cluster-only: Kafka + Iceberg jars):
     readStream(kafka) → resolve_cluster_batch → MERGE INTO, with
     Structured Streaming's checkpoint providing the offset/commit log
-    the native EpochDriver keeps itself."""
+    the native EpochDriver keeps itself.
+
+    ``available_now=True`` runs a BOUNDED catch-up instead of a
+    continuous tail: consume everything currently in the topic in
+    rate-limited micro-batches, then stop — Kafka backfill, and the
+    termination mode the env-gated e2e test uses
+    (tests/test_cluster_adapter.py::test_cluster_cdc_end_to_end)."""
     source, sink, checkpoint = compile_cluster_cdc_job(spec)
     stream = source.load(spark, event_schema)
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         sink.apply(spark, resolve_cluster_batch(batch_df, sink.key_column, extract))
 
-    (
-        stream.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", checkpoint)
-        .start()
-        .awaitTermination()
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    writer.start().awaitTermination()

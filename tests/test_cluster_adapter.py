@@ -135,3 +135,75 @@ def test_resolve_cluster_batch_matches_engine_semantics(spark):
     assert out["https://a/1"]["lsn"] == 5  # last writer won
     assert out["https://a/1"]["text"] == extract_text(b"<p>new</p>")
     assert out["https://a/2"]["text"] == extract_text(b"<p>two</p>")
+
+
+def _kafka_jar() -> bool:
+    import glob
+    import os
+
+    sh = os.environ.get("SPARK_HOME") or ""
+    if not sh:
+        try:
+            import pyspark
+
+            sh = str(Path(pyspark.__file__).parent)
+        except Exception:
+            return False
+    return bool(glob.glob(os.path.join(sh, "jars", "*sql-kafka*")))
+
+
+import os
+from pathlib import Path
+
+import pytest
+
+
+@pytest.mark.skipif(
+    not (os.environ.get("DATAX_KAFKA_BOOTSTRAP") and _kafka_jar()),
+    reason="needs a Kafka broker (DATAX_KAFKA_BOOTSTRAP), spark-sql-kafka "
+    "and iceberg-spark-runtime jars — absent in the offline sandbox",
+)
+def test_cluster_cdc_end_to_end(spark, tmp_path):
+    """REAL-cluster execution hook (runs only when the environment
+    provides a broker + the Kafka/Iceberg jars; compile-path twins above
+    run everywhere): produce change events into a topic via Spark's own
+    Kafka batch sink, run the bounded cluster CDC job (availableNow),
+    and assert the Iceberg table converged to the LWW state.
+
+    Env contract: DATAX_KAFKA_BOOTSTRAP=host:port,
+    DATAX_ICEBERG_TABLE=<catalog.db.table> (catalog confs preconfigured
+    in spark-defaults), optional DATAX_KAFKA_TOPIC (default dx_e2e)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from datax_spark.cluster import run_cluster_cdc_job
+
+    bootstrap = os.environ["DATAX_KAFKA_BOOTSTRAP"]
+    topic = os.environ.get("DATAX_KAFKA_TOPIC", "dx_e2e")
+    table = os.environ.get("DATAX_ICEBERG_TABLE", "lake.db.dx_e2e")
+    events = spark.createDataFrame(
+        [
+            (1, "I", "https://a/1", "2026-01-01T00:00:00", "aGk=", "en"),
+            (2, "U", "https://a/1", "2026-01-01T00:00:01", "eW8=", "en"),
+            (3, "I", "https://a/2", "2026-01-01T00:00:02", "b2s=", "en"),
+        ],
+        "lsn long, op string, url string, warc_ts string, html string, lang string",
+    )
+    (
+        events.select(F.to_json(F.struct(*events.columns)).alias("value"))
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+        .save()
+    )
+    spec = {
+        "reader": {"type": "kafka", "bootstrapServers": bootstrap, "topic": topic,
+                   "startingOffsets": "earliest"},
+        "writer": {"type": "iceberg", "table": table},
+        "checkpoint": str(tmp_path / "ckpt"),
+    }
+    schema = events.schema
+    run_cluster_cdc_job(spark, spec, schema, extract=False, available_now=True)
+    got = {r["url"]: r["lsn"] for r in spark.table(table).collect()}
+    assert got["https://a/1"] == 2 and got["https://a/2"] == 3
