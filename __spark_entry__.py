@@ -1074,6 +1074,26 @@ def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_QUERIES = [
+    (0, "spark merge window"),
+    (1, "fast hash join"),
+    (2, "slow scan filter vector"),
+]
+
+
+def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k keyword retrieval (operators/retrieval.py): three
+    literal queries against the documents corpus; the query-term set
+    broadcasts and prunes the corpus term explode map-side, so the
+    (doc, term) shuffle carries only query-mentioned terms. Scores
+    round to 4dp with doc-id tie-break — deterministic ranking the
+    DuckDB oracle reproduces term for term."""
+    from datax_spark.operators.retrieval import bm25_topk
+
+    queries = spark.createDataFrame(_BM25_QUERIES, "query_id long, query string")
+    return bm25_topk(_t(spark, sf_dir, "documents"), queries, k=5)
+
+
 # ------------------------ DataX transformers -------------------------- #
 
 def q_transformer_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1226,6 +1246,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redaction": q_pii_redaction,
     "chunk_documents": q_chunk_documents,
     "pack_documents": q_pack_documents,
+    "bm25_retrieval": q_bm25_retrieval,
     "transformer_chain": q_transformer_chain,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_wav_roundtrip": q_multimodal_wav_roundtrip,
@@ -2424,6 +2445,47 @@ SELECT ls.doc_id,
             THEN round(1 - CAST(len(list_distinct(lns)) AS DOUBLE) / len(lns), 4)
             ELSE 0.0 END AS dup_line_frac
 FROM ls LEFT JOIN gc ON gc.doc_id = ls.doc_id""",
+    "bm25_retrieval": """
+WITH q(query_id, query) AS (
+  VALUES (CAST(0 AS BIGINT), 'spark merge window'),
+         (1, 'fast hash join'),
+         (2, 'slow scan filter vector')),
+tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS tk
+  FROM documents
+),
+dterm AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM tok),
+qterm AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id,
+           unnest(list_filter(string_split_regex(lower(query), '[^a-z0-9]+'),
+                              t -> t <> '')) AS term
+    FROM q)
+),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM dterm
+  WHERE term IN (SELECT term FROM qterm)
+  GROUP BY 1, 2, 3
+),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(tk)) AS avgdl FROM tok),
+idf AS (
+  SELECT term, ln(1 + (n - df + 0.5) / (df + 0.5)) AS idf, avgdl
+  FROM (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1)
+  CROSS JOIN stats
+),
+scored AS (
+  SELECT query_id, doc_id,
+         round(sum(idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+  FROM tf JOIN idf USING (term) JOIN qterm USING (term)
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+       ) AS BIGINT) AS rank
+FROM scored QUALIFY rank <= 5""",
     "transformer_chain": """
 SELECT doc_id,
        substr(text, 1, 20) AS head20,

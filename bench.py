@@ -72,6 +72,7 @@ HEADLINE = [
     "curation_pipeline",
     "full_prep_pipeline",
     "full_prep_funnel",
+    "bm25_retrieval",
 ]
 
 CDC_EVENTS = int(os.environ.get("DATAX_BENCH_EVENTS", "1000000"))
