@@ -1094,6 +1094,25 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_t(spark, sf_dir, "documents"), queries, k=5)
 
 
+def q_duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup, detection half (operators/span_dedup.py):
+    per-doc count/fraction of 8-token windows whose content occurs more
+    than once in the corpus — the boilerplate gate document- and
+    line-level dedup both miss."""
+    from datax_spark.operators.span_dedup import duplicate_span_stats
+
+    return duplicate_span_stats(_t(spark, sf_dir, "documents"), n=8)
+
+
+def q_duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup, removal half: cut every repeated 8-token
+    window occurrence except the globally-first (min (doc_id, pos)) one
+    and rebuild the text — (doc_id, text, n_tokens_kept, n_tokens_cut)."""
+    from datax_spark.operators.span_dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(_t(spark, sf_dir, "documents"), n=8)
+
+
 # ------------------------ DataX transformers -------------------------- #
 
 def q_transformer_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1247,6 +1266,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "pack_documents": q_pack_documents,
     "bm25_retrieval": q_bm25_retrieval,
+    "duplicate_span_stats": q_duplicate_span_stats,
+    "duplicate_span_removal": q_duplicate_span_removal,
     "transformer_chain": q_transformer_chain,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_wav_roundtrip": q_multimodal_wav_roundtrip,
@@ -2486,6 +2507,66 @@ SELECT query_id, doc_id, score,
          PARTITION BY query_id ORDER BY score DESC, doc_id ASC
        ) AS BIGINT) AS rank
 FROM scored QUALIFY rank <= 5""",
+    "duplicate_span_stats": """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+),
+sp AS (
+  SELECT doc_id,
+         unnest([md5(array_to_string(tk[i:i+8-1], ' '))
+                 FOR i IN generate_series(1, len(tk) - 8 + 1)]) AS h
+  FROM tok WHERE len(tk) >= 8
+),
+dup AS (SELECT h FROM sp GROUP BY h HAVING count(*) > 1),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_dup FROM sp
+  WHERE h IN (SELECT h FROM dup) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(greatest(len(tk) - 8 + 1, 0) AS BIGINT) AS n_windows,
+       CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_windows,
+       CASE WHEN len(tk) >= 8
+            THEN round(CAST(coalesce(p.n_dup, 0) AS DOUBLE)
+                       / (len(tk) - 8 + 1), 4)
+            ELSE 0.0 END AS dup_frac
+FROM tok t LEFT JOIN per_doc p USING (doc_id)""",
+    "duplicate_span_removal": """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+),
+sp AS (
+  SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+    SELECT doc_id,
+           unnest([{'pos': i - 1, 'h': md5(array_to_string(tk[i:i+8-1], ' '))}
+                   FOR i IN generate_series(1, len(tk) - 8 + 1)]) AS u
+    FROM tok WHERE len(tk) >= 8)
+),
+keeper AS (
+  SELECT h, min(doc_id * 1000000 + pos) AS keep_key
+  FROM sp GROUP BY h HAVING count(*) > 1
+),
+cuts AS (
+  SELECT doc_id, list_sort(list(pos)) AS cut_starts
+  FROM sp JOIN keeper USING (h)
+  WHERE doc_id * 1000000 + pos <> keep_key
+  GROUP BY doc_id
+),
+joined AS (
+  SELECT t.doc_id, t.tk, coalesce(c.cut_starts, []) AS cs
+  FROM tok t LEFT JOIN cuts c USING (doc_id)
+),
+kept AS (
+  SELECT doc_id, tk,
+         [tk[j] FOR j IN generate_series(1, len(tk))
+          IF len(list_filter(cs, s -> s <= j - 1 AND j - 1 < s + 8)) = 0] AS kt
+  FROM joined
+)
+SELECT doc_id, coalesce(array_to_string(kt, ' '), '') AS text,
+       CAST(len(kt) AS BIGINT) AS n_tokens_kept,
+       CAST(len(tk) - len(kt) AS BIGINT) AS n_tokens_cut
+FROM kept""",
     "transformer_chain": """
 SELECT doc_id,
        substr(text, 1, 20) AS head20,

@@ -73,6 +73,7 @@ HEADLINE = [
     "full_prep_pipeline",
     "full_prep_funnel",
     "bm25_retrieval",
+    "duplicate_span_stats",
 ]
 
 CDC_EVENTS = int(os.environ.get("DATAX_BENCH_EVENTS", "1000000"))
