@@ -1094,6 +1094,17 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_t(spark, sf_dir, "documents"), queries, k=5)
 
 
+def q_frequency_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail corpus binning
+    (operators/curation.py): frequency-proxy fluency score per doc,
+    exact equal-population ntile into 3 tiers (the oracle-checkable
+    profiling form; the production form takes fixed score thresholds
+    and buckets in a pure projection)."""
+    from datax_spark.operators.curation import frequency_quality_buckets
+
+    return frequency_quality_buckets(_t(spark, sf_dir, "documents"))
+
+
 def q_duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup, detection half (operators/span_dedup.py):
     per-doc count/fraction of 8-token windows whose content occurs more
@@ -1268,6 +1279,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_retrieval": q_bm25_retrieval,
     "duplicate_span_stats": q_duplicate_span_stats,
     "duplicate_span_removal": q_duplicate_span_removal,
+    "frequency_quality_buckets": q_frequency_quality_buckets,
     "transformer_chain": q_transformer_chain,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_wav_roundtrip": q_multimodal_wav_roundtrip,
@@ -2567,6 +2579,23 @@ SELECT doc_id, coalesce(array_to_string(kt, ' '), '') AS text,
        CAST(len(kt) AS BIGINT) AS n_tokens_kept,
        CAST(len(tk) - len(kt) AS BIGINT) AS n_tokens_cut
 FROM kept""",
+    "frequency_quality_buckets": """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+  FROM documents
+),
+freqs AS (
+  SELECT tok, count(*) AS n FROM tok GROUP BY 1
+  ORDER BY n DESC, tok ASC LIMIT 4096
+),
+scored AS (
+  SELECT t.doc_id, round(avg(ln(1 + coalesce(f.n, 0))), 4) AS score
+  FROM tok t LEFT JOIN freqs f USING (tok) GROUP BY 1
+)
+SELECT doc_id, score,
+       CAST(ntile(3) OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS bucket
+FROM scored""",
     "transformer_chain": """
 SELECT doc_id,
        substr(text, 1, 20) AS head20,

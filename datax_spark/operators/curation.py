@@ -380,6 +380,65 @@ def incremental_prep(
     return kept.select(*cols)
 
 
+def frequency_quality_buckets(
+    docs: DataFrame,
+    vocab_size: int = 4096,
+    n_buckets: int = 3,
+    thresholds: tuple[float, ...] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style head/middle/tail corpus binning (Wenzek et al. 2020,
+    public methodology) with a corpus-frequency PROXY for the KenLM
+    perplexity score (no LM binaries offline; the binning mechanics —
+    score every doc, split the corpus into quality tiers, train on the
+    head first — are the operator): score(doc) = mean over its tokens
+    of ln(1 + corpus_freq(token)), freq counted over the top
+    ``vocab_size`` tokens (OOV scores 0 — rare-garbage tokens drag the
+    mean down, exactly the signal). Returns (id, score, bucket) with
+    bucket 1 = head (most fluent/common) … n = tail.
+
+    Two bucketing modes:
+    - ``thresholds=None`` (default): exact equal-population ntile over
+      (score desc, id asc) — deterministic and oracle-checkable, but
+      the global sort funnels (narrow) rows through one reducer; right
+      for corpus-profiling runs, not the 100-TB hot path.
+    - ``thresholds=(t1, t2, ...)``: production form — score cutoffs
+      learned offline from a sample make bucketing a PURE PROJECTION
+      (bucket = 1 + #thresholds above score), no global sort at all;
+      CCNet itself ships fixed per-language cutoffs the same way.
+
+    Scores round to 4dp BEFORE ordering so cross-engine float noise
+    can't flip bucket boundaries."""
+    from ..functions.tokenize import token_positions
+
+    toks = token_positions(docs, id_col, text_col)
+    freqs = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+    )
+    scored = (
+        toks.join(F.broadcast(freqs), "tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.avg(F.log(F.lit(1.0) + F.coalesce(F.col("n"), F.lit(0)))), 4
+            ).alias("score")
+        )
+    )
+    if thresholds is not None:
+        bucket = F.lit(1)
+        for t in sorted(thresholds, reverse=True):
+            bucket = bucket + F.when(F.col("score") < F.lit(t), 1).otherwise(0)
+        return scored.select(id_col, "score", bucket.cast("int").alias("bucket"))
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return scored.select(
+        id_col, "score", F.ntile(n_buckets).over(w).alias("bucket")
+    )
+
+
 def funnel(
     df: DataFrame,
     *,
