@@ -1094,6 +1094,33 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_t(spark, sf_dir, "documents"), queries, k=5)
 
 
+def q_patch_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level partial-image CDC fold (operators/patch.py — the
+    HBase-versioned-put / OTS-UpdateRow semantics, SURVEY S8/S9):
+    deterministic I/U/D patch events derived from the events table
+    (op by event_id mod; U rows null out value/props on mod-3/mod-5 =
+    "keep current"), folded to final per-key rows in one key-hash
+    exchange. The oracle replays the identical fold via
+    arg_max-with-FILTER over the same derivation."""
+    from datax_spark.operators.patch import patch_fold
+
+    e = _t(spark, sf_dir, "events")
+    is_d = F.col("event_id") % 11 == 0
+    is_u = ~is_d & (F.col("event_id") % 2 == 0)
+    ev = e.select(
+        F.when(is_d, "D").when(is_u, "U").otherwise("I").alias("op"),
+        "user_id",
+        F.col("event_id").alias("lsn"),
+        F.when(is_u & (F.col("event_id") % 3 == 0), F.lit(None))
+        .otherwise(F.col("value")).alias("value"),
+        F.when(is_u & (F.col("event_id") % 5 == 0), F.lit(None))
+        .otherwise(F.col("props")).alias("props"),
+    )
+    return patch_fold(
+        ev, key="user_id", lsn_col="lsn", payload_cols=["value", "props"]
+    )
+
+
 def q_frequency_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style head/middle/tail corpus binning
     (operators/curation.py): frequency-proxy fluency score per doc,
@@ -1280,6 +1307,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "duplicate_span_stats": q_duplicate_span_stats,
     "duplicate_span_removal": q_duplicate_span_removal,
     "frequency_quality_buckets": q_frequency_quality_buckets,
+    "patch_fold": q_patch_fold,
     "transformer_chain": q_transformer_chain,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_wav_roundtrip": q_multimodal_wav_roundtrip,
@@ -2596,6 +2624,37 @@ scored AS (
 SELECT doc_id, score,
        CAST(ntile(3) OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS bucket
 FROM scored""",
+    "patch_fold": """
+WITH ev AS (
+  SELECT CASE WHEN event_id % 11 = 0 THEN 'D'
+              WHEN event_id % 2 = 0 THEN 'U' ELSE 'I' END AS op,
+         user_id, event_id AS lsn,
+         CASE WHEN event_id % 11 <> 0 AND event_id % 2 = 0 AND event_id % 3 = 0
+              THEN NULL ELSE value END AS value,
+         CASE WHEN event_id % 11 <> 0 AND event_id % 2 = 0 AND event_id % 5 = 0
+              THEN NULL ELSE props END AS props
+  FROM events
+),
+bnd AS (
+  SELECT user_id,
+         max(lsn) FILTER (WHERE op IN ('I','D')) AS b,
+         arg_max(op, lsn) FILTER (WHERE op IN ('I','D')) AS lo,
+         max(lsn) FILTER (WHERE op = 'U') AS mu,
+         max(lsn) AS ml
+  FROM ev GROUP BY 1
+),
+folded AS (
+  SELECT e.user_id,
+         arg_max(e.value, e.lsn) FILTER (WHERE e.op <> 'D'
+           AND (x.b IS NULL OR e.lsn >= x.b) AND e.value IS NOT NULL) AS value,
+         arg_max(e.props, e.lsn) FILTER (WHERE e.op <> 'D'
+           AND (x.b IS NULL OR e.lsn >= x.b) AND e.props IS NOT NULL) AS props,
+         any_value(x.b) AS b, any_value(x.lo) AS lo,
+         any_value(x.mu) AS mu, any_value(x.ml) AS ml
+  FROM ev e JOIN bnd x USING (user_id) GROUP BY 1
+)
+SELECT user_id, value, props, ml AS lsn
+FROM folded WHERE b IS NULL OR lo = 'I' OR mu > b""",
     "transformer_chain": """
 SELECT doc_id,
        substr(text, 1, 20) AS head20,

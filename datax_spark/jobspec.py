@@ -66,9 +66,10 @@ class JdbcReaderPlan:
     """Compiled DataX RDBMS reader (MySQL/Oracle/SqlServer/PostgreSQL/ADS
     — SURVEY.md §2.1 S1-S4/S7): the exact ``spark.read.jdbc`` call,
     including the splitPk → partitionColumn range-parallelism mapping.
-    Compilation is offline-testable; ``load`` needs a live database and
-    cannot be exercised in this sandbox (no network, no JDBC driver) —
-    the plan IS the contract."""
+    Executable end-to-end: tests/test_jdbc_exec.py drives the identical
+    plan against Spark's bundled embedded Derby (partitioned scan,
+    derived bounds, querySql pushdown) — MySQL/Oracle/... differ only
+    in the url/driver strings, exactly DataX's per-RDBMS plugin split."""
 
     url: str
     table: str  # table name, or "(SELECT ...) t" when querySql is used
@@ -86,16 +87,28 @@ class JdbcReaderPlan:
                 # DataX derives the splitPk range itself; mirror that with
                 # one bounds query before the partitioned scan
                 # (spark.read.jdbc refuses a partition column without
-                # explicit bounds)
+                # explicit bounds). The pk must be quoted in the REMOTE
+                # dialect (backticks on MySQL, double quotes elsewhere) —
+                # Spark's own dialect registry knows; unquoted identifiers
+                # get case-folded by the database (Derby/Oracle upcase,
+                # Postgres downcases) and miss case-sensitive columns.
                 pk = self.partition_column
+                try:
+                    pk = (
+                        spark._jvm.org.apache.spark.sql.jdbc.JdbcDialects
+                        .get(self.url).quoteIdentifier(pk)
+                    )
+                except Exception:  # noqa: BLE001 — ANSI fallback
+                    pk = '"' + pk.replace('"', '""') + '"'
                 row = spark.read.jdbc(
                     self.url,
                     f"(SELECT MIN({pk}) AS dx_lo, MAX({pk}) AS dx_hi "
                     f"FROM {self.table}) dx_bounds",
                     properties=self.properties,
                 ).collect()[0]
-                lo = row["dx_lo"] if lo is None else lo
-                hi = row["dx_hi"] if hi is None else hi
+                # positional: alias case-folding varies by database
+                lo = row[0] if lo is None else lo
+                hi = row[1] if hi is None else hi
             kwargs.update(
                 column=self.partition_column,
                 lowerBound=lo,
@@ -416,8 +429,8 @@ def _write_batch_output(spark: SparkSession, df: DataFrame, writer: dict[str, An
         elif wtype == "text":
             df.write.mode(mode).text(str(writer["path"]))
         elif wtype == "jdbc":
-            # DataX RDBMS writer (S1-S4/S7 write side): untestable here
-            # (no database in the sandbox) but the call is the contract;
+            # DataX RDBMS writer (S1-S4/S7 write side; executable — see
+            # tests/test_jdbc_exec.py against embedded Derby);
             # writeMode insert/replace maps onto append/overwrite
             df.write.mode(
                 {"insert": "append", "replace": "overwrite"}.get(
