@@ -1121,6 +1121,95 @@ def q_patch_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_intra_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document line dedup (operators/dedup.py
+    intra_doc_line_dedup): each doc keeps the first occurrence of every
+    distinct line in order — zero exchanges, pure codegen array math."""
+    out = DD.intra_doc_line_dedup(_relined(_t(spark, sf_dir, "documents")))
+    return out.select("doc_id", "text", "n_lines_kept", "n_lines_dropped")
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed-bag-of-words linear quality gate
+    (functions/classifier.py): md5-bucket → closed-form weight → mean
+    logit, all codegen, zero exchanges. The broadcast-weights form is
+    proven score-equal in tests/test_corpus_ops.py."""
+    from datax_spark.functions.classifier import classify_quality
+
+    out = classify_quality(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "score", F.col("keep").cast("int").alias("keep")
+    )
+
+
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-membership incremental dedup (operators/bloom_dedup.py):
+    even-doc_id docs are the ingested corpus, odd the new batch; the
+    corpus's blocked bloom (1024 × 63-bit words, md5-slice hashes)
+    broadcasts onto the batch, exact md5 verify runs only on
+    bloom-positive rows."""
+    from datax_spark.operators.bloom_dedup import bloom_dedup_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    out = bloom_dedup_flags(corpus, batch)
+    return out.select(
+        "doc_id",
+        F.col("bloom_hit").cast("int").alias("bloom_hit"),
+        F.col("exact_dup").cast("int").alias("exact_dup"),
+    )
+
+
+def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1-style domain blocklist + URL pattern gate
+    (operators/url_filter.py): ≤5 consecutive broadcast suffix probes,
+    zero corpus exchanges. URLs derive deterministically from
+    (source, doc_id); every 50th doc sits on a deep subdomain of a
+    blocked parent to exercise suffix matching."""
+    from datax_spark.operators.url_filter import blocklist_filter
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 50 == 0,
+            F.concat(F.lit("https://deep.sub.blocked.org/x/"),
+                     F.col("doc_id").cast("string")),
+        ).otherwise(
+            F.concat(F.lit("https://"), F.col("source"),
+                     F.lit(".example.com/p/"), F.col("doc_id").cast("string")),
+        ).alias("url"),
+    )
+    blk = spark.createDataFrame(
+        [("src3.example.com",), ("src7.example.com",),
+         ("src13.example.com",), ("src17.example.com",), ("blocked.org",)],
+        "domain string",
+    )
+    out = blocklist_filter(docs, blk, [r"/p/[0-9]*9$"], assume_distinct=True)
+    return out.select("doc_id", "canon_url", "verdict")
+
+
+def q_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixing weights (operators/mixing.py): per-source token
+    stats → downsampling probability that hits a uniform target mix,
+    anchored so the scarcest source keeps everything."""
+    from datax_spark.operators.mixing import mixing_weights
+
+    return mixing_weights(_t(spark, sf_dir, "documents"))
+
+
+def q_mixing_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mix APPLIED: deterministic md5-gate sampling under the
+    uniform-target weights; membership is reproducible across engines
+    and stable under corpus growth."""
+    from datax_spark.operators.mixing import apply_mix, mixing_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return apply_mix(docs, mixing_weights(docs)).select(
+        "doc_id", "source"
+    )
+
+
 def q_frequency_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style head/middle/tail corpus binning
     (operators/curation.py): frequency-proxy fluency score per doc,
@@ -1308,6 +1397,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "duplicate_span_removal": q_duplicate_span_removal,
     "frequency_quality_buckets": q_frequency_quality_buckets,
     "patch_fold": q_patch_fold,
+    "intra_doc_line_dedup": q_intra_doc_line_dedup,
+    "quality_classifier": q_quality_classifier,
+    "bloom_membership": q_bloom_membership,
+    "url_blocklist": q_url_blocklist,
+    "mixing_weights": q_mixing_weights,
+    "mixing_apply": q_mixing_apply,
     "transformer_chain": q_transformer_chain,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_wav_roundtrip": q_multimodal_wav_roundtrip,
@@ -2655,6 +2750,130 @@ folded AS (
 )
 SELECT user_id, value, props, ml AS lsn
 FROM folded WHERE b IS NULL OR lo = 'I' OR mu > b""",
+    "intra_doc_line_dedup": f"""
+WITH {_RELINED_CTE},
+l AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS ls
+  FROM relined
+),
+k AS (
+  SELECT doc_id, ls,
+         list_filter(range(1, len(ls) + 1),
+                     i -> list_position(ls, ls[i]) = i) AS sel
+  FROM l
+)
+SELECT doc_id,
+       array_to_string(list_select(ls, sel), chr(10)) AS text,
+       CAST(len(sel) AS BIGINT) AS n_lines_kept,
+       CAST(len(ls) - len(sel) AS BIGINT) AS n_lines_dropped
+FROM k""",
+    "quality_classifier": r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) > 0 THEN
+           list_aggregate(list_transform(toks, x ->
+             ((CAST(concat('0x', substr(md5('qclf' || x), 1, 8)) AS BIGINT)
+               % 1024) * 48271 % 65537) / 65537.0 - 0.5
+           ), 'sum') / len(toks)
+         ELSE 0.0 END AS logit
+  FROM t
+)
+SELECT doc_id, round(logit, 4) AS score, CAST(logit > 0 AS INT) AS keep
+FROM s""",
+    "bloom_membership": """
+WITH corpus AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+batch AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+bterms AS (
+  SELECT CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % 1024 AS block,
+         (1::BIGINT << CAST(CAST(concat('0x', substr(md5(text), 9, 8)) AS BIGINT) % 63 AS INT))
+         | (1::BIGINT << CAST(CAST(concat('0x', substr(md5(text), 17, 8)) AS BIGINT) % 63 AS INT)) AS bits
+  FROM corpus
+),
+bloom AS (SELECT block, bit_or(bits) AS word FROM bterms GROUP BY 1),
+probe AS (
+  SELECT doc_id, text,
+         CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % 1024 AS block,
+         (1::BIGINT << CAST(CAST(concat('0x', substr(md5(text), 9, 8)) AS BIGINT) % 63 AS INT))
+         | (1::BIGINT << CAST(CAST(concat('0x', substr(md5(text), 17, 8)) AS BIGINT) % 63 AS INT)) AS bits
+  FROM batch
+),
+flags AS (
+  SELECT p.doc_id, p.text,
+         (w.word IS NOT NULL AND (w.word & p.bits) = p.bits) AS bloom_hit
+  FROM probe p LEFT JOIN bloom w ON p.block = w.block
+)
+SELECT doc_id, CAST(bloom_hit AS INT) AS bloom_hit,
+       CAST(bloom_hit AND EXISTS (
+         SELECT 1 FROM corpus c WHERE md5(c.text) = md5(f.text)
+       ) AS INT) AS exact_dup
+FROM flags f""",
+    "url_blocklist": """
+SELECT doc_id,
+  CASE WHEN doc_id % 50 = 0
+       THEN 'https://deep.sub.blocked.org/x/' || CAST(doc_id AS VARCHAR)
+       ELSE 'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+  END AS canon_url,
+  CASE WHEN doc_id % 50 = 0 THEN 'blocked_domain'
+       WHEN source IN ('src3', 'src7', 'src13', 'src17') THEN 'blocked_domain'
+       WHEN regexp_matches(CAST(doc_id AS VARCHAR), '9$') THEN 'blocked_pattern'
+       ELSE 'kept'
+  END AS verdict
+FROM documents""",
+    "mixing_weights": """
+WITH s AS (
+  SELECT source,
+         CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS tokens
+  FROM documents GROUP BY 1
+),
+t AS (
+  SELECT source, tokens,
+         tokens / CAST(SUM(tokens) OVER () AS DOUBLE) AS natural_share,
+         1.0 / COUNT(*) OVER () AS target_share
+  FROM s
+),
+r AS (
+  SELECT *, CASE WHEN natural_share > 0
+                 THEN target_share / natural_share ELSE 0.0 END AS ratio
+  FROM t
+)
+SELECT source, tokens,
+       round(natural_share, 6) AS natural_share,
+       round(target_share, 6) AS target_share,
+       round(CASE WHEN mr > 0 THEN least(1.0, ratio / mr) ELSE 0.0 END, 6) AS sample_p
+FROM (SELECT *, MAX(ratio) OVER () AS mr FROM r)""",
+    "mixing_apply": """
+WITH s AS (
+  SELECT source,
+         CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS tokens
+  FROM documents GROUP BY 1
+),
+t AS (
+  SELECT source, tokens,
+         tokens / CAST(SUM(tokens) OVER () AS DOUBLE) AS natural_share,
+         1.0 / COUNT(*) OVER () AS target_share
+  FROM s
+),
+r AS (
+  SELECT *, CASE WHEN natural_share > 0
+                 THEN target_share / natural_share ELSE 0.0 END AS ratio
+  FROM t
+),
+w AS (
+  SELECT source,
+         round(CASE WHEN mr > 0 THEN least(1.0, ratio / mr) ELSE 0.0 END, 6) AS sample_p
+  FROM (SELECT *, MAX(ratio) OVER () AS mr FROM r)
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN w USING (source)
+WHERE CAST(concat('0x', substr(md5(d.source || '|' || CAST(d.doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+      / 16777216.0 < w.sample_p""",
     "transformer_chain": """
 SELECT doc_id,
        substr(text, 1, 20) AS head20,

@@ -746,6 +746,57 @@ def line_dedup(
     )
 
 
+def intra_doc_line_dedup(
+    df: DataFrame,
+    sep: str = "\n",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """WITHIN-document line dedup (the in-page half of C4's rule — the
+    corpus-level half is ``line_dedup``): each document keeps only the
+    FIRST occurrence of every distinct line, in original order;
+    whitespace-only lines are dropped. Catches pages whose template
+    stamps the same nav/footer block several times into one page, which
+    corpus-level dedup cannot remove (it keeps the first copy *per
+    corpus*, which may be in this very document).
+
+    Returns the input columns with ``text`` rewritten plus
+    ``n_lines_kept`` / ``n_lines_dropped``.
+
+    Scale shape: ZERO exchanges — the whole transform is per-row array
+    expressions (split → filter → first-position filter → rejoin) inside
+    whole-stage codegen, so it composes into any scan for free. The
+    first-position test is O(L²) in the document's line count (an
+    ``array_position`` probe per line) — lines per page are O(100), so
+    the quadratic term is microscopic next to the string traffic.
+    """
+    # _lines/_kept are materialized as named columns and the outputs
+    # reference those ATTRIBUTES: inlining the same lambda expression
+    # tree into several projection slots miscompiles under codegen
+    # subexpression elimination (the shared NamedLambdaVariables alias
+    # each other — observed: size() disagreeing with array_join() over
+    # the identical filter expression)
+    others = [c for c in df.columns if c != text_col]
+    staged = df.withColumn(
+        "_lines",
+        F.filter(F.split(F.col(text_col), sep, -1), lambda l: F.trim(l) != ""),
+    ).withColumn(
+        "_kept",
+        F.filter(
+            F.col("_lines"),
+            lambda l, i: F.array_position(F.col("_lines"), l) == i + 1,
+        ),
+    )
+    return staged.select(
+        *others,
+        F.array_join(F.col("_kept"), sep).alias(text_col),
+        F.size(F.col("_kept")).cast("long").alias("n_lines_kept"),
+        (F.size(F.col("_lines")) - F.size(F.col("_kept")))
+        .cast("long")
+        .alias("n_lines_dropped"),
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     n_iter: int = 4,
