@@ -12,7 +12,9 @@ compiling to declarative Spark plans, so Catalyst owns optimization:
                                    # table (registered view) | jdbc |
                                    # warc (Common-Crawl archives) |
                                    # icetable (lake table @ version/tag) |
-                                   # icetable_changes (CDF feed: lake-as-source)
+                                   # icetable_changes (CDF feed: lake-as-source) |
+                                   # jdbc_incremental (cursor-column RDBMS
+                                   #   polling sync → change events)
     "path": "/data/in.parquet",
     "column": ["url", "lang", {"value": "batch-7", "name": "tag"}],
     "where": "lang = 'en'",        # pushed to the scan by Catalyst
@@ -620,6 +622,15 @@ def _run_batch_job_body(
         spark.sql(stmt)
     reader = spec["reader"]
     cursor = None  # (source table, tag name, version to pin on success)
+    df = None
+    if reader.get("type") == "jdbc_incremental":
+        df, cursor = _compile_jdbc_incremental(
+            spark, reader, spec.get("writer") or {}
+        )
+        if df is None:
+            # nothing past the cursor: a successful no-op — no epoch is
+            # committed and the cursor stays put
+            return spark.createDataFrame([], "op string, lsn long")
     if reader.get("type") == "icetable_changes" and (
         "sinceTag" in reader or "advanceTag" in reader
     ):
@@ -644,7 +655,8 @@ def _run_batch_job_body(
         if reader.get("toVersion") is None:
             reader["toVersion"] = src_tbl.current_version()
         cursor = (src_tbl, tag_name, reader["toVersion"])
-    df = compile_reader(spark, reader)
+    if df is None:
+        df = compile_reader(spark, reader)
     df = apply_transforms(df, spec.get("transforms"), track_cast_ok=err is not None)
     if channel is not None:
         # cap write fan-out without forcing a shuffle on narrow plans
@@ -686,14 +698,134 @@ def _run_batch_job_body(
 
 
 def _advance_cursor(cursor) -> None:
-    """Move the sync-position tag to the span's pinned to-version —
-    only reached after a successful write (a failed job leaves the
-    cursor where it was, so the next run re-reads the span)."""
+    """Move the sync position — only reached after a successful write
+    (a failed job leaves the cursor where it was, so the next run
+    re-reads the span). Tag tuple for lake-to-lake sync; a callable for
+    cursors kept outside table metadata (the jdbc_incremental file)."""
     if cursor is None:
+        return
+    if callable(cursor):
+        cursor()
         return
     src_tbl, tag_name, to_v = cursor
     if tag_name:
         src_tbl.tag(tag_name, to_v)
+
+
+def _quote_jdbc_ident(spark: SparkSession, url: str, ident: str) -> str:
+    """Quote an identifier in the REMOTE database's dialect (backticks
+    on MySQL, double quotes elsewhere) via Spark's own dialect registry;
+    unquoted identifiers get case-folded by the database (Derby/Oracle
+    upcase, Postgres downcases) and miss case-sensitive columns."""
+    try:
+        return (
+            spark._jvm.org.apache.spark.sql.jdbc.JdbcDialects
+            .get(url).quoteIdentifier(ident)
+        )
+    except Exception:  # noqa: BLE001 — ANSI fallback
+        return '"' + ident.replace('"', '""') + '"'
+
+
+def _compile_jdbc_incremental(
+    spark: SparkSession, reader: dict[str, Any], writer: dict[str, Any]
+):
+    """DataX's bread-and-butter incremental RDBMS sync, executable end
+    to end (tests/test_jdbc_sync.py drives it against embedded Derby):
+    poll a source table's monotone numeric cursor column (autoincrement
+    change-id / LSN — the column DataX jobs put in their templated
+    ``where``), read only the span (last_cursor, pinned_hi], emit it as
+    upsert change events (op from ``opColumn`` if the source keeps a
+    soft op flag, else 'U'; lsn = cursor value), and hand it to the
+    exactly-once ``icetable_merge`` sink.
+
+    Exactly-once across crashes: the cursor file (kept in the TARGET
+    table's metadata dir — single source of truth next to the commit
+    ledger) advances only AFTER the write commits; a crash in between
+    re-reads the same span, and replaying value-identical events
+    through the LWW merge is a no-op by value. hi is pinned BEFORE the
+    read so rows racing the job land after the pin and belong to the
+    next span.
+
+    Returns (df | None, advance_callable); None = empty span (nothing
+    new — the job skips the writer entirely rather than committing an
+    empty epoch).
+    """
+    import hashlib
+    import json
+
+    url = reader["jdbcUrl"]
+    table = reader.get("connection", {}).get("table") or reader["table"]
+    cur = reader["cursorColumn"]
+    props = {
+        k: str(v)
+        for k, v in {
+            "user": reader.get("username"),
+            "password": reader.get("password"),
+            "driver": reader.get("driver"),
+            "fetchsize": reader.get("fetchSize"),
+        }.items()
+        if v is not None
+    }
+    name = reader.get("cursorName") or hashlib.md5(
+        f"{url}|{table}|{cur}".encode()
+    ).hexdigest()[:12]
+    root = Path(writer["path"]) if writer.get("path") else None
+    if reader.get("cursorPath"):
+        state_file = Path(reader["cursorPath"])
+    elif root is not None:
+        state_file = root / "metadata" / f"sync-cursor-{name}.json"
+    else:
+        raise ValueError(
+            "jdbc_incremental needs reader.cursorPath or a writer.path "
+            "to keep the sync cursor in"
+        )
+    last = None
+    if state_file.exists():
+        last = json.loads(state_file.read_text())["cursor"]
+
+    q = _quote_jdbc_ident(spark, url, cur)
+    hi = spark.read.jdbc(
+        url, f"(SELECT MAX({q}) AS dx_hi FROM {table}) dx_b", properties=props
+    ).collect()[0][0]
+    if hi is not None:
+        try:
+            hi = int(hi)
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"jdbc_incremental cursorColumn {cur!r} must be numeric "
+                f"(monotone change-id); got {hi!r} — sync timestamp "
+                "cursors through a numeric epoch column"
+            ) from None
+    if hi is None or (last is not None and hi <= int(last)):
+        return None, lambda: None  # empty span: nothing to do, no advance
+
+    where = f"{q} <= {hi}"
+    if last is not None:
+        where += f" AND {q} > {int(last)}"
+    span = f"(SELECT * FROM {table} WHERE {where}) dx_span"
+    plan = JdbcReaderPlan(
+        url,
+        span,
+        properties=props,
+        partition_column=(cur if reader.get("numPartitions") else None),
+        lower_bound=(int(last) + 1) if last is not None else None,
+        upper_bound=hi,
+        num_partitions=reader.get("numPartitions"),
+    )
+    df = plan.load(spark)
+    if reader.get("opColumn"):
+        op = F.col(reader["opColumn"])
+    else:
+        op = F.lit("U")
+    df = df.withColumn("lsn", F.col(cur).cast("long")).withColumn("op", op)
+
+    def advance() -> None:
+        state_file.parent.mkdir(parents=True, exist_ok=True)
+        tmp = state_file.with_name(state_file.name + ".tmp")
+        tmp.write_text(json.dumps({"cursor": hi, "source": f"{url}|{table}"}))
+        tmp.replace(state_file)
+
+    return df, advance
 
 
 def run_cdc_job(spark: SparkSession, spec: dict[str, Any]):
