@@ -152,6 +152,13 @@ def compile_jdbc_reader(reader: dict[str, Any]) -> JdbcReaderPlan:
     )
 
 
+# DataX column types (public plugin docs) → Spark SQL types
+_DATAX_TYPES = {
+    "long": "bigint", "double": "double", "string": "string",
+    "date": "timestamp", "boolean": "boolean", "bytes": "binary",
+}
+
+
 def compile_reader(spark: SparkSession, reader: dict[str, Any]) -> DataFrame:
     rtype = reader.get("type", "parquet")
     if rtype == "jdbc":
@@ -172,6 +179,17 @@ def compile_reader(spark: SparkSession, reader: dict[str, Any]) -> DataFrame:
         df = r.csv(str(reader["path"]))
     elif rtype == "text":
         df = spark.read.text(str(reader["path"]))
+    elif rtype == "datagen_const":
+        # DataX streamreader (test connector): N rows of constant
+        # columns — spark.range so generation distributes
+        df = spark.range(int(reader.get("count", 1))).select(
+            *[
+                F.lit(c.get("value")).cast(c.get("dtype", "string")).alias(
+                    c.get("name", f"col{i}")
+                )
+                for i, c in enumerate(reader.get("columns", []))
+            ]
+        )
     elif rtype == "orc":
         df = spark.read.orc(str(reader["path"]))
     elif rtype == "json":
@@ -214,6 +232,17 @@ def compile_reader(spark: SparkSession, reader: dict[str, Any]) -> DataFrame:
         )
     else:
         raise ValueError(f"unknown reader type {rtype!r}")
+    if reader.get("positional"):
+        # DataX hdfsreader positional projection over headerless
+        # delimited text: {"index": i, "type": t} → _c{i} cast + named
+        df = df.select(
+            *[
+                F.col(f"_c{c['index']}")
+                .cast(_DATAX_TYPES.get(str(c.get("type", "string")).lower(), "string"))
+                .alias(c.get("name", f"col{c['index']}"))
+                for c in reader["positional"]
+            ]
+        )
     cols = reader.get("column")
     if cols:
         sel = []
@@ -500,7 +529,15 @@ def _write_batch_output(spark: SparkSession, df: DataFrame, writer: dict[str, An
             from datax_spark.operators.merge import apply_epoch
 
             missing = {"op", "lsn"} - set(df.columns)
-            if missing:
+            if missing and writer.get("synthesizeOps"):
+                # keyed-put sinks (OTS PutRow / HBase put — compat.py
+                # otswriter/hbase11xwriter): a batch write IS a batch of
+                # full-image upserts; the epoch number (resolved below)
+                # becomes every row's lsn, so later batches win LWW
+                if "op" in missing:
+                    df = df.withColumn("op", F.lit("I"))
+                missing = {"lsn"} & missing
+            elif missing:
                 raise ValueError(
                     f"icetable_merge needs change-event columns {sorted(missing)} "
                     "— read from icetable_changes/change_tail, or use "
@@ -538,6 +575,11 @@ def _write_batch_output(spark: SparkSession, df: DataFrame, writer: dict[str, An
             epoch = writer.get("epoch")
             if epoch is None:
                 epoch = (max(committed) + 1) if committed else 0
+            if "lsn" not in df.columns:
+                # synthesizeOps path: the batch's lsn is epoch+1 (strictly
+                # positive — lsn ≤ 0 is the dirty-row rule — and monotone,
+                # so later put batches win LWW)
+                df = df.withColumn("lsn", F.lit(int(epoch) + 1).cast("long"))
             apply_epoch(
                 tbl,
                 df,

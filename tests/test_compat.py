@@ -1,0 +1,168 @@
+"""Stock DataX job.json configs run unchanged (datax_spark/compat.py).
+
+Each test feeds a config in DataX's public job format — the
+{"job": {"setting", "content": [{"reader": {"name", "parameter"}}, ...]}}
+envelope with the plugin-specific parameter shapes — through
+``run_datax_job`` and asserts the data movement actually happened.
+The RDBMS plugins execute for real against embedded Derby."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datax_spark.compat import (
+    is_datax_job,
+    run_datax_job,
+    translate_datax_job,
+)
+
+DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+
+
+def test_is_datax_job_detects_envelope():
+    dx = {"job": {"content": [{"reader": {"name": "mysqlreader"},
+                               "writer": {"name": "hdfswriter"}}]}}
+    native = {"reader": {"type": "parquet", "path": "/x"},
+              "writer": {"type": "noop"}}
+    assert is_datax_job(dx)
+    assert not is_datax_job(native)
+
+
+def test_streamreader_to_streamwriter(spark):
+    """DataX's own smoke job: constant generator → print sink."""
+    job = {"job": {"content": [{
+        "reader": {"name": "streamreader", "parameter": {
+            "sliceRecordCount": 7,
+            "column": [{"value": "hello", "type": "string", "name": "msg"},
+                       {"value": 42, "type": "long", "name": "n"}],
+        }},
+        "writer": {"name": "streamwriter", "parameter": {"print": True}},
+    }]}}
+    out = run_datax_job(spark, job)
+    rows = out.collect()
+    assert len(rows) == 7
+    assert rows[0]["msg"] == "hello" and rows[0]["n"] == 42
+
+
+def test_mysqlreader_shape_to_hdfswriter_orc(spark, tmp_path):
+    """The classic DataX job: RDBMS table → columns+where+splitPk →
+    HDFS orc. Runs for real on Derby (the jdbcUrl/driver strings are
+    the only per-RDBMS difference, exactly DataX's plugin split)."""
+    db = f"jdbc:derby:{tmp_path}/db;create=true"
+    spark.range(100).selectExpr(
+        "id AS pk", "CAST(id % 5 AS INT) AS grp", "CAST(id * 2 AS DOUBLE) AS v"
+    ).write.jdbc(db, "src", properties={"driver": DRIVER})
+    job = {"job": {
+        "setting": {"speed": {"channel": 2},
+                    "errorLimit": {"record": 0, "percentage": 0.02}},
+        "content": [{
+            "reader": {"name": "mysqlreader", "parameter": {
+                "column": ["pk", "grp", "v"],
+                "where": "pk >= 10",
+                "splitPk": "pk",
+                "driver": DRIVER,
+                "connection": [{"table": ["src"], "jdbcUrl": [db]}],
+            }},
+            "writer": {"name": "hdfswriter", "parameter": {
+                "path": str(tmp_path / "out"),
+                "fileType": "orc",
+                "writeMode": "truncate",
+            }},
+        }]}}
+    run_datax_job(spark, job)
+    back = spark.read.orc(str(tmp_path / "out"))
+    assert back.count() == 90
+    assert back.agg(F.min("pk")).collect()[0][0] == 10
+
+
+def test_hdfsreader_positional_to_postgresqlwriter(spark, tmp_path):
+    """Headerless delimited text with DataX positional column specs →
+    RDBMS writer (insert mode, appends across runs)."""
+    src = tmp_path / "in.txt"
+    lines = [f"{i}\tname{i}\t{i * 1.5}" for i in range(20)]
+    (src).write_text("\n".join(lines))
+    db = f"jdbc:derby:{tmp_path}/db2;create=true"
+    job = {"job": {"content": [{
+        "reader": {"name": "hdfsreader", "parameter": {
+            "path": [str(src)],
+            "fileType": "text",
+            "fieldDelimiter": "\t",
+            "column": [
+                {"index": 0, "type": "long", "name": "id"},
+                {"index": 2, "type": "double", "name": "score"},
+            ],
+        }},
+        "writer": {"name": "postgresqlwriter", "parameter": {
+            "writeMode": "insert",
+            "driver": DRIVER,
+            "connection": [{"table": ["sink"], "jdbcUrl": [db]}],
+        }},
+    }]}}
+    run_datax_job(spark, job)
+    run_datax_job(spark, job)  # insert = append
+    back = spark.read.jdbc(db, "sink", properties={"driver": DRIVER})
+    assert back.count() == 40
+    dtypes = {k.lower(): v for k, v in back.dtypes}  # Derby case-folds
+    assert dtypes["id"] in ("bigint", "long")
+
+
+def test_querysql_and_streamwriter(spark, tmp_path):
+    """connection.querySql pushes the full statement to the database."""
+    db = f"jdbc:derby:{tmp_path}/db3;create=true"
+    spark.range(30).selectExpr("id", "CAST(id % 3 AS INT) AS g").write.jdbc(
+        db, "t", properties={"driver": DRIVER}
+    )
+    job = {"job": {"content": [{
+        "reader": {"name": "oraclereader", "parameter": {
+            "driver": DRIVER,
+            "connection": [{
+                "querySql": ['SELECT "g", COUNT(*) AS c FROM t GROUP BY "g"'],
+                "jdbcUrl": [db],
+            }],
+        }},
+        "writer": {"name": "streamwriter", "parameter": {}},
+    }]}}
+    out = run_datax_job(spark, job)
+    assert sorted(r["C"] for r in out.collect()) == [10, 10, 10]
+
+
+def test_otswriter_keyed_put_merges(spark, tmp_path):
+    """OTS/HBase keyed put (S8/S9): two batch puts of overlapping keys
+    land as two exactly-once MERGE epochs; the later batch wins."""
+    from datax_spark.icetable.table import IceTable
+
+    root = tmp_path / "ots"
+    src1, src2 = tmp_path / "b1.parquet", tmp_path / "b2.parquet"
+    spark.createDataFrame(
+        [("k1", "v1"), ("k2", "v2")], "rowkey string, val string"
+    ).write.parquet(str(src1))
+    spark.createDataFrame(
+        [("k2", "v2-new"), ("k3", "v3")], "rowkey string, val string"
+    ).write.parquet(str(src2))
+
+    def job(path):
+        return {"job": {"content": [{
+            "reader": {"name": "hdfsreader", "parameter": {
+                "path": [str(path)], "fileType": "parquet"}},
+            "writer": {"name": "otswriter", "parameter": {
+                "table": "pages", "path": str(root),
+                "primaryKey": [{"name": "rowkey", "type": "string"}],
+                "column": [{"name": "val", "type": "string"}],
+            }},
+        }]}}
+
+    run_datax_job(spark, job(src1))
+    run_datax_job(spark, job(src2))
+    state = {r["rowkey"]: r["val"]
+             for r in IceTable.load(spark, root).read().collect()}
+    assert state == {"k1": "v1", "k2": "v2-new", "k3": "v3"}
+
+
+def test_translate_rejects_unknown_plugin():
+    job = {"job": {"content": [{
+        "reader": {"name": "mongodbreader", "parameter": {}},
+        "writer": {"name": "streamwriter", "parameter": {}},
+    }]}}
+    with pytest.raises(ValueError, match="unknown DataX reader"):
+        translate_datax_job(job)

@@ -35,6 +35,14 @@ def main(argv: list[str]) -> int:
 
     spark = SparkSession.builder.getOrCreate()
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    from datax_spark.compat import is_datax_job, run_datax_job
+
+    if is_datax_job(spec):
+        # a stock DataX {"job": {...}} config runs unchanged
+        # (datax_spark/compat.py translates plugin names → jobspecs)
+        run_datax_job(spark, spec)
+        return 0
     writer = spec.get("writer") or {}
     if writer.get("type") == "iceberg":
         # real-cluster endpoints (needs spark-sql-kafka +
