@@ -75,6 +75,11 @@ HEADLINE = [
     "bm25_retrieval",
     "duplicate_span_stats",
     "patch_fold",
+    "intra_doc_line_dedup",
+    "quality_classifier",
+    "bloom_membership",
+    "url_blocklist",
+    "mixing_apply",
 ]
 
 CDC_EVENTS = int(os.environ.get("DATAX_BENCH_EVENTS", "1000000"))

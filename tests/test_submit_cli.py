@@ -67,3 +67,18 @@ def test_cli_runs_cdc_and_batch_jobs(tmp_path):
     (tmp_path / "batch.json").write_text(json.dumps(batch_spec))
     out = _submit(zip_path, tmp_path / "batch.json")
     assert "rows=" in out
+
+    # a STOCK DataX job.json (plugin-name envelope) runs unchanged
+    # through the same CLI — compat.py translates it on the fly
+    datax_spec = {"job": {
+        "setting": {"speed": {"channel": 1}},
+        "content": [{
+            "reader": {"name": "hdfsreader", "parameter": {
+                "path": [str(tmp_path / "events")], "fileType": "parquet"}},
+            "writer": {"name": "hdfswriter", "parameter": {
+                "path": str(tmp_path / "dx_out"), "fileType": "orc",
+                "writeMode": "truncate"}},
+        }]}}
+    (tmp_path / "datax.json").write_text(json.dumps(datax_spec))
+    _submit(zip_path, tmp_path / "datax.json")
+    assert any((tmp_path / "dx_out").glob("*.orc")), "DataX job wrote no orc"
