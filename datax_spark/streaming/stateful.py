@@ -195,3 +195,81 @@ def streaming_near_dup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------------------------------ #
+# streaming exact-dup detection: blocked bloom state per block
+# ------------------------------------------------------------------ #
+
+BLOOM_STATE = T.StructType([T.StructField("word", T.LongType())])
+
+BLOOM_OUTPUT = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("block", T.LongType()),
+        T.StructField("bloom_hit", T.BooleanType()),
+    ]
+)
+
+
+def _bloom_fn(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (word,) = state.get if state.exists else (0,)
+    block = key[0]
+    for pdf in batches:
+        # doc_id order within the block: deterministic "seen-before"
+        # semantics regardless of shuffle arrival order
+        pdf = pdf.sort_values("doc_id")
+        hits = []
+        for bits in pdf["bits"].astype("int64"):
+            hits.append((word & int(bits)) == int(bits))
+            word |= int(bits)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "block": block,
+                "bloom_hit": hits,
+            }
+        )
+    state.update((int(word),))
+
+
+def streaming_bloom_dedup(
+    docs: DataFrame,
+    key_col: str = "text",
+    id_col: str = "doc_id",
+    n_blocks: int = 1024,
+) -> DataFrame:
+    """Cross-batch exact-dup DETECTION with bounded state: the streaming
+    form of ``operators/bloom_dedup`` — each micro-batch row is flagged
+    ``bloom_hit`` iff a key with its bit pattern was seen in ANY earlier
+    batch (or earlier, by doc_id, in the same batch). State is ONE i64
+    word per touched block — ≤ 8·n_blocks bytes TOTAL, no matter how
+    many documents stream past (contrast streaming_near_dup's
+    per-bucket membership lists). The price is bloom semantics: rare
+    false positives (route flagged rows to an exact verify against the
+    corpus, exactly like the batch operator), never false negatives.
+
+    Bits/blocks are byte-identical to ``bloom_dedup.bloom_terms``, so a
+    bloom built by the batch path can seed the stream's state and vice
+    versa."""
+    from pyspark.sql import functions as F
+
+    from datax_spark.operators.bloom_dedup import bloom_terms
+
+    block, bits = bloom_terms(F.col(key_col), n_blocks)
+    keyed = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        block.alias("block"),
+        bits.alias("bits"),
+    )
+    return keyed.groupBy("block").applyInPandasWithState(
+        _bloom_fn,
+        outputStructType=BLOOM_OUTPUT,
+        stateStructType=BLOOM_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

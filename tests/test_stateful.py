@@ -198,3 +198,91 @@ def test_streaming_near_dup_state_survives_restart(spark, tmp_path):
     rows = spark.read.parquet(str(out_dir)).collect()
     assert {(r["matched_id"], r["doc_id"]) for r in rows} == {(0, 7)}
     assert all(r["est_jaccard"] == 1.0 for r in rows)
+
+
+def test_streaming_bloom_dedup_cross_batch(spark, tmp_path):
+    """Blocked-bloom streaming dedup: exact repeats flag bloom_hit in
+    later batches (and later in the same batch); fresh text does not
+    (up to bloom false positives — none in this tiny fixture);
+    restarting from the checkpoint keeps the state."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datax_spark.streaming.stateful import streaming_bloom_dedup
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    pq.write_table(
+        pa.Table.from_pylist(
+            [{"doc_id": 0, "text": "alpha page"},
+             {"doc_id": 1, "text": "beta page"}], schema=schema
+        ),
+        d / "b0.parquet",
+    )
+    pq.write_table(
+        pa.Table.from_pylist(
+            [{"doc_id": 2, "text": "alpha page"},      # cross-batch dup
+             {"doc_id": 3, "text": "gamma page"},
+             {"doc_id": 4, "text": "gamma page"}],     # in-batch dup
+            schema=schema,
+        ),
+        d / "b1.parquet",
+    )
+
+    out_dir = tmp_path / "out"
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+        )
+        q = (
+            streaming_bloom_dedup(stream)
+            .writeStream.format("parquet")  # recoverable sink (memory isn't)
+            .option("path", str(out_dir))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r["doc_id"]: r["bloom_hit"]
+                for r in spark.read.parquet(str(out_dir)).collect()}
+
+    got = run()
+    assert got == {0: False, 1: False, 2: True, 3: False, 4: True}
+
+    # restart from the checkpoint: state survives — a third batch
+    # repeating old text still flags
+    pq.write_table(
+        pa.Table.from_pylist(
+            [{"doc_id": 5, "text": "beta page"},
+             {"doc_id": 6, "text": "delta page"}], schema=schema
+        ),
+        d / "b2.parquet",
+    )
+    got2 = run()
+    assert got2[5] is True and got2[6] is False
+
+
+def test_streaming_bloom_bits_match_batch_operator(spark):
+    """The stream's (block, bits) derivation is byte-identical to the
+    batch bloom's, so state can seed across the two paths."""
+    from pyspark.sql import functions as F
+
+    from datax_spark.operators.bloom_dedup import bloom_terms, build_bloom
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(50)], "doc_id long, text string"
+    )
+    block, bits = bloom_terms(F.col("text"), 64)
+    direct = df.select(block.alias("block"), bits.alias("bits"))
+    # fold per block in python == build_bloom's bit_or agg
+    words: dict[int, int] = {}
+    for r in direct.collect():
+        words[r["block"]] = words.get(r["block"], 0) | r["bits"]
+    built = {r["block"]: r["word"]
+             for r in build_bloom(df, F.col("text"), 64).collect()}
+    assert words == built
