@@ -1210,6 +1210,21 @@ def q_mixing_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact length quantiles (corpus profiling — the
+    distribution report every curation run starts from): one map-side-
+    combined groupBy; exact percentile with linear interpolation
+    (matches DuckDB quantile_cont bit-for-bit at 4dp)."""
+    docs = _t(spark, sf_dir, "documents")
+    q = F.percentile("n_chars", [0.5, 0.9, 0.99])
+    return docs.groupBy("source").agg(
+        F.round(q[0], 4).alias("p50"),
+        F.round(q[1], 4).alias("p90"),
+        F.round(q[2], 4).alias("p99"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
 def q_frequency_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style head/middle/tail corpus binning
     (operators/curation.py): frequency-proxy fluency score per doc,
@@ -1403,6 +1418,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_blocklist": q_url_blocklist,
     "mixing_weights": q_mixing_weights,
     "mixing_apply": q_mixing_apply,
+    "length_quantiles": q_length_quantiles,
     "transformer_chain": q_transformer_chain,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_wav_roundtrip": q_multimodal_wav_roundtrip,
@@ -2848,6 +2864,13 @@ SELECT source, tokens,
        round(target_share, 6) AS target_share,
        round(CASE WHEN mr > 0 THEN least(1.0, ratio / mr) ELSE 0.0 END, 6) AS sample_p
 FROM (SELECT *, MAX(ratio) OVER () AS mr FROM r)""",
+    "length_quantiles": """
+SELECT source,
+       round(quantile_cont(n_chars, 0.5), 4) AS p50,
+       round(quantile_cont(n_chars, 0.9), 4) AS p90,
+       round(quantile_cont(n_chars, 0.99), 4) AS p99,
+       count(*) AS n_docs
+FROM documents GROUP BY 1""",
     "mixing_apply": """
 WITH s AS (
   SELECT source,
