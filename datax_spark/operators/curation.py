@@ -159,15 +159,18 @@ def full_prep(
     id_col: str = "doc_id",
     text_col: str = "text",
     keep_cols: tuple[str, ...] = ("source",),
+    classifier_threshold: float | None = None,
 ) -> DataFrame:
     """The COMPLETE prep flow, every stage this library implements in
     its production order (FineWeb/Dolma-style):
 
-        Gopher-rules gate → annotate → lang/quality filter
-          → exact dedup → MinHash near-dup drop
+        Gopher-rules gate → [model quality gate] → annotate
+          → lang/quality filter → exact dedup → MinHash near-dup drop
           → benchmark decontamination → PII redaction
 
-    Cheap codegen gates (Gopher, lang/quality) run before any shuffle;
+    Cheap codegen gates (Gopher, lang/quality, and — when
+    ``classifier_threshold`` is set — the hashed-linear model gate from
+    functions/classifier.py, also pure codegen) run before any shuffle;
     decontamination sees only dedup survivors (its per-doc gram explode
     is the widest stage, so it goes last among the drops); redaction is
     a final projection. Returns kept docs with annotations and — when
@@ -176,6 +179,12 @@ def full_prep(
     if gopher:
         sig = TXT.gopher_signals(F.col(text_col))
         out = out.filter(TXT.gopher_pass(sig))
+    if classifier_threshold is not None:
+        from ..functions.classifier import hashed_linear_score
+
+        out = out.filter(
+            hashed_linear_score(F.col(text_col)) > classifier_threshold
+        )
     _, _, _, kept = _stages(
         out,
         min_quality=min_quality,

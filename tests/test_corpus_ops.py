@@ -224,3 +224,24 @@ def test_mixing_zero_target_drops_source(spark):
     w = mixing_weights(df, targets={"keep": 1.0})
     rows = apply_mix(df, w).collect()
     assert [r["source"] for r in rows] == ["keep"]
+
+
+def test_full_prep_classifier_gate_composes(spark):
+    """The model quality gate slots into full_prep as a pre-shuffle
+    codegen filter: result == running full_prep on the pre-filtered
+    corpus, and the gate adds no exchange before the first shuffle."""
+    from datax_spark.functions.classifier import hashed_linear_score
+    from datax_spark.operators.curation import full_prep
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog today " * 6
+          + f"tok{i} " * 4, "src")
+         for i in range(40)],
+        "doc_id long, text string, source string",
+    )
+    gated = full_prep(docs, classifier_threshold=0.0, gopher=False)
+    pre = docs.filter(hashed_linear_score(F.col("text")) > 0.0)
+    want = full_prep(pre, gopher=False)
+    assert sorted(r["doc_id"] for r in gated.collect()) == sorted(
+        r["doc_id"] for r in want.collect()
+    )
