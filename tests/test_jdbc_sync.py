@@ -131,3 +131,36 @@ def test_jdbc_incremental_rejects_non_numeric_cursor(spark, tmp_path):
     job["reader"].pop("numPartitions")
     with pytest.raises(ValueError, match="must be numeric"):
         run_batch_job(spark, job)
+
+
+def test_jdbc_incremental_schema_evolution(spark, tmp_path):
+    """The source table gains a column between syncs (ALTER TABLE ADD
+    COLUMN — the classic RDBMS migration): the next span carries the
+    wider schema and the lake widens additively; pre-evolution rows
+    read back with NULL in the new column."""
+    db_url = f"jdbc:derby:{tmp_path}/src4;create=true"
+    root = tmp_path / "lake4"
+    _insert(spark, db_url, [(1, "a", "x"), (2, "b", "y")])
+    run_batch_job(spark, _job(db_url, root))
+
+    conn = spark._jvm.java.sql.DriverManager.getConnection(db_url)
+    try:
+        st = conn.createStatement()
+        # quoted: Derby upcases unquoted identifiers, and the lake
+        # schema takes the JDBC column names verbatim
+        st.execute('ALTER TABLE pages ADD COLUMN "tag" VARCHAR(16)')
+        st.execute(
+            "INSERT INTO pages VALUES (3, 'c', 'z', 't3'), (4, 'a', 'x2', 't4')"
+        )
+        st.close()
+    finally:
+        conn.close()
+
+    run_batch_job(spark, _job(db_url, root))
+    from datax_spark.icetable.table import IceTable
+
+    rows = {r["url"]: r for r in IceTable.load(spark, root).read().collect()}
+    assert set(rows) == {"a", "b", "c"}
+    assert rows["c"]["tag"] == "t3"
+    assert rows["a"]["tag"] == "t4"  # updated row carries the new column
+    assert rows["b"]["tag"] is None  # pre-evolution row: additive NULL
