@@ -88,9 +88,7 @@ def _translate_reader(name: str, p: dict[str, Any]) -> dict[str, Any]:
         r: dict[str, Any] = {"type": _FILE_TYPES[ftype],
                              "path": _one(p.get("path"))}
         if r["type"] == "csv":
-            r["delimiter"] = p.get(
-                "fieldDelimiter", "\t" if name == "hdfsreader" else ","
-            )
+            r["delimiter"] = p.get("fieldDelimiter", ",")
             # DataX text files are headerless; txtfilereader's skipHeader
             # means a header row exists (Spark then consumes it as names)
             r["header"] = bool(p.get("skipHeader", False))
@@ -150,9 +148,7 @@ def _translate_writer(name: str, p: dict[str, Any]) -> dict[str, Any]:
         w: dict[str, Any] = {"type": _FILE_TYPES[ftype],
                              "path": _one(p.get("path")), "mode": mode}
         if w["type"] == "csv":
-            w["delimiter"] = p.get(
-                "fieldDelimiter", "\t" if name == "hdfswriter" else ","
-            )
+            w["delimiter"] = p.get("fieldDelimiter", ",")
             w["header"] = False
         return w
     if name in ("hivewriter", "odpswriter"):
@@ -160,7 +156,12 @@ def _translate_writer(name: str, p: dict[str, Any]) -> dict[str, Any]:
              "mode": "overwrite" if p.get("truncate") else "append"}
         part = _one(p.get("partition"))
         if part and "*" not in part:
-            w["partitionBy"] = [part.partition("=")[0]]
+            # static partition spec "pt=20230101": the data carries no
+            # pt column — the writer adds the constant and (on truncate)
+            # replaces ONLY that partition, DataX tunnel semantics
+            k, _, v = part.partition("=")
+            w["partitionBy"] = [k]
+            w["staticPartition"] = {k: v}
         return w
     if name == "adswriter":
         # ADS bulk load (S7): atomic LOAD-OVERWRITE onto the lake table

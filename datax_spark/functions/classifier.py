@@ -107,19 +107,25 @@ def classify_quality_broadcast(
     Used by tests to prove score-equality with the closed-form path
     when ``weights`` is generated from ``_derived_weight``.
     """
+    # posexplode_OUTER: an empty/whitespace-only doc emits one null-token
+    # row instead of vanishing, so this form returns the same ROW SET as
+    # the closed-form path (empty docs score exactly bias = 0)
     toks = df.select(
         id_col,
-        F.posexplode(
+        F.posexplode_outer(
             F.filter(F.split(F.lower(F.col(text_col)), "\\s+", -1),
                      lambda t: t != "")
         ).alias("_pos", "_tok"),
     ).select(
-        id_col, token_bucket(F.col("_tok"), n_buckets, seed).alias("bucket")
+        id_col,
+        token_bucket(F.col("_tok"), n_buckets, seed).alias("bucket"),
+        F.col("_tok").isNotNull().alias("_real"),
     )
     scored = toks.join(F.broadcast(weights), "bucket", "left").select(
-        id_col, F.coalesce(F.col("w"), F.lit(0.0)).alias("w")
+        id_col, "_real", F.coalesce(F.col("w"), F.lit(0.0)).alias("w")
     )
-    logit = F.sum("w") / F.count(F.lit(1))
+    n_real = F.sum(F.col("_real").cast("int"))
+    logit = F.when(n_real > 0, F.sum("w") / n_real).otherwise(F.lit(0.0))
     return (
         scored.groupBy(id_col)
         .agg(

@@ -94,14 +94,7 @@ class JdbcReaderPlan:
                 # Spark's own dialect registry knows; unquoted identifiers
                 # get case-folded by the database (Derby/Oracle upcase,
                 # Postgres downcases) and miss case-sensitive columns.
-                pk = self.partition_column
-                try:
-                    pk = (
-                        spark._jvm.org.apache.spark.sql.jdbc.JdbcDialects
-                        .get(self.url).quoteIdentifier(pk)
-                    )
-                except Exception:  # noqa: BLE001 — ANSI fallback
-                    pk = '"' + pk.replace('"', '""') + '"'
+                pk = _quote_jdbc_ident(spark, self.url, self.partition_column)
                 row = spark.read.jdbc(
                     self.url,
                     f"(SELECT MIN({pk}) AS dx_lo, MAX({pk}) AS dx_hi "
@@ -233,11 +226,21 @@ def compile_reader(spark: SparkSession, reader: dict[str, Any]) -> DataFrame:
     else:
         raise ValueError(f"unknown reader type {rtype!r}")
     if reader.get("positional"):
-        # DataX hdfsreader positional projection over headerless
-        # delimited text: {"index": i, "type": t} → _c{i} cast + named
+        # DataX hdfsreader positional projection over delimited text:
+        # {"index": i, "type": t} → the i-th column BY POSITION, cast +
+        # named. Selecting df.columns[i] (not _c{i}) keeps this correct
+        # when a header row named the columns (skipHeader configs).
+        src_cols = df.columns
+        bad = [c["index"] for c in reader["positional"]
+               if c["index"] >= len(src_cols)]
+        if bad:
+            raise ValueError(
+                f"positional column index(es) {bad} out of range — the "
+                f"source parsed {len(src_cols)} columns"
+            )
         df = df.select(
             *[
-                F.col(f"_c{c['index']}")
+                F.col(src_cols[c["index"]])
                 .cast(_DATAX_TYPES.get(str(c.get("type", "string")).lower(), "string"))
                 .alias(c.get("name", f"col{c['index']}"))
                 for c in reader["positional"]
@@ -483,13 +486,40 @@ def _write_batch_output(spark: SparkSession, df: DataFrame, writer: dict[str, An
         elif wtype == "table":
             # Hive-style partitioned catalog table (DataX S6): metastore
             # entry + partition directories; readers get partition
-            # pruning on the partitionBy columns for free
+            # pruning on the partitionBy columns for free.
+            # staticPartition {"pt": "20230101"} (ODPS/Hive tunnel
+            # semantics): the data carries no partition column — the
+            # constant is added here, and overwrite replaces ONLY the
+            # named partition of an existing table (dynamic partition
+            # overwrite on insertInto), never the whole table.
+            for k, v in (writer.get("staticPartition") or {}).items():
+                if k not in df.columns:
+                    df = df.withColumn(k, F.lit(v))
             w = df.write.mode(mode)
             if writer.get("partitionBy"):
                 w = w.partitionBy(*writer["partitionBy"])
             if writer.get("path"):
                 w = w.option("path", str(writer["path"]))  # external table
-            w.saveAsTable(writer["table"])
+            if (
+                writer.get("staticPartition")
+                and spark.catalog.tableExists(writer["table"])
+            ):
+                saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", "dynamic"
+                )
+                try:
+                    # insertInto is positional: align to the table schema
+                    tbl_cols = spark.read.table(writer["table"]).columns
+                    df.select(*tbl_cols).write.insertInto(
+                        writer["table"], overwrite=(mode == "overwrite")
+                    )
+                finally:
+                    spark.conf.set(
+                        "spark.sql.sources.partitionOverwriteMode", saved
+                    )
+            else:
+                w.saveAsTable(writer["table"])
         elif wtype == "icetable":
             # ADS bulk load (DataX S7): one-shot LOAD OVERWRITE into the
             # lake table, atomic snapshot replace with the same layout
@@ -831,19 +861,27 @@ def _compile_jdbc_incremental(
     ).collect()[0][0]
     if hi is not None:
         try:
-            hi = int(hi)
+            hi_int = int(hi)
+            if hi_int != hi:
+                raise ValueError
         except (TypeError, ValueError):
             raise ValueError(
-                f"jdbc_incremental cursorColumn {cur!r} must be numeric "
-                f"(monotone change-id); got {hi!r} — sync timestamp "
-                "cursors through a numeric epoch column"
+                f"jdbc_incremental cursorColumn {cur!r} must be an "
+                f"INTEGER monotone change-id; got {hi!r} — fractional or "
+                "non-numeric cursors would silently lose span rows; sync "
+                "timestamp cursors through a numeric epoch column"
             ) from None
+        hi = hi_int
     if hi is None or (last is not None and hi <= int(last)):
         return None, lambda: None  # empty span: nothing to do, no advance
 
     where = f"{q} <= {hi}"
     if last is not None:
         where += f" AND {q} > {int(last)}"
+    if reader.get("where"):
+        # the spec's own filter joins the span predicate INSIDE the
+        # pushed-down subquery (DataX templates its where the same way)
+        where += f" AND ({reader['where']})"
     span = f"(SELECT * FROM {table} WHERE {where}) dx_span"
     plan = JdbcReaderPlan(
         url,
@@ -855,6 +893,13 @@ def _compile_jdbc_incremental(
         num_partitions=reader.get("numPartitions"),
     )
     df = plan.load(spark)
+    if reader.get("column"):
+        sel = list(reader["column"])
+        if cur not in sel:
+            sel.append(cur)  # the cursor must survive the projection
+        if reader.get("opColumn") and reader["opColumn"] not in sel:
+            sel.append(reader["opColumn"])
+        df = df.select(*sel)
     if reader.get("opColumn"):
         op = F.col(reader["opColumn"])
     else:

@@ -61,8 +61,17 @@ def blocklist_filter(
     guarantees unique domains — a duplicate domain would otherwise
     duplicate every URL it matches."""
     pattern_rules = pattern_rules or []
+    # matching is on the HOSTNAME alone: strip userinfo and ANY port
+    # (not just default ports — "spam.example:8080" must still match a
+    # "spam.example" blocklist entry), then www.
     host = F.regexp_replace(
-        F.lower(url_parts(F.col(url_col))["host"]), "^www\\.", ""
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower(url_parts(F.col(url_col))["host"]), "^[^@]*@", ""
+            ),
+            ":[0-9]*$", "",
+        ),
+        "^www\\.", "",
     )
     out = df.withColumn("canon_url", canonical_url(F.col(url_col))).withColumn(
         "_host", host

@@ -219,22 +219,26 @@ def _bloom_fn(
 ) -> Iterator[pd.DataFrame]:
     (word,) = state.get if state.exists else (0,)
     block = key[0]
-    for pdf in batches:
-        # doc_id order within the block: deterministic "seen-before"
-        # semantics regardless of shuffle arrival order
-        pdf = pdf.sort_values("doc_id")
-        hits = []
-        for bits in pdf["bits"].astype("int64"):
-            hits.append((word & int(bits)) == int(bits))
-            word |= int(bits)
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"].values,
-                "block": block,
-                "bloom_hit": hits,
-            }
-        )
+    # buffer the group's Arrow chunks and sort ONCE: a per-chunk sort
+    # would leave cross-chunk order at shuffle-arrival order, breaking
+    # the deterministic "earlier-by-doc_id is seen first" guarantee for
+    # blocks larger than arrow.maxRecordsPerBatch
+    chunks = list(batches)
+    if not chunks:  # timeout-only invocation: nothing to emit
+        return
+    pdf = pd.concat(chunks, ignore_index=True).sort_values("doc_id")
+    hits = []
+    for bits in pdf["bits"].astype("int64"):
+        hits.append((word & int(bits)) == int(bits))
+        word |= int(bits)
     state.update((int(word),))
+    yield pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"].values,
+            "block": block,
+            "bloom_hit": hits,
+        }
+    )
 
 
 def streaming_bloom_dedup(

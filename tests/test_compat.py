@@ -166,3 +166,54 @@ def test_translate_rejects_unknown_plugin():
     }]}}
     with pytest.raises(ValueError, match="unknown DataX reader"):
         translate_datax_job(job)
+
+
+def test_hdfsreader_skipheader_positional(spark, tmp_path):
+    """skipHeader=true + positional column specs: the header row is
+    skipped and positional indexes still resolve (by position, not by
+    the _c{i} names that the header consumed)."""
+    src = tmp_path / "in2.txt"
+    src.write_text("id,name,score\n" + "\n".join(
+        f"{i},n{i},{i * 2.0}" for i in range(10)))
+    job = {"job": {"content": [{
+        "reader": {"name": "txtfilereader", "parameter": {
+            "path": [str(src)], "fileType": "text", "skipHeader": True,
+            "column": [{"index": 0, "type": "long"},
+                       {"index": 2, "type": "double", "name": "sc"}],
+        }},
+        "writer": {"name": "streamwriter", "parameter": {}},
+    }]}}
+    out = run_datax_job(spark, job)
+    rows = sorted((r["col0"], r["sc"]) for r in out.collect())
+    assert rows[0] == (0, 0.0) and rows[-1] == (9, 18.0)
+
+
+def test_odpswriter_static_partition_truncate_replaces_one_partition(spark, tmp_path):
+    """ODPS/Hive tunnel semantics: a static partition spec adds the
+    constant column, and truncate replaces ONLY that partition."""
+    srcA, srcB = tmp_path / "a.parquet", tmp_path / "b.parquet"
+    spark.range(5).selectExpr("id", "CAST(id AS DOUBLE) AS v").write.parquet(str(srcA))
+    spark.range(3).selectExpr("id + 100 AS id", "CAST(id AS DOUBLE) AS v").write.parquet(str(srcB))
+
+    def job(src, pt, truncate):
+        return {"job": {"content": [{
+            "reader": {"name": "hdfsreader", "parameter": {
+                "path": [str(src)], "fileType": "parquet"}},
+            "writer": {"name": "odpswriter", "parameter": {
+                "table": "ods_pages", "partition": f"pt={pt}",
+                "truncate": truncate}},
+        }]}}
+
+    spark.sql("DROP TABLE IF EXISTS ods_pages")
+    run_datax_job(spark, job(srcA, "20230101", True))
+    run_datax_job(spark, job(srcB, "20230102", True))
+    counts = {r["pt"]: r["n"] for r in spark.sql(
+        "SELECT pt, count(*) AS n FROM ods_pages GROUP BY pt").collect()}
+    assert counts == {"20230101": 5, "20230102": 3}
+
+    # truncate-reload partition 1: partition 2 must survive
+    run_datax_job(spark, job(srcB, "20230101", True))
+    counts = {r["pt"]: r["n"] for r in spark.sql(
+        "SELECT pt, count(*) AS n FROM ods_pages GROUP BY pt").collect()}
+    assert counts == {"20230101": 3, "20230102": 3}
+    spark.sql("DROP TABLE IF EXISTS ods_pages")

@@ -245,3 +245,41 @@ def test_full_prep_classifier_gate_composes(spark):
     assert sorted(r["doc_id"] for r in gated.collect()) == sorted(
         r["doc_id"] for r in want.collect()
     )
+
+
+def test_blocklist_filter_port_and_userinfo_no_bypass(spark):
+    """Explicit ports and userinfo must not defeat domain matching."""
+    from datax_spark.operators.url_filter import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://spam.example:443/x"),
+            (2, "https://spam.example:8080/x"),
+            (3, "https://user:pw@spam.example/x"),
+            (4, "https://fine.example:8080/x"),
+        ],
+        "doc_id long, url string",
+    )
+    blk = spark.createDataFrame([("spam.example",)], "domain string")
+    got = {r["doc_id"]: r["verdict"]
+           for r in blocklist_filter(docs, blk).collect()}
+    assert got == {1: "blocked_domain", 2: "blocked_domain",
+                   3: "blocked_domain", 4: "kept"}
+
+
+def test_classifier_broadcast_keeps_empty_docs(spark):
+    """The broadcast form returns the same ROW SET as the closed form:
+    empty/whitespace docs score exactly bias (0), not vanish."""
+    from datax_spark.functions.classifier import (
+        classify_quality_broadcast,
+        derived_weights_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "real words here"), (2, ""), (3, "   ")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in classify_quality_broadcast(
+        df, derived_weights_table(spark)).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2]["score"] == 0.0 and rows[3]["score"] == 0.0

@@ -129,7 +129,7 @@ def test_jdbc_incremental_rejects_non_numeric_cursor(spark, tmp_path):
     job = _job(db_url, tmp_path / "lake3")
     job["reader"]["cursorColumn"] = "stamp"
     job["reader"].pop("numPartitions")
-    with pytest.raises(ValueError, match="must be numeric"):
+    with pytest.raises(ValueError, match="INTEGER monotone"):
         run_batch_job(spark, job)
 
 
@@ -164,3 +164,42 @@ def test_jdbc_incremental_schema_evolution(spark, tmp_path):
     assert rows["c"]["tag"] == "t3"
     assert rows["a"]["tag"] == "t4"  # updated row carries the new column
     assert rows["b"]["tag"] is None  # pre-evolution row: additive NULL
+
+
+def test_jdbc_incremental_rejects_fractional_cursor(spark, tmp_path):
+    """A DECIMAL cursor with fractional values must be rejected, not
+    silently truncated (truncation would strand rows past int(hi))."""
+    db_url = f"jdbc:derby:{tmp_path}/src5;create=true"
+    spark.createDataFrame(
+        [(10.5, "a", "x")], "change_id double, url string, body string"
+    ).write.option(
+        "createTableColumnTypes",
+        "change_id DOUBLE, url VARCHAR(64), body VARCHAR(64)",
+    ).jdbc(db_url, "pages", properties={"driver": DRIVER})
+    job = _job(db_url, tmp_path / "lake5")
+    job["reader"].pop("numPartitions")
+    with pytest.raises(ValueError, match="INTEGER monotone"):
+        run_batch_job(spark, job)
+
+
+def test_jdbc_incremental_where_and_column(spark, tmp_path):
+    """reader.where joins the span predicate inside the pushed-down
+    subquery; reader.column projects (cursor column auto-retained)."""
+    db_url = f"jdbc:derby:{tmp_path}/src6;create=true"
+    root = tmp_path / "lake6"
+    spark.createDataFrame(
+        [(i, f"u{i}", f"v{i}", "EU" if i % 2 else "US") for i in range(1, 11)],
+        "change_id long, url string, body string, region string",
+    ).write.option(
+        "createTableColumnTypes",
+        "change_id BIGINT, url VARCHAR(64), body VARCHAR(64), region VARCHAR(4)",
+    ).jdbc(db_url, "pages", properties={"driver": DRIVER})
+    job = _job(db_url, root)
+    job["reader"]["where"] = "\"region\" = 'EU'"
+    job["reader"]["column"] = ["url", "body"]
+    run_batch_job(spark, job)
+    state = _state(spark, root)
+    assert set(state) == {f"u{i}" for i in range(1, 11) if i % 2}
+    from datax_spark.icetable.table import IceTable
+
+    assert "region" not in IceTable.load(spark, root).read().columns
