@@ -1210,6 +1210,20 @@ def q_mixing_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (functions/bpe.py): 12 merge
+    rounds over the one-pass word-frequency table; deterministic
+    (count desc, pair asc) tie-break. Rows-only (the training loop is
+    iterative — not SQL-expressible); differential-tested against a
+    pure-python reference in tests/test_bpe.py."""
+    from datax_spark.functions.bpe import merges_table, train_bpe
+
+    merges = train_bpe(
+        _t(spark, sf_dir, "documents"), n_merges=12, min_freq=2
+    )
+    return merges_table(spark, merges)
+
+
 def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source exact length quantiles (corpus profiling — the
     distribution report every curation run starts from): one map-side-
@@ -1419,6 +1433,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixing_weights": q_mixing_weights,
     "mixing_apply": q_mixing_apply,
     "length_quantiles": q_length_quantiles,
+    "bpe_merges": q_bpe_merges,
     "transformer_chain": q_transformer_chain,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_wav_roundtrip": q_multimodal_wav_roundtrip,
