@@ -1224,6 +1224,17 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merges_table(spark, merges)
 
 
+def q_lm_score_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency scoring (operators/lm.py — the CCNet
+    perplexity-filter computation as a distributed add-k bigram model):
+    train on the corpus in one pass, score every doc's mean ln p(r|l)."""
+    from datax_spark.operators.lm import lm_score, train_bigram_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    bigrams, contexts, vocab = train_bigram_lm(docs)
+    return lm_score(docs, bigrams, contexts, vocab)
+
+
 def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source exact length quantiles (corpus profiling — the
     distribution report every curation run starts from): one map-side-
@@ -1434,6 +1445,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixing_apply": q_mixing_apply,
     "length_quantiles": q_length_quantiles,
     "bpe_merges": q_bpe_merges,
+    "lm_score_corpus": q_lm_score_corpus,
     "transformer_chain": q_transformer_chain,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_wav_roundtrip": q_multimodal_wav_roundtrip,
@@ -2879,6 +2891,37 @@ SELECT source, tokens,
        round(target_share, 6) AS target_share,
        round(CASE WHEN mr > 0 THEN least(1.0, ratio / mr) ELSE 0.0 END, 6) AS sample_p
 FROM (SELECT *, MAX(ratio) OVER () AS mr FROM r)""",
+    "lm_score_corpus": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, ts[i] AS l, ts[i + 1] AS r
+  FROM toks, UNNEST(range(1, greatest(len(ts), 1))) AS u(i)
+),
+counts AS (SELECT l, r, count(*) AS n_lr FROM bg GROUP BY 1, 2),
+ctx AS (SELECT l, sum(n_lr) AS n_l FROM counts GROUP BY 1),
+v AS (
+  SELECT count(DISTINCT t) AS vocab
+  FROM (SELECT unnest(ts) AS t FROM toks)
+),
+scored AS (
+  SELECT b.doc_id,
+         ln((coalesce(c.n_lr, 0) + 0.5)
+            / (coalesce(x.n_l, 0) + 0.5 * v.vocab)) AS lp
+  FROM bg b LEFT JOIN counts c USING (l, r) LEFT JOIN ctx x USING (l), v
+),
+agg AS (
+  SELECT doc_id, round(avg(lp), 4) AS lm_score, count(*) AS n_bigrams
+  FROM scored GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(a.lm_score, 0.0) AS lm_score,
+       CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams
+FROM documents d LEFT JOIN agg a USING (doc_id)""",
     "length_quantiles": """
 SELECT source,
        round(quantile_cont(n_chars, 0.5), 4) AS p50,
