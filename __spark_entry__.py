@@ -1224,6 +1224,50 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merges_table(spark, merges)
 
 
+def _synthetic_edges(ev: DataFrame) -> DataFrame:
+    """Deterministic sparse host-graph surrogate from `events` (datagen
+    html carries no anchors, so the board derives the edge list
+    arithmetically — SQL-shared with the oracle): 200 nodes, ~3% of
+    event rows gated in, self-loops dropped, distinct edges."""
+    src = F.col("user_id") % 200
+    dst = F.col("event_id") % 200
+    return (
+        ev.filter(((F.col("user_id") + F.col("event_id")) % 17 == 3) & (src != dst))
+        .select(src.alias("src"), dst.alias("dst"))
+        .distinct()
+    )
+
+
+def q_link_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph degree stats (operators/graph.py degree_stats): one
+    full-outer of the two one-shuffle aggregates over the edge list —
+    the in/out-degree profile a crawl-frontier prioritizer starts from."""
+    from datax_spark.operators.graph import degree_stats
+
+    return degree_stats(_synthetic_edges(_t(spark, sf_dir, "events")))
+
+
+def q_link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the link graph (operators/graph.py pagerank): 5
+    synchronous power iterations, damping 0.85, dangling mass folded
+    back uniformly (one O(1) scalar per iteration). Per-iteration cost
+    is ONE edge-rank equi-join + ONE groupBy(dst) — ranks stay a
+    (node, rank) vector, never an adjacency matrix. Output scaled by N
+    (ranks ~1.0) so round(4) keeps ~4 significant digits for the
+    cross-engine hash."""
+    from datax_spark.operators.graph import pagerank
+
+    pr = pagerank(
+        _synthetic_edges(_t(spark, sf_dir, "events")),
+        iterations=5,
+        round_to=None,
+    )
+    n = pr.count()  # rank vector is cached; O(nodes) metadata
+    return pr.select(
+        "node", F.round(F.col("rank") * n, 4).alias("rank_n")
+    )
+
+
 def q_lm_score_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM fluency scoring (operators/lm.py — the CCNet
     perplexity-filter computation as a distributed add-k bigram model):
@@ -1446,6 +1490,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "length_quantiles": q_length_quantiles,
     "bpe_merges": q_bpe_merges,
     "lm_score_corpus": q_lm_score_corpus,
+    "link_graph_degree": q_link_graph_degree,
+    "link_graph_pagerank": q_link_graph_pagerank,
     "transformer_chain": q_transformer_chain,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_wav_roundtrip": q_multimodal_wav_roundtrip,
@@ -3015,6 +3061,60 @@ latest AS (
 )
 SELECT url, lang, title FROM latest WHERE op <> 'D'""",
 }
+
+# shared edge-list CTE for the link-graph oracles (mirrors
+# _synthetic_edges byte-for-byte in semantics)
+_EDGES_CTE = """e AS (
+  SELECT DISTINCT user_id % 200 AS src, event_id % 200 AS dst
+  FROM events
+  WHERE (user_id + event_id) % 17 = 3 AND user_id % 200 <> event_id % 200
+)"""
+
+ORACLES["link_graph_degree"] = f"""
+WITH {_EDGES_CTE},
+o AS (SELECT src AS node, count(*) AS out_deg FROM e GROUP BY 1),
+i AS (SELECT dst AS node, count(*) AS in_deg FROM e GROUP BY 1)
+SELECT coalesce(o.node, i.node) AS node,
+       CAST(coalesce(o.out_deg, 0) AS BIGINT) AS out_deg,
+       CAST(coalesce(i.in_deg, 0) AS BIGINT) AS in_deg
+FROM o FULL OUTER JOIN i ON o.node = i.node"""
+
+
+def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
+    """Unrolled power iteration as chained CTEs — the same uniform-
+    start / dangling-uniform formula operators/graph.py:pagerank runs
+    distributed ('pr' not 'rank': RANK is a DuckDB keyword)."""
+    parts = [
+        f"""WITH {_EDGES_CTE},
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+outd AS (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM e GROUP BY 1),
+r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes, nn)"""
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f""",
+d{k} AS (SELECT coalesce(sum(r.pr), 0) AS dm
+        FROM r{p} r LEFT JOIN outd o ON r.node = o.src
+        WHERE o.src IS NULL),
+c{k} AS (SELECT e.dst AS node, sum(r.pr / o.od) AS contrib
+        FROM e JOIN r{p} r ON e.src = r.node JOIN outd o ON e.src = o.src
+        GROUP BY 1),
+r{k} AS (SELECT n.node,
+               (1.0 - {damping}) / nn.n
+               + {damping} * coalesce(c.contrib, 0)
+               + {damping} * d{k}.dm / nn.n AS pr
+        FROM nodes n LEFT JOIN c{k} c ON n.node = c.node, nn, d{k})"""
+        )
+    parts.append(
+        f"""
+SELECT r.node, round(r.pr * nn.n, 4) AS rank_n FROM r{iters} r, nn"""
+    )
+    return "".join(parts)
+
+
+ORACLES["link_graph_pagerank"] = _pagerank_oracle()
 
 
 def oracle_sql() -> dict[str, str]:

@@ -40,6 +40,7 @@ from collections.abc import Iterator
 from html.parser import HTMLParser
 
 import pandas as pd
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -395,3 +396,44 @@ def extract_text_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
 def extract_title_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
     for s in batches:
         yield s.map(extract_title)
+
+
+# ------------------------------------------------------------------ #
+# link extraction (additive — does NOT touch the frozen text contract)
+# ------------------------------------------------------------------ #
+
+_HREF_RE = (
+    r"""<[aA](?:\s[^>]*?)?\s[hH][rR][eE][fF]\s*=\s*["']([^"'#][^"']*)["']"""
+)
+
+
+def extract_links(html_col) -> Column:
+    """``array<string>`` of href values from anchor tags — pure codegen
+    (regexp_extract_all over the decoded bytes), the input to the
+    link-graph operators (operators/graph.py). Fragment-only hrefs are
+    skipped; no URL resolution here (compose with
+    functions/url.canonical_url downstream)."""
+    s = F.col(html_col).cast("string") if isinstance(html_col, str) else html_col.cast("string")
+    return F.regexp_extract_all(s, F.lit(_HREF_RE), 1)
+
+
+def host_edges(df: DataFrame, url_col: str = "url", html_col: str = "html") -> DataFrame:
+    """(src, dst) host-level edge list from crawled pages: one explode
+    of the per-page link array, hosts lowercased/www-stripped via the
+    frozen URL spec; relative links (no host) drop; self-loops drop."""
+    from datax_spark.functions.url import url_parts
+
+    src_host = F.regexp_replace(
+        F.lower(url_parts(F.col(url_col))["host"]), "^www\\.", ""
+    )
+    dst_host = F.regexp_replace(
+        F.lower(url_parts(F.col("_link"))["host"]), "^www\\.", ""
+    )
+    return (
+        df.select(
+            src_host.alias("src"),
+            F.explode(extract_links(html_col)).alias("_link"),
+        )
+        .select("src", dst_host.alias("dst"))
+        .filter((F.col("dst") != "") & (F.col("src") != F.col("dst")))
+    )

@@ -1,0 +1,105 @@
+"""Web-graph operators — degree statistics and PageRank over an edge
+list, the link-graph half of a crawl pipeline (harmonic/PageRank
+centrality is a standard crawl-frontier prioritizer and quality signal;
+Common Crawl publishes exactly these per-host ranks).
+
+Edges are any (src, dst) DataFrame — e.g. ``functions/extract.py
+extract_links`` over crawled HTML, collapsed to registrable hosts.
+
+Scale shape per PageRank iteration (the textbook distributed form):
+ONE equi-join of the edge list with the current rank vector (keyed on
+src — co-partitioned with the edge list after the first iteration, so
+AQE reuses the exchange) and ONE groupBy(dst) sum. Dangling mass (nodes
+with no out-edges) folds back uniformly via a scalar aggregate —
+driver-side, O(1) per iteration. Ranks stay (node, rank) — never
+adjacency matrices.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def degree_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(node, out_deg, in_deg) — full outer across the two one-shuffle
+    aggregates; nodes missing a side read 0."""
+    out_d = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    in_d = edges.groupBy(F.col(dst).alias("node")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+    return (
+        out_d.join(in_d, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """(node, rank) after ``iterations`` synchronous power iterations,
+    uniform start 1/N, dangling mass redistributed uniformly:
+
+        rank'(v) = (1-d)/N + d·( Σ_{u→v} rank(u)/out(u) + dangling/N )
+
+    Ranks sum to 1 every iteration. Deterministic — suitable for the
+    SQL-oracle board (the oracle unrolls the same iterations)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    out_d = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    for _ in range(iterations):
+        ranks = ranks.persist()
+        with_out = ranks.join(
+            out_d, ranks["node"] == out_d["src"], "left"
+        ).select("node", "rank", "out_deg")
+        # dangling mass: one scalar, O(1) to the driver
+        dangling = (
+            with_out.filter(F.col("out_deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        contribs = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .join(out_d, "src")
+            .select("dst", (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        prev = ranks
+        base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        ranks = ranks.persist()
+        ranks.count()
+        prev.unpersist()
+    out = ranks
+    if round_to is not None:
+        out = out.select("node", F.round("rank", round_to).alias("rank"))
+    return out
