@@ -1268,6 +1268,23 @@ def q_link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line cleaning (functions/text.py c4_clean — the public
+    Raffel-et-al rules: terminal punctuation, min words per line, no
+    'javascript' lines, drop brace/lorem-ipsum pages, min kept lines).
+    Datagen text is single-line, so the board deterministically
+    re-linebreaks it first (replace ' table ' -> '.\\n', the identical
+    transform in the oracle); pytest covers the full rule set on
+    multi-line fixtures. One codegen projection — no shuffle."""
+    from datax_spark.functions.text import c4_clean
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" table "), F.lit(".\n")).alias("text"),
+    )
+    return c4_clean(docs, min_words=3, min_lines=2)
+
+
 def q_lm_score_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM fluency scoring (operators/lm.py — the CCNet
     perplexity-filter computation as a distributed add-k bigram model):
@@ -1490,6 +1507,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "length_quantiles": q_length_quantiles,
     "bpe_merges": q_bpe_merges,
     "lm_score_corpus": q_lm_score_corpus,
+    "c4_line_clean": q_c4_line_clean,
     "link_graph_degree": q_link_graph_degree,
     "link_graph_pagerank": q_link_graph_pagerank,
     "transformer_chain": q_transformer_chain,
@@ -3069,6 +3087,28 @@ _EDGES_CTE = """e AS (
   FROM events
   WHERE (user_id + event_id) % 17 = 3 AND user_id % 200 <> event_id % 200
 )"""
+
+ORACLES["c4_line_clean"] = """
+WITH relined AS (
+  SELECT doc_id, replace(text, ' table ', '.' || chr(10)) AS text
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         string_split(text, chr(10)) AS ls,
+         list_filter(string_split(text, chr(10)),
+           l -> regexp_matches(l, '[.!?"'']$')
+                AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 3
+                AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM relined
+  WHERE NOT contains(text, '{') AND NOT contains(lower(text), 'lorem ipsum')
+)
+SELECT doc_id,
+       array_to_string(kept, chr(10)) AS text,
+       CAST(len(kept) AS BIGINT) AS n_lines_kept,
+       CAST(len(ls) AS BIGINT) AS n_lines_orig
+FROM f
+WHERE len(kept) >= 2"""
 
 ORACLES["link_graph_degree"] = f"""
 WITH {_EDGES_CTE},

@@ -256,3 +256,61 @@ def compression_ratio_udf():
         "batches": _It[pd.Series], "return": _It[pd.Series],
     }
     return pandas_udf(_ratio, "double")
+
+
+# ------------------------------------------------------------------ #
+# C4-style line cleaning (Raffel et al. 2020 §2.2 — the public rules)
+# ------------------------------------------------------------------ #
+
+# terminal-punctuation class for the line-keep rule; frozen so the
+# DuckDB oracle can mirror it byte-for-byte
+C4_TERMINAL_RE = "[.!?\"']$"
+
+
+def c4_kept_lines(text: Column, min_words: int = 5) -> Column:
+    """``array<string>`` of the lines the C4 rules keep: ends in
+    terminal punctuation, has >= ``min_words`` whitespace words, and
+    does not mention 'javascript' (case-insensitive). Pure higher-order
+    codegen — one projection, no shuffle. split(..., -1) keeps trailing
+    empties so line counts match SQL string_split exactly."""
+    return F.filter(
+        F.split(text, "\n", -1),
+        lambda l: l.rlike(C4_TERMINAL_RE)
+        & (
+            F.size(F.filter(F.split(l, " ", -1), lambda w: w != F.lit("")))
+            >= F.lit(min_words)
+        )
+        & ~F.lower(l).contains("javascript"),
+    )
+
+
+def c4_clean(
+    df,
+    text_col: str = "text",
+    min_words: int = 5,
+    min_lines: int = 3,
+):
+    """The C4 document cleaner: drop pages containing '{' (code) or
+    'lorem ipsum' (boilerplate), keep only rule-passing lines, drop
+    pages with fewer than ``min_lines`` kept lines. Output replaces
+    ``text_col`` with the kept lines rejoined by newline and adds
+    (n_lines_kept, n_lines_orig).
+
+    Scale shape: a single codegen projection + filter — the corpus is
+    scanned once, never shuffled; at 100 TB this pipelines into
+    whatever aggregation or write follows."""
+    t = F.col(text_col)
+    kept = c4_kept_lines(t, min_words)
+    others = [c for c in df.columns if c != text_col]
+    return (
+        df.filter(
+            ~t.contains("{") & ~F.lower(t).contains("lorem ipsum")
+        )
+        .select(
+            *others,
+            F.array_join(kept, "\n").alias(text_col),
+            F.size(kept).cast("bigint").alias("n_lines_kept"),
+            F.size(F.split(t, "\n", -1)).cast("bigint").alias("n_lines_orig"),
+        )
+        .filter(F.col("n_lines_kept") >= min_lines)
+    )
