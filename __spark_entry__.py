@@ -1268,6 +1268,35 @@ def q_link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile (operators/profile.py): nulls,
+    exact distincts, numeric/string min-max — ONE aggregate scan for
+    all columns (Catalyst Expand), unpivoted executor-side."""
+    from datax_spark.operators.profile import profile_table
+
+    return profile_table(_t(spark, sf_dir, "documents"))
+
+
+def q_windowed_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation (F.window — the batch
+    form of the streaming windowed-agg surface; identical grouping to
+    date_trunc in the oracle): one map-side-combined shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def q_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style line cleaning (functions/text.py c4_clean — the public
     Raffel-et-al rules: terminal punctuation, min words per line, no
@@ -1508,6 +1537,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_merges": q_bpe_merges,
     "lm_score_corpus": q_lm_score_corpus,
     "c4_line_clean": q_c4_line_clean,
+    "profile_documents": q_profile_documents,
+    "windowed_event_agg": q_windowed_event_agg,
     "link_graph_degree": q_link_graph_degree,
     "link_graph_pagerank": q_link_graph_pagerank,
     "transformer_chain": q_transformer_chain,
@@ -3087,6 +3118,45 @@ _EDGES_CTE = """e AS (
   FROM events
   WHERE (user_id + event_id) % 17 = 3 AND user_id % 200 <> event_id % 200
 )"""
+
+def _profile_oracle() -> str:
+    """Mirrors operators/profile.py over `documents`: one UNION ALL
+    branch per column (numeric min/max as double, string min/max in
+    binary order, the other pair NULL)."""
+    numeric = {"doc_id", "n_chars"}
+    parts = []
+    for c in ("doc_id", "text", "lang", "source", "n_chars"):
+        if c in numeric:
+            mm = (
+                f"CAST(min({c}) AS DOUBLE) AS min_num, "
+                f"CAST(max({c}) AS DOUBLE) AS max_num, "
+                "CAST(NULL AS VARCHAR) AS min_str, "
+                "CAST(NULL AS VARCHAR) AS max_str"
+            )
+        else:
+            mm = (
+                "CAST(NULL AS DOUBLE) AS min_num, "
+                "CAST(NULL AS DOUBLE) AS max_num, "
+                f"min({c}) AS min_str, max({c}) AS max_str"
+            )
+        parts.append(
+            f"""SELECT '{c}' AS col_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       {mm}
+FROM documents"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+ORACLES["profile_documents"] = _profile_oracle()
+
+ORACLES["windowed_event_agg"] = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2"""
 
 ORACLES["c4_line_clean"] = """
 WITH relined AS (
