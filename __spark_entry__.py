@@ -1297,6 +1297,34 @@ def q_windowed_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Groupwise 3-sigma anomaly flags (operators/anomaly.py
+    zscore_outliers): per-event_type mean/stddev is ONE tiny map-side-
+    combined agg broadcast back; the fact table never shuffles."""
+    from datax_spark.operators.anomaly import zscore_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    return zscore_outliers(ev, "value", ["event_type"], k=3.0).select(
+        "event_id", "event_type", F.round("value", 4).alias("value"), "z"
+    )
+
+
+def q_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence anomaly flags (operators/anomaly.py iqr_outliers):
+    exact quartiles per event_type (Spark percentile == DuckDB
+    quantile_cont), broadcast join back, codegen fence test."""
+    from datax_spark.operators.anomaly import iqr_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    return iqr_outliers(ev, "value", ["event_type"], k=1.5).select(
+        "event_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        "fence_lo",
+        "fence_hi",
+    )
+
+
 def q_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style line cleaning (functions/text.py c4_clean — the public
     Raffel-et-al rules: terminal punctuation, min words per line, no
@@ -1539,6 +1567,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c4_line_clean": q_c4_line_clean,
     "profile_documents": q_profile_documents,
     "windowed_event_agg": q_windowed_event_agg,
+    "anomaly_zscore": q_anomaly_zscore,
+    "anomaly_iqr": q_anomaly_iqr,
     "link_graph_degree": q_link_graph_degree,
     "link_graph_pagerank": q_link_graph_pagerank,
     "transformer_chain": q_transformer_chain,
@@ -3157,6 +3187,27 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
        CAST(count(*) AS BIGINT) AS n_events,
        round(sum(value), 4) AS sum_value
 FROM events GROUP BY 1, 2"""
+
+ORACLES["anomaly_zscore"] = """
+WITH s AS (
+  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+  FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type, round(e.value, 4) AS value,
+       round((e.value - s.mu) / s.sigma, 4) AS z
+FROM events e JOIN s USING (event_type)
+WHERE s.sigma > 0 AND abs(e.value - s.mu) > 3.0 * s.sigma"""
+
+ORACLES["anomaly_iqr"] = """
+WITH s AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type, round(e.value, 4) AS value,
+       round(q1 - 1.5 * (q3 - q1), 4) AS fence_lo,
+       round(q3 + 1.5 * (q3 - q1), 4) AS fence_hi
+FROM events e JOIN s USING (event_type)
+WHERE e.value < q1 - 1.5 * (q3 - q1) OR e.value > q3 + 1.5 * (q3 - q1)"""
 
 ORACLES["c4_line_clean"] = """
 WITH relined AS (
