@@ -1297,6 +1297,36 @@ def q_windowed_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time as-of join (operators/asof.py): every click joined
+    to the user's latest purchase at-or-before it — ONE hash exchange on
+    user_id feeding an in-partition sort; no range/theta join. Ties on
+    (user_id, ts) resolve to max purchase_id in both engines (the oracle
+    pre-dedupes because DuckDB ASOF tie choice is arbitrary)."""
+    from datax_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.round("value", 4).alias("purchase_value"),
+    )
+    out = asof_join(
+        clicks, purchases, ["user_id"], "ts", "ts", tiebreak="purchase_id"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts_asof").alias("purchase_ts"),
+        "purchase_id",
+        "purchase_value",
+    )
+
+
 def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Groupwise 3-sigma anomaly flags (operators/anomaly.py
     zscore_outliers): per-event_type mean/stddev is ONE tiny map-side-
@@ -1567,6 +1597,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c4_line_clean": q_c4_line_clean,
     "profile_documents": q_profile_documents,
     "windowed_event_agg": q_windowed_event_agg,
+    "asof_join_events": q_asof_join_events,
     "anomaly_zscore": q_anomaly_zscore,
     "anomaly_iqr": q_anomaly_iqr,
     "link_graph_degree": q_link_graph_degree,
@@ -3187,6 +3218,22 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
        CAST(count(*) AS BIGINT) AS n_events,
        round(sum(value), 4) AS sum_value
 FROM events GROUP BY 1, 2"""
+
+ORACLES["asof_join_events"] = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+pur0 AS (
+  SELECT user_id, ts, event_id AS purchase_id, round(value, 4) AS purchase_value
+  FROM events WHERE event_type = 'purchase'),
+pur AS (
+  SELECT user_id, ts, purchase_id, purchase_value FROM (
+    SELECT p.*, row_number() OVER (
+      PARTITION BY user_id, ts ORDER BY purchase_id DESC) AS rn
+    FROM pur0 p) WHERE rn = 1)
+SELECT c.event_id, c.user_id, p.ts AS purchase_ts,
+       p.purchase_id, p.purchase_value
+FROM clicks c ASOF LEFT JOIN pur p
+  ON c.user_id = p.user_id AND c.ts >= p.ts"""
 
 ORACLES["anomaly_zscore"] = """
 WITH s AS (
