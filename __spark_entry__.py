@@ -1327,6 +1327,21 @@ def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension from the event log (operators/scd.py):
+    per-user event_type runs collapsed to validity intervals
+    (valid_from/valid_to/is_current). Both windows share one (user_id)
+    exchange — plan-asserted in tests/test_scd.py."""
+    from datax_spark.operators.scd import scd2_from_log
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.col("event_type").alias("status")
+    )
+    return scd2_from_log(
+        ev, ["user_id"], "ts", ["status"], tiebreak="event_id"
+    )
+
+
 def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Groupwise 3-sigma anomaly flags (operators/anomaly.py
     zscore_outliers): per-event_type mean/stddev is ONE tiny map-side-
@@ -1598,6 +1613,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_documents": q_profile_documents,
     "windowed_event_agg": q_windowed_event_agg,
     "asof_join_events": q_asof_join_events,
+    "scd2_build": q_scd2_build,
     "anomaly_zscore": q_anomaly_zscore,
     "anomaly_iqr": q_anomaly_iqr,
     "link_graph_degree": q_link_graph_degree,
@@ -3234,6 +3250,20 @@ SELECT c.event_id, c.user_id, p.ts AS purchase_ts,
        p.purchase_id, p.purchase_value
 FROM clicks c ASOF LEFT JOIN pur p
   ON c.user_id = p.user_id AND c.ts >= p.ts"""
+
+ORACLES["scd2_build"] = """
+WITH runs AS (
+  SELECT user_id, ts, event_id, status FROM (
+    SELECT user_id, ts, event_id, event_type AS status,
+           lag(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events)
+  WHERE prev IS NULL OR prev <> status)
+SELECT user_id, status, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         AS is_current
+FROM runs"""
 
 ORACLES["anomaly_zscore"] = """
 WITH s AS (
