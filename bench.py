@@ -80,6 +80,9 @@ HEADLINE = [
     "bloom_membership",
     "url_blocklist",
     "mixing_apply",
+    "asof_join_events",
+    "scd2_build",
+    "anomaly_zscore",
 ]
 
 CDC_EVENTS = int(os.environ.get("DATAX_BENCH_EVENTS", "1000000"))
