@@ -1342,6 +1342,28 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (functions/unicode.py — Arrow-batched
+    unicodedata, the one legitimate Python hop). Datagen text is ASCII,
+    so the board deterministically decomposes it first (every 'a' gets
+    a combining acute, the identical transform in the oracle); NFC must
+    re-compose to the precomposed form DuckDB's nfc_normalize emits.
+    Compared via md5 of the UTF-8 bytes + char length."""
+    from datax_spark.functions.unicode import nfc
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit("a"), F.lit("a\u0301")).alias("t"),
+    )
+    n = nfc("t")
+    return docs.select(
+        "doc_id",
+        F.md5(F.encode(n, "UTF-8")).alias("nfc_md5"),
+        F.length("t").alias("n_chars_decomposed"),
+        F.length(n).alias("n_chars_nfc"),
+    )
+
+
 def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Groupwise 3-sigma anomaly flags (operators/anomaly.py
     zscore_outliers): per-event_type mean/stddev is ONE tiny map-side-
@@ -1614,6 +1636,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "windowed_event_agg": q_windowed_event_agg,
     "asof_join_events": q_asof_join_events,
     "scd2_build": q_scd2_build,
+    "unicode_nfc": q_unicode_nfc,
     "anomaly_zscore": q_anomaly_zscore,
     "anomaly_iqr": q_anomaly_iqr,
     "link_graph_degree": q_link_graph_degree,
@@ -3264,6 +3287,15 @@ SELECT user_id, status, ts AS valid_from,
        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
          AS is_current
 FROM runs"""
+
+ORACLES["unicode_nfc"] = """
+WITH d AS (
+  SELECT doc_id, replace(text, 'a', 'a' || chr(769)) AS t FROM documents)
+SELECT doc_id,
+       md5(nfc_normalize(t)) AS nfc_md5,
+       length(t) AS n_chars_decomposed,
+       length(nfc_normalize(t)) AS n_chars_nfc
+FROM d"""
 
 ORACLES["anomaly_zscore"] = """
 WITH s AS (
