@@ -1342,6 +1342,66 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native F.session_window grouping (the streaming-ready twin of
+    the window-function sessionize_events): 30-min gap sessions in ONE
+    map-side-combinable aggregate — no window-function double pass.
+    Session end = last event + gap (Spark semantics; oracle mirrors)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_hopping_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) event-time window — 1h windows every 30min,
+    each event in exactly window/slide=2 groups: F.window's built-in
+    replication, one shuffle. Oracle unrolls the same two epoch-aligned
+    starts per event with generate_series."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational pivot: per-user event-type count matrix with an
+    EXPLICIT value list (no extra distinct pass over the data — the
+    two-arg pivot would scan once just to learn the columns)."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    out = ev.groupBy("user_id").pivot("event_type", types).count()
+    sel = [F.col("user_id")] + [
+        F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types
+    ]
+    return out.select(*sel)
+
+
 def q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC normalization (functions/unicode.py — Arrow-batched
     unicodedata, the one legitimate Python hop). Datagen text is ASCII,
@@ -1637,6 +1697,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_events": q_asof_join_events,
     "scd2_build": q_scd2_build,
     "unicode_nfc": q_unicode_nfc,
+    "session_window_agg": q_session_window_agg,
+    "hopping_window_agg": q_hopping_window_agg,
+    "pivot_event_matrix": q_pivot_event_matrix,
     "anomaly_zscore": q_anomaly_zscore,
     "anomaly_iqr": q_anomaly_iqr,
     "link_graph_degree": q_link_graph_degree,
@@ -3287,6 +3350,44 @@ SELECT user_id, status, ts AS valid_from,
        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
          AS is_current
 FROM runs"""
+
+ORACLES["session_window_agg"] = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS is_start
+  FROM events),
+s AS (
+  SELECT user_id, ts, value,
+         sum(is_start) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM o)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM s GROUP BY user_id, sid"""
+
+ORACLES["hopping_window_agg"] = """
+WITH x AS (
+  SELECT e.event_type, e.value, s.ws
+  FROM events e, LATERAL (
+    SELECT unnest(generate_series(
+      time_bucket(INTERVAL 30 MINUTE, e.ts) - INTERVAL 30 MINUTE,
+      time_bucket(INTERVAL 30 MINUTE, e.ts),
+      INTERVAL 30 MINUTE)) AS ws) s)
+SELECT ws AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM x GROUP BY 1, 2"""
+
+ORACLES["pivot_event_matrix"] = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')    AS n_click,
+       count(*) FILTER (event_type = 'view')     AS n_view,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup')   AS n_signup,
+       count(*) FILTER (event_type = 'error')    AS n_error
+FROM events GROUP BY user_id"""
 
 ORACLES["unicode_nfc"] = """
 WITH d AS (
