@@ -1342,6 +1342,22 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-value computation (operators/layout.py — the key the
+    OPTIMIZE-ZORDER layout pass range-partitions on so per-file min/max
+    pruning works on BOTH dimensions): pure shift/mask codegen, no
+    shuffle at all for the key itself. Locality effect is measured in
+    tests/test_layout.py; this query proves the bit math cross-engine
+    (oracle emits the identical expression via zvalue_sql)."""
+    from datax_spark.operators.layout import zvalue
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        zvalue([F.col("user_id") % 256, F.col("event_id") % 256]).alias("zval"),
+    )
+
+
 def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native F.session_window grouping (the streaming-ready twin of
     the window-function sessionize_events): 30-min gap sessions in ONE
@@ -1697,6 +1713,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_events": q_asof_join_events,
     "scd2_build": q_scd2_build,
     "unicode_nfc": q_unicode_nfc,
+    "zorder_key": q_zorder_key,
     "session_window_agg": q_session_window_agg,
     "hopping_window_agg": q_hopping_window_agg,
     "pivot_event_matrix": q_pivot_event_matrix,
@@ -3350,6 +3367,15 @@ SELECT user_id, status, ts AS valid_from,
        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
          AS is_current
 FROM runs"""
+
+def _zorder_oracle() -> str:
+    from datax_spark.operators.layout import zvalue_sql
+
+    expr = zvalue_sql(["(user_id % 256)", "(event_id % 256)"], bits=8)
+    return f"SELECT event_id, {expr} AS zval FROM events"
+
+
+ORACLES["zorder_key"] = _zorder_oracle()
 
 ORACLES["session_window_agg"] = """
 WITH o AS (
