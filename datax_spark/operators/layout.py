@@ -5,9 +5,11 @@ ranges tight (so predicate file-pruning works) and every other
 column's ranges useless. Interleaving the bits of several columns into
 one Morton key and range-partitioning by it shrinks per-file ranges on
 ALL the interleaved dimensions at once — the layout pass behind
-"OPTIMIZE ZORDER BY" in lakehouse engines, applied here ahead of
-IceTable data-file writes so the min/max + bloom pruning in
-``icetable/table.py`` can skip files on any clustered column.
+"OPTIMIZE ZORDER BY" in lakehouse engines. Applied ahead of parquet
+writes it makes the footer min/max row-group statistics selective on
+every clustered column (Spark's scan skips row groups on pushed
+filters for any column); IceTable's own key min/max + bloom pruning
+(`icetable/table.py`) stays key-column-specific and is unaffected.
 
 Everything is codegen: the interleave is a fixed fan of shift/mask/or
 expressions (no UDF), and the layout pass is one
