@@ -1342,6 +1342,36 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 tf-idf terms (operators/retrieval.py
+    tfidf_top_terms): document frequencies are an aggregate OF the
+    (doc, term) aggregate — vocabulary-sized, never a second corpus
+    pass; ranking on the ROUNDED score so a 1-ulp ln() difference
+    cannot flip cross-engine order."""
+    from datax_spark.operators.retrieval import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)
+
+
+def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling 5-event features (the feature-engineering
+    staple): one (user_id) exchange, deterministic (ts, event_id)
+    frame order, avg/max/count over ROWS 4 PRECEDING."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 4).alias("roll_avg5"),
+        F.round(F.max("value").over(w), 4).alias("roll_max5"),
+        F.count(F.lit(1)).over(w).alias("roll_n5"),
+    )
+
+
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton z-value computation (operators/layout.py — the key the
     OPTIMIZE-ZORDER layout pass range-partitions on so per-file min/max
@@ -1713,6 +1743,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_events": q_asof_join_events,
     "scd2_build": q_scd2_build,
     "unicode_nfc": q_unicode_nfc,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "rolling_features": q_rolling_features,
     "zorder_key": q_zorder_key,
     "session_window_agg": q_session_window_agg,
     "hopping_window_agg": q_hopping_window_agg,
@@ -3376,6 +3408,34 @@ def _zorder_oracle() -> str:
 
 
 ORACLES["zorder_key"] = _zorder_oracle()
+
+ORACLES["tfidf_top_terms"] = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS tk
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(tk) AS term FROM tok) GROUP BY 1, 2),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok),
+dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT doc_id, term, round(tf * ln(n / df), 4) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats)
+SELECT doc_id, term, score,
+       CAST(row_number() OVER (
+         PARTITION BY doc_id ORDER BY score DESC, term ASC) AS BIGINT) AS rank
+FROM scored QUALIFY rank <= 5"""
+
+ORACLES["rolling_features"] = """
+SELECT event_id, user_id,
+       round(avg(value) OVER w, 4) AS roll_avg5,
+       round(max(value) OVER w, 4) AS roll_max5,
+       count(*) OVER w AS roll_n5
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"""
 
 ORACLES["session_window_agg"] = """
 WITH o AS (

@@ -107,3 +107,51 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "score", "rank")
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, term, score, rank): each document's top ``k`` terms by
+    tf-idf — the keyword-profile / topic-fingerprint every curation
+    report wants next to the quality scores.
+
+        score(t, d) = tf(t, d) · ln(N / df(t))
+
+    Shape: explode → one (doc, term) count shuffle; document
+    frequencies are an aggregate OF that aggregate (vocabulary-sized,
+    tiny vs the corpus) joined back on term; top-k is one per-doc
+    window. Terms in every document (df == N) score exactly 0 and are
+    kept — rank order stays deterministic via (score desc, term asc).
+    Scores round to 4 decimals for cross-engine comparison."""
+    base = docs.select(F.col(id_col), _tokens(F.col(text_col)).alias("_toks"))
+    tf = (
+        base.select(id_col, F.explode("_toks").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = docs.select(F.countDistinct(id_col).alias("n"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("_s"),
+        )
+    )
+    # rank on the ROUNDED score: a 1-ulp ln() difference between engines
+    # must not flip the order — ties resolve by term
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.select(id_col, "term", F.round("_s", 4).alias("score"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "score", "rank")
+    )

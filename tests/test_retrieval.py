@@ -71,3 +71,28 @@ def test_bm25_plan_broadcasts_query_side(spark):
     plan = bm25_topk(docs, queries, k=3)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_top_terms_semantics(spark):
+    from datax_spark.operators.retrieval import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana shared"),
+            (2, "banana cherry shared"),
+            (3, "cherry cherry cherry shared"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, k=2).collect()
+    top = {}
+    for r in out:
+        top.setdefault(r["doc_id"], []).append((r["rank"], r["term"], r["score"]))
+    # rank 1 is each doc's signature term; 'shared' (df=N) scores 0 and
+    # never beats a discriminative term
+    assert sorted(top[1])[0][1] == "apple"
+    assert sorted(top[3])[0][1] == "cherry"
+    assert all(s >= 0 for ranks in top.values() for _, _, s in ranks)
+    import math
+    want = round(2 * math.log(3 / 1), 4)  # tf=2, df=1, N=3
+    assert sorted(top[1])[0][2] == want
