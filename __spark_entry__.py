@@ -1342,6 +1342,18 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-20 tokens (operators/heavy.py top_tokens_exact): one
+    map-side-combined vocabulary count; the global-order window sees
+    only the vocabulary. The bounded-memory Misra-Gries candidate path
+    (top_tokens_candidates — for open token domains where the vocab
+    itself can't shuffle) is differential-tested against this in
+    tests/test_heavy.py."""
+    from datax_spark.operators.heavy import top_tokens_exact
+
+    return top_tokens_exact(_t(spark, sf_dir, "documents"), k=20)
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-5 tf-idf terms (operators/retrieval.py
     tfidf_top_terms): document frequencies are an aggregate OF the
@@ -1743,6 +1755,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_events": q_asof_join_events,
     "scd2_build": q_scd2_build,
     "unicode_nfc": q_unicode_nfc,
+    "top_tokens": q_top_tokens,
     "tfidf_top_terms": q_tfidf_top_terms,
     "rolling_features": q_rolling_features,
     "zorder_key": q_zorder_key,
@@ -3408,6 +3421,16 @@ def _zorder_oracle() -> str:
 
 
 ORACLES["zorder_key"] = _zorder_oracle()
+
+ORACLES["top_tokens"] = """
+WITH t AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> '')) AS term
+  FROM documents),
+c AS (SELECT term, count(*) AS n FROM t GROUP BY term)
+SELECT term, n,
+       CAST(row_number() OVER (ORDER BY n DESC, term ASC) AS BIGINT) AS rank
+FROM c QUALIFY rank <= 20"""
 
 ORACLES["tfidf_top_terms"] = """
 WITH tok AS (
