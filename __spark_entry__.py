@@ -1342,6 +1342,26 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (operators/expectations.py):
+    six constraints over documents evaluated in ONE fused aggregate
+    pass (plan-asserted single scan, no joins, in tests). The oracle
+    recomputes each metric as a one-row SELECT UNION ALL chain."""
+    from datax_spark.operators import expectations as X
+
+    return X.check(
+        _t(spark, sf_dir, "documents"),
+        [
+            X.not_null("lang"),
+            X.unique("doc_id"),
+            X.in_set("lang", ["en", "de", "fr", "es", "zh"], threshold=0.9),
+            X.in_range("n_chars", 1, 10000),
+            X.matches("text", "[a-z]", threshold=0.99),
+            X.min_rows(100),
+        ],
+    )
+
+
 def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus top-20 tokens (operators/heavy.py top_tokens_exact): one
     map-side-combined vocabulary count; the global-order window sees
@@ -1755,6 +1775,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_events": q_asof_join_events,
     "scd2_build": q_scd2_build,
     "unicode_nfc": q_unicode_nfc,
+    "expectations_report": q_expectations_report,
     "top_tokens": q_top_tokens,
     "tfidf_top_terms": q_tfidf_top_terms,
     "rolling_features": q_rolling_features,
@@ -3421,6 +3442,29 @@ def _zorder_oracle() -> str:
 
 
 ORACLES["zorder_key"] = _zorder_oracle()
+
+ORACLES["expectations_report"] = """
+WITH s AS (
+  SELECT count(*) AS n,
+         avg(CASE WHEN lang IS NOT NULL THEN 1.0 ELSE 0.0 END) AS m_nn,
+         count(DISTINCT doc_id) AS m_uq,
+         avg(CASE WHEN lang IN ('en','de','fr','es','zh') THEN 1.0 ELSE 0.0 END) AS m_set,
+         avg(CASE WHEN n_chars IS NOT NULL AND n_chars BETWEEN 1 AND 10000
+                  THEN 1.0 ELSE 0.0 END) AS m_rng,
+         avg(CASE WHEN text IS NOT NULL AND regexp_matches(text, '[a-z]')
+                  THEN 1.0 ELSE 0.0 END) AS m_re
+  FROM documents)
+SELECT 'not_null(lang)' AS constraint, 'lang' AS "column",
+       round(m_nn, 6) AS metric, 1.0 AS threshold, m_nn >= 1.0 AS passed FROM s
+UNION ALL SELECT 'unique(doc_id)', 'doc_id',
+       round(CAST(m_uq AS DOUBLE) / greatest(n, 1), 6), 1.0,
+       CAST(m_uq AS DOUBLE) / greatest(n, 1) >= 1.0 FROM s
+UNION ALL SELECT 'in_set(lang)', 'lang', round(m_set, 6), CAST(0.9 AS DOUBLE), m_set >= 0.9 FROM s
+UNION ALL SELECT 'in_range(n_chars)', 'n_chars', round(m_rng, 6), 1.0,
+       m_rng >= 1.0 FROM s
+UNION ALL SELECT 'matches(text)', 'text', round(m_re, 6), CAST(0.99 AS DOUBLE), m_re >= 0.99 FROM s
+UNION ALL SELECT 'min_rows', '', least(CAST(n AS DOUBLE) / 100, 1.0), 1.0,
+       least(CAST(n AS DOUBLE) / 100, 1.0) >= 1.0 FROM s"""
 
 ORACLES["top_tokens"] = """
 WITH t AS (
