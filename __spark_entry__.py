@@ -1342,6 +1342,25 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_export_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic export sharding (operators/export.py shard_id):
+    membership is a pure md5 function of the key — growth-stable, so a
+    re-export never moves examples between shards. Per-shard row/char
+    totals; the byte-determinism and manifest-hash invariants are
+    pytest-covered (tests/test_export.py)."""
+    from datax_spark.operators.export import shard_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("shard", shard_id("doc_id", 8))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
 def q_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality expectations (operators/expectations.py):
     six constraints over documents evaluated in ONE fused aggregate
@@ -1775,6 +1794,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_events": q_asof_join_events,
     "scd2_build": q_scd2_build,
     "unicode_nfc": q_unicode_nfc,
+    "export_shard_plan": q_export_shard_plan,
     "expectations_report": q_expectations_report,
     "top_tokens": q_top_tokens,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -3442,6 +3462,12 @@ def _zorder_oracle() -> str:
 
 
 ORACLES["zorder_key"] = _zorder_oracle()
+
+ORACLES["export_shard_plan"] = """
+SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         % 8 AS shard,
+       count(*) AS n_docs, sum(n_chars) AS sum_chars
+FROM documents GROUP BY 1"""
 
 ORACLES["expectations_report"] = """
 WITH s AS (

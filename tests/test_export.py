@@ -1,0 +1,64 @@
+"""Sharded export + manifest (operators/export.py)."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from datax_spark.operators.export import export_jsonl, manifest, shard_id
+
+
+def _docs(spark, n=200):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text-"), F.col("id")).alias("text"),
+    )
+
+
+def test_shard_assignment_stable_and_spread(spark):
+    d = _docs(spark)
+    a = {r["doc_id"]: r["shard"] for r in d.select("doc_id", shard_id("doc_id", 8)).collect()}
+    b = {
+        r["doc_id"]: r["shard"]
+        for r in d.repartition(13).select("doc_id", shard_id("doc_id", 8)).collect()
+    }
+    assert a == b                               # pure function of the key
+    sizes = [list(a.values()).count(s) for s in range(8)]
+    assert min(sizes) > 0 and max(sizes) < 2.5 * (200 / 8)
+
+
+def _shard_bytes(path):
+    out = {}
+    for d in sorted(glob.glob(f"{path}/shard=*")):
+        parts = sorted(glob.glob(f"{d}/part-*"))
+        out[d.rsplit("=", 1)[1]] = b"".join(open(p, "rb").read() for p in parts)
+    return out
+
+
+def test_export_is_deterministic_bytes(spark, tmp_path):
+    d = _docs(spark)
+    p1, p2 = str(tmp_path / "e1"), str(tmp_path / "e2")
+    export_jsonl(d, p1, "doc_id", 4)
+    export_jsonl(d.repartition(17).orderBy(F.rand(7)), p2, "doc_id", 4)
+    b1, b2 = _shard_bytes(p1), _shard_bytes(p2)
+    assert set(b1) == set(b2) == {"0", "1", "2", "3"}
+    assert b1 == b2  # byte-identical regardless of input layout
+
+
+def test_manifest_order_insensitive_and_counts(spark):
+    d = _docs(spark)
+    m1 = {r["shard"]: (r["n_rows"], r["content_hash"]) for r in manifest(d, "doc_id", 4).collect()}
+    m2 = {
+        r["shard"]: (r["n_rows"], r["content_hash"])
+        for r in manifest(d.repartition(9), "doc_id", 4).collect()
+    }
+    assert m1 == m2
+    assert sum(v[0] for v in m1.values()) == 200
+    # a changed row changes its shard's hash
+    d2 = d.withColumn(
+        "text", F.when(F.col("doc_id") == 5, "tampered").otherwise(F.col("text"))
+    )
+    m3 = {r["shard"]: r["content_hash"] for r in manifest(d2, "doc_id", 4).collect()}
+    changed = [s for s in m1 if m1[s][1] != m3[s]]
+    assert len(changed) == 1
