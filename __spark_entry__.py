@@ -1342,6 +1342,35 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join without a theta join (operators/interval.py): clicks
+    attributed to the same user's signup windows [ts, ts+2h) — the
+    interval side explodes to its covered time buckets, the point side
+    lands in one bucket, and the match is a hash equi-join on
+    (bucket, user_id) + a codegen containment filter. Plan-asserted
+    free of BroadcastNestedLoopJoin/CartesianProduct in tests."""
+    from datax_spark.operators.interval import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    windows = ev.where(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("w_end"),
+    )
+    pairs = interval_join(
+        clicks, windows, "ts", "w_start", "w_end",
+        bucket=3600.0, keys=("user_id",),
+    )
+    return pairs.groupBy("user_id", "signup_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.min("click_id").alias("first_click"),
+    )
+
+
 def q_export_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic export sharding (operators/export.py shard_id):
     membership is a pure md5 function of the key — growth-stable, so a
@@ -1794,6 +1823,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_events": q_asof_join_events,
     "scd2_build": q_scd2_build,
     "unicode_nfc": q_unicode_nfc,
+    "interval_attribution": q_interval_attribution,
     "export_shard_plan": q_export_shard_plan,
     "expectations_report": q_expectations_report,
     "top_tokens": q_top_tokens,
@@ -3462,6 +3492,20 @@ def _zorder_oracle() -> str:
 
 
 ORACLES["zorder_key"] = _zorder_oracle()
+
+ORACLES["interval_attribution"] = """
+WITH c AS (
+  SELECT user_id, event_id AS click_id, ts FROM events
+  WHERE event_type = 'click'),
+w AS (
+  SELECT user_id, event_id AS signup_id, ts AS w_start,
+         ts + INTERVAL 2 HOUR AS w_end
+  FROM events WHERE event_type = 'signup')
+SELECT c.user_id, w.signup_id, count(*) AS n_clicks,
+       min(c.click_id) AS first_click
+FROM c JOIN w ON c.user_id = w.user_id
+             AND c.ts >= w.w_start AND c.ts < w.w_end
+GROUP BY 1, 2"""
 
 ORACLES["export_shard_plan"] = """
 SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
