@@ -1342,6 +1342,31 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend without any UDF: slope = covar_pop/var_pop,
+    intercept from the means — four codegen aggregates in one
+    map-side-combined pass (the 'is this metric drifting' monitor)."""
+    ev = _t(spark, sf_dir, "events")
+    x = F.col("ts").cast("timestamp").cast("double") - 1.7e9
+    slope = F.covar_pop(x, F.col("value")) / F.var_pop(x)
+    return ev.groupBy("event_type").agg(
+        F.round(slope * 86400, 6).alias("slope_per_day"),
+        F.round(F.avg("value") - slope * F.avg(x), 4).alias("intercept"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (lang, source) with grouping_id — all 4 grouping sets
+    in one Expand pass, NULL-vs-subtotal disambiguated by the id."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.cube("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.grouping_id().cast("bigint").alias("gid"),
+    )
+
+
 def q_interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join without a theta join (operators/interval.py): clicks
     attributed to the same user's signup windows [ts, ts+2h) — the
@@ -1823,6 +1848,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_events": q_asof_join_events,
     "scd2_build": q_scd2_build,
     "unicode_nfc": q_unicode_nfc,
+    "trend_by_type": q_trend_by_type,
+    "cube_agg": q_cube_agg,
     "interval_attribution": q_interval_attribution,
     "export_shard_plan": q_export_shard_plan,
     "expectations_report": q_expectations_report,
@@ -3492,6 +3519,23 @@ def _zorder_oracle() -> str:
 
 
 ORACLES["zorder_key"] = _zorder_oracle()
+
+ORACLES["trend_by_type"] = """
+WITH b AS (
+  SELECT event_type, value,
+         CAST(epoch(ts) AS DOUBLE) - 1.7e9 AS x
+  FROM events)
+SELECT event_type,
+       round(covar_pop(x, value) / var_pop(x) * 86400, 6) AS slope_per_day,
+       round(avg(value) - covar_pop(x, value) / var_pop(x) * avg(x), 4)
+         AS intercept,
+       count(*) AS n
+FROM b GROUP BY event_type"""
+
+ORACLES["cube_agg"] = """
+SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+       CAST(grouping(lang) * 2 + grouping(source) AS BIGINT) AS gid
+FROM documents GROUP BY CUBE (lang, source)"""
 
 ORACLES["interval_attribution"] = """
 WITH c AS (
