@@ -1348,7 +1348,9 @@ def q_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined pass (the 'is this metric drifting' monitor)."""
     ev = _t(spark, sf_dir, "events")
     x = F.col("ts").cast("timestamp").cast("double") - 1.7e9
-    slope = F.covar_pop(x, F.col("value")) / F.var_pop(x)
+    # try_divide: a zero-variance group must yield a NULL slope (the
+    # oracle's semantics), not an ANSI DIVIDE_BY_ZERO
+    slope = F.try_divide(F.covar_pop(x, F.col("value")), F.var_pop(x))
     return ev.groupBy("event_type").agg(
         F.round(slope * 86400, 6).alias("slope_per_day"),
         F.round(F.avg("value") - slope * F.avg(x), 4).alias("intercept"),
@@ -3504,7 +3506,7 @@ WITH runs AS (
            lag(event_type) OVER (
              PARTITION BY user_id ORDER BY ts, event_id) AS prev
     FROM events)
-  WHERE prev IS NULL OR prev <> status)
+  WHERE prev IS DISTINCT FROM status)
 SELECT user_id, status, ts AS valid_from,
        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -3620,14 +3622,14 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 
 ORACLES["session_window_agg"] = """
 WITH o AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS is_start
   FROM events),
 s AS (
   SELECT user_id, ts, value,
          sum(is_start) OVER (
-           PARTITION BY user_id ORDER BY ts
+           PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM o)
 SELECT user_id, min(ts) AS session_start,

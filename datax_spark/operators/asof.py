@@ -56,19 +56,25 @@ def asof_join(
         F.col(right_ts).alias("__ts"), *[F.col(c) for c in rcols]
     )
 
+    # keep the tiebreak's NATIVE type (a string LSN must not be cast to
+    # double — ANSI would throw, non-ANSI would null it out and break
+    # the documented max-wins determinism); left rows get a typed null,
+    # which is harmless because __is_left already orders them after
+    # every right row at equal ts
     tb = F.col(tiebreak) if tiebreak else F.lit(0)
     r2 = right.select(
         *on,
         F.col(right_ts).alias("__ets"),
         F.lit(0).alias("__is_left"),
-        tb.cast("double").alias("__tb"),
+        tb.alias("__tb"),
         payload.alias("__r"),
     )
+    tb_type = dict(r2.dtypes)["__tb"]
     l2 = left.select(
         "*",
         F.col(left_ts).alias("__ets"),
         F.lit(1).alias("__is_left"),
-        F.lit(None).cast("double").alias("__tb"),
+        F.lit(None).cast(tb_type).alias("__tb"),
     )
     u = l2.unionByName(r2, allowMissingColumns=True)
 

@@ -49,7 +49,10 @@ def manifest(df: DataFrame, key_col: str, n_shards: int) -> DataFrame:
     """(shard, n_rows, n_bytes, content_hash): the verification record.
     content_hash is an order-insensitive sum of per-row md5 prefixes —
     two exports of the same logical data match even if row order or
-    file split differs."""
+    file split differs. n_bytes is the exact on-disk size of the
+    shard's JSONL files: UTF-8 octets per row plus the newline the
+    writer appends (verified against real file sizes in
+    tests/test_export.py)."""
     keyed = df.withColumn("shard", shard_id(key_col, n_shards))
     row_json = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
     row_h = F.conv(F.substring(F.md5(row_json), 1, 15), 16, 10).cast("decimal(38,0)")
@@ -57,7 +60,7 @@ def manifest(df: DataFrame, key_col: str, n_shards: int) -> DataFrame:
         keyed.groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.length(row_json)).alias("n_bytes"),
+            F.sum(F.length(F.encode(row_json, "UTF-8")) + 1).alias("n_bytes"),
             F.sum(row_h).cast("decimal(38,0)").alias("content_hash"),
         )
     )

@@ -67,6 +67,12 @@ def minmax_scale(c, lo: float, hi: float, bits: int = 8) -> Column:
     c = F.col(c) if isinstance(c, str) else c
     span = float(hi) - float(lo)
     top = (1 << bits) - 1
+    if span < 0:
+        raise ValueError(f"hi < lo ({hi} < {lo})")
+    if span == 0:
+        # constant column in this batch: everything in bucket 0 rather
+        # than an ANSI DIVIDE_BY_ZERO
+        return F.lit(0).cast("long")
     scaled = F.floor(
         (c.cast("double") - F.lit(float(lo))) / F.lit(span) * F.lit(top + 1)
     )

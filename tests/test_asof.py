@@ -76,3 +76,15 @@ def test_single_exchange_plan(spark):
     # one hash-partitioning exchange on the key feeds the window; the
     # union itself must not shuffle
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_string_tiebreak_keeps_native_type(spark):
+    # a string LSN tiebreak must not be cast to double (review finding):
+    # max string wins deterministically
+    left = spark.createDataFrame([(1, "k", 10.0)], "id long, k string, t double")
+    right = spark.createDataFrame(
+        [("k", 5.0, "rA", "a"), ("k", 5.0, "rB", "b")],
+        "k string, t double, lsn string, v string",
+    )
+    out = asof_join(left, right, ["k"], "t", "t", tiebreak="lsn").collect()
+    assert out[0]["v"] == "b" and out[0]["lsn"] == "rB"

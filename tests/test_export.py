@@ -46,6 +46,20 @@ def test_export_is_deterministic_bytes(spark, tmp_path):
     assert b1 == b2  # byte-identical regardless of input layout
 
 
+def test_manifest_n_bytes_matches_real_files(spark, tmp_path):
+    # include non-ASCII so char-count vs octet-count would diverge
+    d = _docs(spark).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" café—ß"))
+    )
+    p = str(tmp_path / "e")
+    export_jsonl(d, p, "doc_id", 4)
+    sizes = {
+        s: len(b) for s, b in _shard_bytes(p).items()
+    }
+    m = {str(r["shard"]): r["n_bytes"] for r in manifest(d, "doc_id", 4).collect()}
+    assert m == sizes
+
+
 def test_manifest_order_insensitive_and_counts(spark):
     d = _docs(spark)
     m1 = {r["shard"]: (r["n_rows"], r["content_hash"]) for r in manifest(d, "doc_id", 4).collect()}

@@ -86,3 +86,9 @@ def test_layout_plan_is_one_range_exchange(spark):
     )
     assert plan.count("Exchange rangepartitioning") == 1
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_minmax_scale_constant_column_is_bucket_zero(spark):
+    df = spark.createDataFrame([(7.0,), (7.0,)], "v double")
+    got = [r["s"] for r in df.select(minmax_scale("v", 7, 7).alias("s")).collect()]
+    assert got == [0, 0]
