@@ -1342,6 +1342,27 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance<=1 similarity self-join (operators/strsim.py):
+    deletion-neighborhood blocking (linear |s|+1 explode, hash
+    equi-join on the shared deletion) + exact levenshtein verify —
+    never an all-pairs cross join. The board derives 12-char pseudo-
+    titles plus a mutated copy for every 5th doc so true pairs exist;
+    the oracle brute-forces the same 600 titles (fine at sf0.01,
+    impossible at corpus scale — which is the point)."""
+    from datax_spark.operators.strsim import edit_distance_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    titles = docs.select(
+        "doc_id", F.substring("text", 1, 12).alias("title")
+    )
+    mutated = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("z"), F.substring("text", 2, 11)).alias("title"),
+    )
+    return edit_distance_pairs(titles.unionByName(mutated), "doc_id", "title")
+
+
 def q_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group OLS trend without any UDF: slope = covar_pop/var_pop,
     intercept from the means — four codegen aggregates in one
@@ -1850,6 +1871,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_events": q_asof_join_events,
     "scd2_build": q_scd2_build,
     "unicode_nfc": q_unicode_nfc,
+    "edit_distance_pairs": q_edit_distance_pairs,
     "trend_by_type": q_trend_by_type,
     "cube_agg": q_cube_agg,
     "interval_attribution": q_interval_attribution,
@@ -3521,6 +3543,17 @@ def _zorder_oracle() -> str:
 
 
 ORACLES["zorder_key"] = _zorder_oracle()
+
+ORACLES["edit_distance_pairs"] = """
+WITH t AS (
+  SELECT doc_id, substr(text, 1, 12) AS title FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, 'z' || substr(text, 2, 11)
+  FROM documents WHERE doc_id % 5 = 0)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+FROM t a JOIN t b
+  ON a.doc_id < b.doc_id AND levenshtein(a.title, b.title) <= 1"""
 
 ORACLES["trend_by_type"] = """
 WITH b AS (
