@@ -1342,6 +1342,48 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, distinct
+    users active at each day offset — one user_id exchange for the
+    first-seen window, one map-side-combined distinct agg."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    # to_date: DuckDB's date_trunc('day') yields DATE, Spark's a
+    # timestamp — align the compared type
+    cohort = F.to_date(F.min("ts").over(w))
+    out = ev.withColumn("cohort_day", cohort).select(
+        "user_id",
+        "cohort_day",
+        F.datediff(F.to_date(F.col("ts")), F.col("cohort_day")).alias(
+            "day_offset"
+        ),
+    )
+    return out.groupBy("cohort_day", "day_offset").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+def q_funnel_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel count: users whose first signup precedes their
+    first click precedes their first purchase — conditional min-ts
+    pivots in ONE aggregate pass, then a one-row codegen reduction."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_s"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_c"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_p"),
+    )
+    s1 = F.col("t_s").isNotNull()
+    s2 = s1 & F.col("t_c").isNotNull() & (F.col("t_c") > F.col("t_s"))
+    s3 = s2 & F.col("t_p").isNotNull() & (F.col("t_p") > F.col("t_c"))
+    one = F.lit(1)
+    return firsts.agg(
+        F.count(F.when(s1, one)).alias("n_signup"),
+        F.count(F.when(s2, one)).alias("n_then_click"),
+        F.count(F.when(s3, one)).alias("n_then_purchase"),
+    )
+
+
 def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance<=1 similarity self-join (operators/strsim.py):
     deletion-neighborhood blocking (linear |s|+1 explode, hash
@@ -1871,6 +1913,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_events": q_asof_join_events,
     "scd2_build": q_scd2_build,
     "unicode_nfc": q_unicode_nfc,
+    "cohort_retention": q_cohort_retention,
+    "funnel_sequence": q_funnel_sequence,
     "edit_distance_pairs": q_edit_distance_pairs,
     "trend_by_type": q_trend_by_type,
     "cube_agg": q_cube_agg,
@@ -3543,6 +3587,29 @@ def _zorder_oracle() -> str:
 
 
 ORACLES["zorder_key"] = _zorder_oracle()
+
+ORACLES["cohort_retention"] = """
+WITH f AS (
+  SELECT user_id, date_trunc('day', min(ts) OVER (PARTITION BY user_id))
+           AS cohort_day, ts
+  FROM events)
+SELECT cohort_day,
+       date_diff('day', cohort_day, date_trunc('day', ts)) AS day_offset,
+       count(DISTINCT user_id) AS n_users
+FROM f GROUP BY 1, 2"""
+
+ORACLES["funnel_sequence"] = """
+WITH f AS (
+  SELECT user_id,
+         min(ts) FILTER (event_type = 'signup') AS t_s,
+         min(ts) FILTER (event_type = 'click') AS t_c,
+         min(ts) FILTER (event_type = 'purchase') AS t_p
+  FROM events GROUP BY user_id)
+SELECT count(*) FILTER (t_s IS NOT NULL) AS n_signup,
+       count(*) FILTER (t_s IS NOT NULL AND t_c > t_s) AS n_then_click,
+       count(*) FILTER (t_s IS NOT NULL AND t_c > t_s AND t_p > t_c)
+         AS n_then_purchase
+FROM f"""
 
 ORACLES["edit_distance_pairs"] = """
 WITH t AS (
