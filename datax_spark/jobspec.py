@@ -431,6 +431,63 @@ def apply_transforms(
                 token_col=t.get("tokenCol", "n_tokens"),
                 quality_col=t.get("qualityCol", "quality"),
             )
+        elif op == "normalizeUnicode":
+            from datax_spark.functions.unicode import clean_unicode
+
+            col = t.get("col", "text")
+            df = df.withColumn(
+                t.get("as", col),
+                clean_unicode(
+                    F.col(col),
+                    form=t.get("form", "NFKC"),
+                    casefold=bool(t.get("casefold", False)),
+                ),
+            )
+        elif op == "dropOutliers":
+            from datax_spark.operators.anomaly import zscore_inliers
+
+            df = zscore_inliers(
+                df, t["col"], t.get("by", []), k=float(t.get("k", 3.0))
+            )
+        elif op == "expect":
+            from datax_spark.operators import expectations as _X
+
+            builders = {
+                "not_null": lambda c: _X.not_null(
+                    c["col"], float(c.get("threshold", 1.0))
+                ),
+                "unique": lambda c: _X.unique(
+                    c["col"], float(c.get("threshold", 1.0))
+                ),
+                "in_set": lambda c: _X.in_set(
+                    c["col"], c["values"], float(c.get("threshold", 1.0))
+                ),
+                "in_range": lambda c: _X.in_range(
+                    c["col"], c["lo"], c["hi"], float(c.get("threshold", 1.0))
+                ),
+                "matches": lambda c: _X.matches(
+                    c["col"], c["pattern"], float(c.get("threshold", 1.0))
+                ),
+                "min_rows": lambda c: _X.min_rows(int(c["rows"])),
+            }
+            _X.enforce(
+                df, [builders[c["kind"]](c) for c in t["constraints"]]
+            )
+        elif op == "zorder":
+            from datax_spark.operators.layout import zorder_sort, zvalue
+
+            df = zorder_sort(
+                df,
+                zvalue(t["cols"], bits=int(t.get("bits", 8))),
+                num_partitions=t.get("numPartitions"),
+            )
+        elif op == "shard":
+            from datax_spark.operators.export import shard_id
+
+            df = df.withColumn(
+                t.get("as", "shard"),
+                shard_id(t.get("keyCol", "doc_id"), int(t["nShards"])),
+            )
         else:
             raise ValueError(f"unknown transform {op!r}")
     if track_cast_ok:

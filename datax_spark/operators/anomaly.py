@@ -30,6 +30,14 @@ from typing import Sequence
 from pyspark.sql import DataFrame, functions as F
 
 
+def _with_stats(df: DataFrame, stats: DataFrame, gc: list) -> DataFrame:
+    # empty group list = global statistics: a one-row broadcast
+    # crossJoin, not an empty-key equi-join
+    if gc:
+        return df.join(F.broadcast(stats), gc)
+    return df.crossJoin(F.broadcast(stats))
+
+
 def zscore_outliers(
     df: DataFrame,
     value_col: str,
@@ -48,11 +56,40 @@ def zscore_outliers(
     )
     z = (F.col(value_col) - F.col("_mu")) / F.col("_sigma")
     return (
-        df.join(F.broadcast(stats), gc)
+        _with_stats(df, stats, gc)
         .where(F.col("_sigma") > 0)
         .where(F.abs(z) > F.lit(float(k)))
         .withColumn("z", F.round(z, 4))
         .drop("_mu", "_sigma")
+    )
+
+
+def zscore_inliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    k: float = 3.0,
+) -> DataFrame:
+    """The complement filter, same columns as ``df``: keep rows within
+    k sigma of their group mean (rows of zero-variance/singleton groups
+    are kept — nothing is anomalous where nothing varies). Same plan
+    shape: broadcast stats + codegen predicate, no fact shuffle."""
+    gc = list(group_cols)
+    stats = df.groupBy(*gc).agg(
+        F.avg(value_col).alias("_mu"),
+        F.stddev(value_col).alias("_sigma"),
+    )
+    z = (F.col(value_col) - F.col("_mu")) / F.col("_sigma")
+    keep = (
+        F.col("_sigma").isNull()
+        | (F.col("_sigma") == 0)
+        | (F.abs(z) <= F.lit(float(k)))
+    )
+    return (
+        _with_stats(df, stats, gc)
+        .where(keep)
+        .drop("_mu", "_sigma")
+        .select(*df.columns)
     )
 
 
@@ -73,7 +110,7 @@ def iqr_outliers(
     lo = F.col("_q1") - F.lit(float(k)) * iqr
     hi = F.col("_q3") + F.lit(float(k)) * iqr
     return (
-        df.join(F.broadcast(stats), gc)
+        _with_stats(df, stats, gc)
         .where((F.col(value_col) < lo) | (F.col(value_col) > hi))
         .withColumn("fence_lo", F.round(lo, 4))
         .withColumn("fence_hi", F.round(hi, 4))

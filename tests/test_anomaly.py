@@ -4,7 +4,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from datax_spark.operators.anomaly import iqr_outliers, zscore_outliers
+from datax_spark.operators.anomaly import (
+    iqr_outliers,
+    zscore_inliers,
+    zscore_outliers,
+)
 
 
 def _df(spark):
@@ -46,3 +50,21 @@ def test_zscore_plan_broadcasts_stats(spark):
         _df(spark), "v", ["grp"], k=3.0
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_inliers_complement_and_degenerate_groups_kept(spark):
+    df = _df(spark)
+    kept = zscore_inliers(df, "v", ["grp"], k=3.0)
+    assert kept.columns == df.columns
+    ids = {r["id"] for r in kept.collect()}
+    # everything except the flagged outlier survives, including the
+    # constant group and the singleton group
+    assert ids == {r["id"] for r in df.collect()} - {99}
+
+
+def test_global_stats_empty_group_list(spark):
+    df = _df(spark).where(F.col("grp") == "g")
+    out = zscore_outliers(df, "v", [], k=3.0).collect()
+    assert [r["id"] for r in out] == [99]
+    kept = zscore_inliers(df, "v", [], k=3.0)
+    assert kept.count() == 20

@@ -448,3 +448,80 @@ def test_stratify_transform(spark, tmp_path):
     )
     rows = out.collect()
     assert all(r["source"] == "a" for r in rows) and len(rows) == 200
+
+
+def test_new_corpus_transforms(spark, tmp_path):
+    from datax_spark.jobspec import run_batch_job
+
+    src = tmp_path / "docs_new"
+    rows = [(i, "café" if i % 2 else "plain text", float(i % 10)) for i in range(100)]
+    rows.append((999, "outlier", 1e6))
+    spark.createDataFrame(rows, "doc_id long, text string, v double").write.parquet(
+        str(src)
+    )
+    out = run_batch_job(
+        spark,
+        {
+            "reader": {"type": "parquet", "path": str(src)},
+            "transforms": [
+                {"op": "normalizeUnicode", "col": "text", "casefold": True},
+                {"op": "dropOutliers", "col": "v"},
+                {"op": "shard", "keyCol": "doc_id", "nShards": 4},
+                {
+                    "op": "expect",
+                    "constraints": [
+                        {"kind": "not_null", "col": "text"},
+                        {"kind": "min_rows", "rows": 50},
+                    ],
+                },
+            ],
+        },
+    )
+    rows = out.collect()
+    assert len(rows) == 100                     # the 1e6 outlier dropped
+    assert {r["shard"] for r in rows} <= {0, 1, 2, 3}
+    assert all("café" == r["text"] or r["text"] == "plain text" for r in rows)
+
+
+def test_expect_transform_aborts_on_violation(spark, tmp_path):
+    import pytest as _pytest
+
+    from datax_spark.jobspec import run_batch_job
+
+    src = tmp_path / "docs_bad"
+    spark.createDataFrame(
+        [(1, None), (2, "x")], "doc_id long, text string"
+    ).write.parquet(str(src))
+    with _pytest.raises(ValueError, match="not_null"):
+        run_batch_job(
+            spark,
+            {
+                "reader": {"type": "parquet", "path": str(src)},
+                "transforms": [
+                    {"op": "expect",
+                     "constraints": [{"kind": "not_null", "col": "text"}]},
+                ],
+            },
+        )
+
+
+def test_zorder_transform_layout(spark, tmp_path):
+    from datax_spark.jobspec import run_batch_job
+
+    src = tmp_path / "docs_z"
+    spark.createDataFrame(
+        [(i, i % 16, (i * 7) % 16) for i in range(256)],
+        "doc_id long, x long, y long",
+    ).write.parquet(str(src))
+    out = run_batch_job(
+        spark,
+        {
+            "reader": {"type": "parquet", "path": str(src)},
+            "transforms": [
+                {"op": "zorder", "cols": ["x", "y"], "bits": 4,
+                 "numPartitions": 4},
+            ],
+        },
+    )
+    assert out.rdd.getNumPartitions() == 4
+    assert out.count() == 256
