@@ -1342,6 +1342,51 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_error_burst_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection: error events whose user produced >=2 errors in
+    the trailing 30 minutes — a RANGE window frame over event-time
+    seconds (peers included, matching SQL RANGE semantics), filtered to
+    the error stream BEFORE the exchange so the window sees only
+    errors."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "error")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-1800, 0)
+    )
+    out = ev.select(
+        "user_id", "event_id", F.count(F.lit(1)).over(w).alias("n_recent")
+    )
+    return out.where(F.col("n_recent") >= 2)
+
+
+def q_json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: the events.props JSON column parsed
+    with codegen get_json_object (no UDF, stays in whole-stage codegen)
+    and aggregated per type — the 'loosely-typed sidecar column' every
+    CDC feed carries."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.when(k.isNull(), 1)).alias("n_unparsed"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: exact cosine top-k restricted to a
+    metadata predicate (label IN (2,3,5)) applied BEFORE the scan — the
+    filter prunes the corpus side ahead of any distance math, the
+    pattern every metadata-filtered ANN serving path needs (at scale
+    the same predicate pushes into the IVF probed-cell scan)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("label").isin(2, 3, 5))
+    return SIM.bruteforce_topk(corpus, emb.filter(F.col("vec_id") < 8), k=5)
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by first-seen day, distinct
     users active at each day offset — one user_id exchange for the
@@ -1913,6 +1958,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_events": q_asof_join_events,
     "scd2_build": q_scd2_build,
     "unicode_nfc": q_unicode_nfc,
+    "error_burst_flags": q_error_burst_flags,
+    "json_props_agg": q_json_props_agg,
+    "ann_filtered_topk": q_ann_filtered_topk,
     "cohort_retention": q_cohort_retention,
     "funnel_sequence": q_funnel_sequence,
     "edit_distance_pairs": q_edit_distance_pairs,
@@ -3587,6 +3635,46 @@ def _zorder_oracle() -> str:
 
 
 ORACLES["zorder_key"] = _zorder_oracle()
+
+ORACLES["error_burst_flags"] = """
+WITH e AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'error')
+SELECT user_id, event_id, n_recent FROM (
+  SELECT user_id, event_id,
+         count(*) OVER (PARTITION BY user_id ORDER BY ts
+                        RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING
+                              AND CURRENT ROW) AS n_recent
+  FROM e)
+WHERE n_recent >= 2"""
+
+ORACLES["json_props_agg"] = """
+WITH x AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events)
+SELECT event_type, round(avg(k), 4) AS avg_k, max(k) AS max_k,
+       count(*) FILTER (k IS NULL) AS n_unparsed, count(*) AS n
+FROM x GROUP BY event_type"""
+
+ORACLES["ann_filtered_topk"] = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id, v FROM e WHERE vec_id < 8),
+c AS (SELECT vec_id, v FROM e WHERE label IN (2, 3, 5)),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.v, c.v)
+           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+           AS cs
+  FROM q JOIN c ON q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cs,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(cs, 6) DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cs, 4) AS cos_sim, rank
+FROM ranked WHERE rank <= 5"""
 
 ORACLES["cohort_retention"] = """
 WITH f AS (
