@@ -83,6 +83,12 @@ HEADLINE = [
     "asof_join_events",
     "scd2_build",
     "anomaly_zscore",
+    "top_tokens",
+    "tfidf_top_terms",
+    "edit_distance_pairs",
+    "interval_attribution",
+    "unicode_nfc",
+    "expectations_report",
 ]
 
 CDC_EVENTS = int(os.environ.get("DATAX_BENCH_EVENTS", "1000000"))
