@@ -1342,6 +1342,80 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: customer x orders x lineitem with selective
+    filters on both ends — Catalyst pushes both predicates below the
+    joins and broadcasts the pruned customer side; top-10 by revenue."""
+    cust = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < "1998-03-15"
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > "1998-03-15"
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    return (
+        j.groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-table star join (region->nation->customer/
+    supplier->orders->lineitem) with the same-nation constraint —
+    the join-reorder / broadcast-dims stress test."""
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return j.groupBy("n_name").agg(F.round(F.sum(rev), 2).alias("revenue"))
+
+
+def q_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS as a LEFT SEMI join — orders
+    with at least one RETURNED lineitem in a quarter, counted per
+    priority (the synthetic lineitem has no commit/receipt dates;
+    l_returnflag carries the correlated predicate)."""
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1997-07-01")
+        & (F.col("o_orderdate") < "1997-10-01")
+    )
+    late = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    semi = orders.join(
+        late, orders.o_orderkey == late.l_orderkey, "left_semi"
+    )
+    return semi.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
 def q_error_burst_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Burst detection: error events whose user produced >=2 errors in
     the trailing 30 minutes — a RANGE window frame over event-time
@@ -1958,6 +2032,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_events": q_asof_join_events,
     "scd2_build": q_scd2_build,
     "unicode_nfc": q_unicode_nfc,
+    "shipping_priority": q_shipping_priority,
+    "local_supplier_volume": q_local_supplier_volume,
+    "order_priority_exists": q_order_priority_exists,
     "error_burst_flags": q_error_burst_flags,
     "json_props_agg": q_json_props_agg,
     "ann_filtered_topk": q_ann_filtered_topk,
@@ -3635,6 +3712,35 @@ def _zorder_oracle() -> str:
 
 
 ORACLES["zorder_key"] = _zorder_oracle()
+
+ORACLES["shipping_priority"] = """
+SELECT l_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < DATE '1998-03-15' AND l_shipdate > DATE '1998-03-15'
+GROUP BY 1, 2
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"""
+
+ORACLES["local_supplier_volume"] = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+GROUP BY n_name"""
+
+ORACLES["order_priority_exists"] = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1997-07-01' AND o_orderdate < DATE '1997-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority"""
 
 ORACLES["error_burst_flags"] = """
 WITH e AS (
