@@ -1416,6 +1416,60 @@ def q_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer over a
+    quarter, top-20 — a large-key group (customer) fed by two pushed
+    filters and a broadcast nation join."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q_clicked_never_purchased(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-difference shape: users who clicked but never purchased —
+    subtract() is SQL EXCEPT (set semantics): one aggregate + anti
+    join, no distinct-then-join hand-rolling."""
+    ev = _t(spark, sf_dir, "events")
+    clicked = ev.where(F.col("event_type") == "click").select("user_id")
+    purchased = ev.where(F.col("event_type") == "purchase").select("user_id")
+    return clicked.subtract(purchased)
+
+
+def q_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution profile: orders cut into deciles of o_totalprice
+    (ntile over a deterministic (price, key) order), per-decile
+    min/max/sum — the skew-inspection query for any value column.
+    NOTE the global ntile is a single-task total order — exact-rank
+    semantics for the oracle; the 100-TB form computes approx
+    percentile cut points (one agg) and buckets with a codegen CASE,
+    trading exact equal-population for full parallelism."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    d = orders.withColumn("decile", F.ntile(10).over(w).cast("bigint"))
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
 def q_error_burst_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Burst detection: error events whose user produced >=2 errors in
     the trailing 30 minutes — a RANGE window frame over event-time
@@ -2032,6 +2086,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_events": q_asof_join_events,
     "scd2_build": q_scd2_build,
     "unicode_nfc": q_unicode_nfc,
+    "returned_item_ranking": q_returned_item_ranking,
+    "clicked_never_purchased": q_clicked_never_purchased,
+    "order_value_deciles": q_order_value_deciles,
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,
     "order_priority_exists": q_order_priority_exists,
@@ -3712,6 +3769,33 @@ def _zorder_oracle() -> str:
 
 
 ORACLES["zorder_key"] = _zorder_oracle()
+
+ORACLES["returned_item_ranking"] = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-04-01'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey ASC LIMIT 20"""
+
+ORACLES["clicked_never_purchased"] = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'"""
+
+ORACLES["order_value_deciles"] = """
+WITH d AS (
+  SELECT o_totalprice,
+         CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+           AS decile
+  FROM orders)
+SELECT decile, count(*) AS n,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi,
+       round(sum(o_totalprice), 2) AS total
+FROM d GROUP BY decile"""
 
 ORACLES["shipping_priority"] = """
 SELECT l_orderkey, o_orderdate,
