@@ -513,6 +513,33 @@ class IceTable:
             *[str(p) for p in sorted(qdir.glob("epoch=*"))]
         )
 
+    def quarantine_epochs(self) -> list[str]:
+        """Names of the quarantine epoch directories currently present."""
+        qdir = self.root / "quarantine"
+        return sorted(p.name for p in qdir.glob("epoch=*")) if qdir.exists() else []
+
+    def archive_quarantine(self, epoch_dirs: list[str]) -> int:
+        """Move the named quarantine epoch directories into
+        ``quarantine_archive`` (kept, not deleted — the audit trail of
+        what a reprocess consumed). Already-archived names are skipped,
+        so a crashed reprocess can safely re-run. Returns the number of
+        directories moved."""
+        qdir = self.root / "quarantine"
+        adir = self.root / "quarantine_archive"
+        adir.mkdir(parents=True, exist_ok=True)
+        moved = 0
+        for name in epoch_dirs:
+            src = qdir / name
+            if not src.exists():
+                continue
+            dest = adir / name
+            if dest.exists():
+                shutil.rmtree(str(src), ignore_errors=True)
+            else:
+                os.rename(src, dest)
+            moved += 1
+        return moved
+
     def read_incremental(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Incremental scan for downstream CDC consumers: rows in data
         files ADDED strictly after ``from_version`` up to ``to_version``

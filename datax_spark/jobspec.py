@@ -289,6 +289,20 @@ def apply_transforms(
             )
         elif op == "filter":
             df = TX.dx_filter(df, t["predicate"])
+        elif op == "mapValues":
+            # value remapping (the canonical dead-letter repair rule:
+            # legacy op codes → canonical ones): a chained CASE WHEN,
+            # fully codegen'd, unmapped values pass through unchanged
+            col = F.col(t["col"])
+            out = None
+            for src, dst in t["mapping"].items():
+                cond = col == F.lit(src)
+                out = F.when(cond, F.lit(dst)) if out is None else out.when(
+                    cond, F.lit(dst)
+                )
+            df = df.withColumn(
+                t.get("as", t["col"]), out.otherwise(col) if out is not None else col
+            )
         elif op == "cast":
             casted, ok = TX.strict_cast(t["col"], t["to"])
             if track_cast_ok:
@@ -752,6 +766,54 @@ def _run_batch_job_body(
     reader = spec["reader"]
     cursor = None  # (source table, tag name, version to pin on success)
     df = None
+    if reader.get("type") == "icetable_reprocess":
+        # dead-letter repair as a self-contained maintenance job: the
+        # spec's transforms ARE the repair rule, applied to the table's
+        # quarantine area and re-ingested through the SAME apply_epoch
+        # path (operators/merge.reprocess_quarantine) — rows the
+        # transforms can't fix re-quarantine under the new epoch, so a
+        # repair rule that only covers some defect classes still makes
+        # monotone progress. No writer: the table is both source and
+        # sink. Returns a one-row stats frame (empty when the
+        # quarantine area is already drained).
+        from datax_spark.icetable.table import IceTable
+        from datax_spark.operators.merge import reprocess_quarantine
+
+        tbl = IceTable.load(spark, reader["path"])
+
+        def _repair(qdf: DataFrame) -> DataFrame:
+            return apply_transforms(qdf, spec.get("transforms"))
+
+        committed = tbl.committed_epochs()
+        epoch = reader.get("epoch")
+        if epoch is None:
+            epoch = (max(committed) + 1) if committed else 0
+        stats = reprocess_quarantine(
+            tbl,
+            _repair,
+            epoch=int(epoch),
+            extract=bool(reader.get("extract", False)),
+            merge_strategy=reader.get("mergeStrategy", "auto"),
+        )
+        stats_schema = (
+            "epoch long, skipped boolean, rows_in long, rows_dirty long, "
+            "rows_upserted long, rows_deleted long"
+        )
+        if stats is None:
+            return spark.createDataFrame([], stats_schema)
+        return spark.createDataFrame(
+            [
+                (
+                    stats.epoch,
+                    stats.skipped,
+                    stats.rows_in,
+                    stats.rows_dirty,
+                    stats.rows_upserted,
+                    stats.rows_deleted,
+                )
+            ],
+            stats_schema,
+        )
     if reader.get("type") == "jdbc_incremental":
         df, cursor = _compile_jdbc_incremental(
             spark, reader, spec.get("writer") or {}

@@ -481,3 +481,41 @@ def apply_epoch(
     stats.affected_partitions = len(affected)
     stats.wall_ms = int((time.monotonic() - t0) * 1000)
     return stats
+
+
+def reprocess_quarantine(
+    table: IceTable,
+    repair,
+    epoch: int,
+    **apply_kwargs,
+) -> EpochStats | None:
+    """Dead-letter repair loop: read the quarantine area, apply the
+    caller's ``repair(DataFrame) -> DataFrame`` (fix keys, map ops,
+    backfill LSNs), and re-ingest through the SAME ``apply_epoch`` path
+    under a fresh ``epoch`` — rows the repair could not fix fail
+    ``split_dirty`` again and re-quarantine under the new epoch, so
+    nothing is ever silently dropped. Consumed epoch directories move
+    to ``quarantine_archive`` (audit trail), and only the directories
+    that existed BEFORE the apply are archived, so the new epoch's
+    re-quarantined leftovers stay live.
+
+    Idempotence: archive happens only when the apply actually ran —
+    either it committed clean rows, or every repaired row failed again
+    and was re-quarantined (``skipped`` with ``rows_dirty > 0``: the
+    leftovers now live under the NEW epoch, so the consumed dirs are
+    redundant). A ledger-replay skip (``skipped`` with zero dirty)
+    wrote nothing, so it archives nothing — the consumed directories
+    stay live, and the NEXT reprocess (fresh epoch) re-consumes them:
+    re-ingesting identical (key, lsn) rows is a no-op under the MERGE
+    lsn guard, so convergence costs one extra no-op epoch and never
+    loses a row. The target epoch's own directory is never archived,
+    so reusing a consumed epoch number can't swallow fresh leftovers.
+    Returns None when the quarantine area is empty."""
+    consumed = [n for n in table.quarantine_epochs() if n != f"epoch={epoch}"]
+    q = table.read_quarantine()
+    if q is None:
+        return None
+    stats = apply_epoch(table, repair(q), epoch, **apply_kwargs)
+    if not stats.skipped or stats.rows_dirty > 0:
+        table.archive_quarantine(consumed)
+    return stats

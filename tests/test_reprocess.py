@@ -1,0 +1,127 @@
+"""Dead-letter reprocessing (operators/merge.py reprocess_quarantine)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F, types as T
+
+from datax_spark.icetable.table import IceTable
+from datax_spark.operators.merge import apply_epoch, reprocess_quarantine
+
+PAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+EV = "lsn long, op string, url string, warc_ts timestamp, html binary, lang string"
+
+
+def _fix_ops(df):
+    # the repair rule: legacy op code 'X' means upsert
+    return df.withColumn(
+        "op", F.when(F.col("op") == "X", "I").otherwise(F.col("op"))
+    )
+
+
+def test_repair_reingest_archive_and_leftovers(spark, tmp_path):
+    table = IceTable.create(spark, tmp_path / "t", PAGE_SCHEMA, num_partitions=2)
+    ev = spark.createDataFrame(
+        [
+            (1, "I", "https://x/ok", None, b"<p>a</p>", "en"),
+            (2, "X", "https://x/legacy", None, b"<p>b</p>", "en"),  # dirty op
+            (3, "I", None, None, b"<p>c</p>", "en"),               # unfixable
+        ],
+        EV,
+    )
+    stats = apply_epoch(table, ev, 0)
+    assert stats.rows_dirty == 2
+    assert {r["url"] for r in table.read().collect()} == {"https://x/ok"}
+
+    rstats = reprocess_quarantine(table, _fix_ops, epoch=100)
+    assert rstats is not None and not rstats.skipped
+    # the repaired row landed; the unfixable one did not
+    assert {r["url"] for r in table.read().collect()} == {
+        "https://x/ok",
+        "https://x/legacy",
+    }
+    # consumed dir archived; the unfixable row re-quarantined under 100
+    assert table.quarantine_epochs() == ["epoch=100"]
+    assert (table.root / "quarantine_archive" / "epoch=0").exists()
+    leftovers = table.read_quarantine().collect()
+    assert len(leftovers) == 1 and leftovers[0]["url"] is None
+
+
+def test_replayed_epoch_skips_and_keeps_quarantine_live(spark, tmp_path):
+    table = IceTable.create(spark, tmp_path / "t", PAGE_SCHEMA, num_partitions=2)
+    ev = spark.createDataFrame(
+        [(2, "X", "https://x/legacy", None, b"<p>b</p>", "en")], EV
+    )
+    apply_epoch(table, ev, 0)
+    assert reprocess_quarantine(table, _fix_ops, epoch=100) is not None
+    # crash-replay with the SAME epoch: ledger skips, nothing archived,
+    # nothing lost (quarantine is already empty here)
+    again = reprocess_quarantine(table, _fix_ops, epoch=100)
+    assert again is None  # fully drained: no dirty leftovers existed
+    # and the table state is unchanged
+    assert {r["url"] for r in table.read().collect()} == {"https://x/legacy"}
+
+
+def test_jobspec_reprocess_action(spark, tmp_path):
+    """The job-spec surface: reader.type icetable_reprocess with the
+    spec's transforms as the repair rule (mapValues op remap)."""
+    from datax_spark.jobspec import run_batch_job
+
+    table = IceTable.create(spark, tmp_path / "t", PAGE_SCHEMA, num_partitions=2)
+    ev = spark.createDataFrame(
+        [
+            (1, "I", "https://x/ok", None, b"<p>a</p>", "en"),
+            (2, "X", "https://x/legacy", None, b"<p>b</p>", "en"),
+        ],
+        EV,
+    )
+    apply_epoch(table, ev, 0)
+    stats_df = run_batch_job(
+        spark,
+        {
+            "reader": {"type": "icetable_reprocess", "path": str(tmp_path / "t")},
+            "transforms": [
+                {"op": "mapValues", "col": "op", "mapping": {"X": "I"}}
+            ],
+        },
+    )
+    row = stats_df.collect()[0]
+    assert row["rows_upserted"] == 1 and row["rows_dirty"] == 0
+    assert {r["url"] for r in table.read().collect()} == {
+        "https://x/ok",
+        "https://x/legacy",
+    }
+    assert table.quarantine_epochs() == []
+    # drained: a second run is a no-op returning an empty stats frame
+    assert (
+        run_batch_job(
+            spark,
+            {
+                "reader": {
+                    "type": "icetable_reprocess",
+                    "path": str(tmp_path / "t"),
+                }
+            },
+        ).count()
+        == 0
+    )
+
+
+def test_unfixable_rows_never_loop_lost(spark, tmp_path):
+    table = IceTable.create(spark, tmp_path / "t", PAGE_SCHEMA, num_partitions=2)
+    ev = spark.createDataFrame([(3, "I", None, None, b"<p>c</p>", "en")], EV)
+    apply_epoch(table, ev, 0)
+    # two successive reprocesses that can't fix the row: it keeps
+    # cycling through live quarantine, never silently dropped
+    reprocess_quarantine(table, _fix_ops, epoch=100)
+    assert table.quarantine_epochs() == ["epoch=100"]
+    reprocess_quarantine(table, _fix_ops, epoch=101)
+    assert table.quarantine_epochs() == ["epoch=101"]
+    assert table.read_quarantine().count() == 1
