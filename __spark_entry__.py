@@ -1470,6 +1470,233 @@ def q_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left outer join customer←orders (a filter on
+    the OUTER side's payload, kept below the join), per-customer order
+    count, then the distribution of those counts — the classic
+    two-level aggregation where the second groupBy is tiny."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") != "F"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: one month of lineitem ⋈ broadcast part, promo
+    share as a conditional-sum ratio — a single scan, both sums in one
+    aggregate (no second pass for the denominator)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-06-01")
+        & (F.col("l_shipdate") < "1997-07-01")
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return j.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+            / F.sum(rev),
+            4,
+        ).alias("promo_share"),
+        F.round(F.sum(rev), 2).alias("total_revenue"),
+    )
+
+
+def q_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (lineitem stands in for partsupp): distinct
+    supplier count per (p_brand, p_type, p_size-bucket), excluding one
+    brand and anti-joining out negative-balance suppliers — distinct
+    agg over a selective join, top-10 by variety."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#13") & (F.col("p_size") <= 25)
+    )
+    bad = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad), "l_suppkey", "left_anti")
+    )
+    return (
+        j.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+            F.col("p_size").asc(),
+        )
+        .limit(10)
+    )
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity clears a threshold
+    (groupBy + having on the FACT side first — the 15k-order key set
+    collapses to a handful before touching customer), then enrich via
+    broadcast semi-join, top-20 by quantity."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .where(F.col("total_qty") > 250)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    j = (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    return (
+        j.select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+def q_brand_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate across the join (three
+    brand/size/quantity envelopes) — the disjunction stays one codegen
+    filter after a broadcast join; no UNION of three scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    c1 = (
+        (F.col("p_brand") == "Brand#12")
+        & (F.col("p_size").between(1, 10))
+        & (F.col("l_quantity").between(1, 15))
+    )
+    c2 = (
+        (F.col("p_brand") == "Brand#23")
+        & (F.col("p_size").between(5, 20))
+        & (F.col("l_quantity").between(10, 25))
+    )
+    c3 = (
+        (F.col("p_brand") == "Brand#34")
+        & (F.col("p_size").between(15, 35))
+        & (F.col("l_quantity").between(20, 35))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.where(c1 | c2 | c3).agg(
+        F.round(F.sum(rev), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q_idle_wealthy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (global average positive
+    balance — ONE row, broadcast into the filter) + anti join against
+    recent orders; per-segment count/sum of the customers above the
+    average with no 1998+ activity."""
+    cust = _t(spark, sf_dir, "customer")
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= "1998-01-01"
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    rich = cust.crossJoin(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    idle = rich.join(recent, "c_custkey", "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
+
+
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: lead() on a deterministic (ts, event_id) order — ONE
+    exchange on user_id — then a tiny (type, next_type) aggregate;
+    probabilities normalized per source type with a window over the
+    5×5 result, not a second corpus pass."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    pairs = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tw = Window.partitionBy("event_type")
+    return pairs.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tw), 4).alias("p"),
+    )
+
+
+def q_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + forward fill: per-user daily value sums
+    re-gridded onto the full calendar (sequence+explode — generated,
+    never collected) and gaps carried forward with last(ignorenulls)
+    over one (user, day) window. The calendar build is a broadcast of
+    a ONE-ROW bounds aggregate; at 100 TB the grid is |users|×|days|
+    rows, independent of event count."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("day_value"))
+    bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    cal = (
+        daily.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cal.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round(
+                F.last("day_value", ignorenulls=True).over(w), 4
+            ).alias("value_ff"),
+            F.col("day_value").isNull().alias("was_gap"),
+        )
+    )
+
+
+def q_link_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the link graph (operators/graph.py
+    triangle_stats): degree-ordered wedge enumeration + one closing
+    equi-join — the hub-safe form; the count itself is
+    orientation-invariant, so the oracle uses the plain a<b<c
+    orientation."""
+    from datax_spark.operators.graph import triangle_stats
+
+    return triangle_stats(_synthetic_edges(_t(spark, sf_dir, "events")))
+
+
 def q_error_burst_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Burst detection: error events whose user produced >=2 errors in
     the trailing 30 minutes — a RANGE window frame over event-time
@@ -2089,6 +2316,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "returned_item_ranking": q_returned_item_ranking,
     "clicked_never_purchased": q_clicked_never_purchased,
     "order_value_deciles": q_order_value_deciles,
+    "customer_order_distribution": q_customer_order_distribution,
+    "promo_revenue_share": q_promo_revenue_share,
+    "supplier_variety": q_supplier_variety,
+    "large_volume_customers": q_large_volume_customers,
+    "brand_disjunctive_revenue": q_brand_disjunctive_revenue,
+    "idle_wealthy_customers": q_idle_wealthy_customers,
+    "event_transition_matrix": q_event_transition_matrix,
+    "gap_fill_forward": q_gap_fill_forward,
+    "link_graph_triangles": q_link_graph_triangles,
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,
     "order_priority_exists": q_order_priority_exists,
@@ -3825,6 +4061,122 @@ WHERE o_orderdate >= DATE '1997-07-01' AND o_orderdate < DATE '1997-10-01'
   AND EXISTS (SELECT 1 FROM lineitem
               WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
 GROUP BY o_orderpriority"""
+
+ORACLES["customer_order_distribution"] = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+  GROUP BY c_custkey)
+SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY c_count"""
+
+ORACLES["promo_revenue_share"] = """
+SELECT round(CAST(100.0 AS DOUBLE)
+         * sum(CASE WHEN p_type = 'PROMO'
+                    THEN l_extendedprice * (1 - l_discount)
+                    ELSE CAST(0.0 AS DOUBLE) END)
+         / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= DATE '1997-06-01' AND l_shipdate < DATE '1997-07-01'"""
+
+ORACLES["supplier_variety"] = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND p_brand <> 'Brand#13' AND p_size <= 25
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+LIMIT 10"""
+
+ORACLES["large_volume_customers"] = """
+WITH big AS (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING round(sum(l_quantity), 2) > 250)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice, total_qty
+FROM orders, big, customer
+WHERE o_orderkey = l_orderkey AND o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey ASC LIMIT 20"""
+
+ORACLES["brand_disjunctive_revenue"] = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem, part
+WHERE l_partkey = p_partkey AND (
+     (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+      AND l_quantity BETWEEN 1 AND 15)
+  OR (p_brand = 'Brand#23' AND p_size BETWEEN 5 AND 20
+      AND l_quantity BETWEEN 10 AND 25)
+  OR (p_brand = 'Brand#34' AND p_size BETWEEN 15 AND 35
+      AND l_quantity BETWEEN 20 AND 35))"""
+
+ORACLES["idle_wealthy_customers"] = """
+SELECT c_mktsegment, count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                   WHERE c_acctbal > CAST(0.0 AS DOUBLE))
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderdate >= DATE '1998-01-01')
+GROUP BY c_mktsegment"""
+
+ORACLES["event_transition_matrix"] = """
+WITH pairs AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS next_type
+  FROM events),
+counts AS (
+  SELECT event_type, next_type, count(*) AS n
+  FROM pairs WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type)
+SELECT event_type, next_type, n,
+       round(CAST(n AS DOUBLE)
+             / sum(n) OVER (PARTITION BY event_type), 4) AS p
+FROM counts"""
+
+ORACLES["gap_fill_forward"] = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         round(sum("value"), 4) AS day_value
+  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+cal AS (
+  SELECT u.user_id, CAST(g.day AS DATE) AS day
+  FROM (SELECT DISTINCT user_id FROM daily) u,
+       (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        FROM bounds) g)
+SELECT cal.user_id, strftime(cal.day, '%Y-%m-%d') AS day,
+       round(last_value(daily.day_value IGNORE NULLS) OVER (
+         PARTITION BY cal.user_id ORDER BY cal.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS value_ff,
+       daily.day_value IS NULL AS was_gap
+FROM cal LEFT JOIN daily
+  ON cal.user_id = daily.user_id AND cal.day = daily.day"""
+
+ORACLES["link_graph_triangles"] = """
+WITH raw AS (
+  SELECT user_id % 200 AS a, event_id % 200 AS b
+  FROM events
+  WHERE (user_id + event_id) % 17 = 3 AND user_id % 200 <> event_id % 200),
+e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM raw),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM e e1 JOIN e e2 ON e2.u = e1.v JOIN e e3
+    ON e3.u = e1.u AND e3.v = e2.v),
+deg AS (
+  SELECT node, count(*) AS d
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+  GROUP BY node),
+w AS (SELECT CAST(sum(d * (d - 1)) / 2 AS BIGINT) AS n_wedges FROM deg)
+SELECT CAST(tri.n_triangles AS BIGINT) AS n_triangles, w.n_wedges,
+       round(3.0 * tri.n_triangles / w.n_wedges, 4) AS clustering
+FROM tri, w"""
 
 ORACLES["error_burst_flags"] = """
 WITH e AS (

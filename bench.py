@@ -89,6 +89,11 @@ HEADLINE = [
     "interval_attribution",
     "unicode_nfc",
     "expectations_report",
+    "customer_order_distribution",
+    "large_volume_customers",
+    "event_transition_matrix",
+    "gap_fill_forward",
+    "link_graph_triangles",
 ]
 
 CDC_EVENTS = int(os.environ.get("DATAX_BENCH_EVENTS", "1000000"))

@@ -8,7 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from datax_spark.functions.extract import extract_links, host_edges
-from datax_spark.operators.graph import degree_stats, pagerank
+from datax_spark.operators.graph import degree_stats, pagerank, triangle_stats
 
 PAGES = [
     (
@@ -92,3 +92,71 @@ def test_pagerank_plan_no_cartesian(spark):
     e = spark.createDataFrame([("a", "b"), ("b", "a")], ["src", "dst"])
     plan = pagerank(e, iterations=2)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def _py_triangles(edges):
+    import itertools
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = {v for e in und for v in e}
+    adj = {v: set() for v in nodes}
+    for u, v in und:
+        adj[u].add(v)
+        adj[v].add(u)
+    tri = sum(
+        1
+        for a, b, c in itertools.combinations(sorted(nodes), 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    wedges = sum(len(n) * (len(n) - 1) // 2 for n in adj.values())
+    return tri, wedges
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        # one triangle + a pendant
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")],
+        # direction + parallel edges collapse; hub wedge fan, K4 inside
+        [
+            ("h", "x"), ("x", "h"), ("h", "y"), ("h", "z"), ("h", "w"),
+            ("x", "y"), ("y", "z"), ("x", "z"), ("w", "q"),
+        ],
+        # no triangles at all (star)
+        [("s", "1"), ("s", "2"), ("s", "3")],
+    ],
+)
+def test_triangle_stats_matches_bruteforce(spark, edges):
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    row = triangle_stats(e).collect()[0]
+    tri, wedges = _py_triangles(edges)
+    assert (row["n_triangles"], row["n_wedges"]) == (tri, wedges)
+    if wedges:
+        assert row["clustering"] == pytest.approx(3.0 * tri / wedges, abs=1e-4)
+
+
+def test_triangle_stats_orientation_invariance_and_plan(spark):
+    # 40-node deterministic dense-ish graph: degree-ordered count
+    # equals the brute-force count, and the plan has no cartesian
+    edges = [
+        (str(a), str(b))
+        for a in range(25)
+        for b in range(25)
+        if a != b and (a * b + a + 3 * b) % 7 == 0
+    ]  # 61 undirected edges, 56 triangles, 294 wedges
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    out = triangle_stats(e)
+    row = out.collect()[0]
+    tri, wedges = _py_triangles(edges)
+    assert (row["n_triangles"], row["n_wedges"]) == (tri, wedges)
+    assert tri > 0  # the fixture must actually exercise the join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_stats_wedge_free_graph_null_clustering(spark):
+    # perfect matching: no wedges — clustering is NULL, not a crash
+    e = spark.createDataFrame([("a", "b"), ("c", "d")], ["src", "dst"])
+    row = triangle_stats(e).collect()[0]
+    assert (row["n_triangles"], row["n_wedges"]) == (0, 0)
+    assert row["clustering"] is None
