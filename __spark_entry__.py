@@ -1697,6 +1697,133 @@ def q_link_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_stats(_synthetic_edges(_t(spark, sf_dir, "events")))
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (operators/sampling.py
+    weighted_sample_topk): 50 documents, selection ∝ n_chars, via the
+    integer-exact u/w race — one md5 projection + a TakeOrdered top-k,
+    no full sort, no RNG, and bit-identical scores in any IEEE engine
+    (the oracle computes the same division)."""
+    from datax_spark.operators.sampling import weighted_sample_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample_topk(docs, 50, weight_col="n_chars", key_col="doc_id")
+    return out.select(
+        "doc_id", "n_chars", F.round("sample_score", 4).alias("sample_score")
+    )
+
+
+def q_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry debounce: per (user, type) stream, an event landing
+    within 5s of its predecessor is a bounce — ONE lag() exchange on
+    the composite key, interval arithmetic stays in exact microseconds
+    (no float timestamps), then a tiny per-type rollup."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    prev = F.lag("ts").over(w)
+    keep = prev.isNull() | (
+        F.col("ts") > prev + F.expr("INTERVAL 5 SECONDS")
+    )
+    return (
+        ev.select("event_type", keep.alias("keep"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("n_dropped"),
+        )
+    )
+
+
+def q_lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test for lang × source: observed counts
+    in ONE corpus aggregate; margins and expected counts come from
+    windows over that tiny contingency table, never a second corpus
+    pass. One row: statistic + degrees of freedom."""
+    docs = _t(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wl = Window.partitionBy("lang")
+    ws = Window.partitionBy("source")
+    wall = Window.partitionBy()
+    cells = obs.select(
+        "lang",
+        "source",
+        "n",
+        F.sum("n").over(wl).alias("rt"),
+        F.sum("n").over(ws).alias("ct"),
+        F.sum("n").over(wall).alias("tot"),
+    ).select(
+        "lang",
+        "source",
+        (
+            F.pow(F.col("n") - F.col("rt") * F.col("ct") / F.col("tot"), 2)
+            / (F.col("rt") * F.col("ct") / F.col("tot"))
+        ).alias("term"),
+    )
+    return cells.agg(
+        F.round(F.sum("term"), 4).alias("chi2"),
+        (
+            (F.count_distinct("lang") - 1) * (F.count_distinct("source") - 1)
+        ).cast("long").alias("dof"),
+    )
+
+
+def q_conversion_time_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-conversion profile: per user, first signup → first
+    subsequent purchase, delta kept in exact microseconds (unix_micros)
+    until the final seconds projection; exact interpolated percentiles
+    over the ~150-row delta set. At 100 TB the per-user reduce is one
+    map-side-combined min/min aggregate; only the tiny delta vector
+    meets the percentile sort."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(
+                F.col("event_type") == "signup",
+                F.unix_micros(F.col("ts").cast("timestamp")),
+            )
+        ).alias("s_us"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.unix_micros(F.col("ts").cast("timestamp")),
+            )
+        ).alias("p_us"),
+    )
+    deltas = per_user.where(
+        F.col("s_us").isNotNull()
+        & F.col("p_us").isNotNull()
+        & (F.col("p_us") > F.col("s_us"))
+    ).select((F.col("p_us") - F.col("s_us")).alias("d_us"))
+    return deltas.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.percentile("d_us", F.lit(0.5)) / 1e6, 2).alias("p50_sec"),
+        F.round(F.percentile("d_us", F.lit(0.9)) / 1e6, 2).alias("p90_sec"),
+        F.round(F.percentile("d_us", F.lit(0.99)) / 1e6, 2).alias("p99_sec"),
+    )
+
+
+def q_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's language mix (nats): one corpus
+    aggregate to the (source, lang) table, probabilities from a window
+    over it, -Σ p·ln p per source — the diversity signal a corpus-mix
+    dashboard tracks."""
+    docs = _t(spark, sf_dir, "documents")
+    sl = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    ws = Window.partitionBy("source")
+    p = F.col("n") / F.sum("n").over(ws)
+    return (
+        sl.select("source", (-p * F.log(p)).alias("term"), F.col("n"))
+        .groupBy("source")
+        .agg(
+            F.round(F.sum("term"), 4).alias("entropy_nats"),
+            F.sum("n").alias("n_docs"),
+        )
+    )
+
+
 def q_error_burst_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Burst detection: error events whose user produced >=2 errors in
     the trailing 30 minutes — a RANGE window frame over event-time
@@ -2325,6 +2452,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_transition_matrix": q_event_transition_matrix,
     "gap_fill_forward": q_gap_fill_forward,
     "link_graph_triangles": q_link_graph_triangles,
+    "weighted_sample": q_weighted_sample,
+    "debounce_events": q_debounce_events,
+    "lang_source_chi2": q_lang_source_chi2,
+    "conversion_time_quantiles": q_conversion_time_quantiles,
+    "source_entropy": q_source_entropy,
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,
     "order_priority_exists": q_order_priority_exists,
@@ -4061,6 +4193,72 @@ WHERE o_orderdate >= DATE '1997-07-01' AND o_orderdate < DATE '1997-10-01'
   AND EXISTS (SELECT 1 FROM lineitem
               WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
 GROUP BY o_orderpriority"""
+
+ORACLES["weighted_sample"] = """
+WITH scored AS (
+  SELECT doc_id, n_chars,
+         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+              AS BIGINT) AS DOUBLE) / CAST(n_chars AS DOUBLE) AS s
+  FROM documents)
+SELECT doc_id, n_chars, round(s, 4) AS sample_score
+FROM scored ORDER BY s ASC, doc_id ASC LIMIT 50"""
+
+ORACLES["debounce_events"] = """
+WITH lagged AS (
+  SELECT event_type,
+         ts,
+         lag(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts ASC, event_id ASC) AS prev
+  FROM events)
+SELECT event_type,
+       sum(CASE WHEN prev IS NULL OR ts > prev + INTERVAL 5 SECOND
+                THEN 1 ELSE 0 END) AS n_kept,
+       sum(CASE WHEN prev IS NULL OR ts > prev + INTERVAL 5 SECOND
+                THEN 0 ELSE 1 END) AS n_dropped
+FROM lagged GROUP BY event_type"""
+
+ORACLES["lang_source_chi2"] = """
+WITH obs AS (
+  SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source),
+cells AS (
+  SELECT n,
+         sum(n) OVER (PARTITION BY lang) AS rt,
+         sum(n) OVER (PARTITION BY source) AS ct,
+         sum(n) OVER () AS tot
+  FROM obs)
+SELECT round(sum(pow(n - rt * ct / CAST(tot AS DOUBLE), 2)
+                 / (rt * ct / CAST(tot AS DOUBLE))), 4) AS chi2,
+       (SELECT CAST((count(DISTINCT lang) - 1)
+               * (count(DISTINCT source) - 1) AS BIGINT)
+        FROM documents) AS dof
+FROM cells"""
+
+ORACLES["conversion_time_quantiles"] = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS s_us,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p_us
+  FROM events GROUP BY user_id),
+deltas AS (
+  SELECT p_us - s_us AS d_us FROM per_user
+  WHERE s_us IS NOT NULL AND p_us IS NOT NULL AND p_us > s_us)
+SELECT count(*) AS n_converted,
+       round(quantile_cont(d_us, CAST(0.5 AS DOUBLE)) / 1e6, 2) AS p50_sec,
+       round(quantile_cont(d_us, CAST(0.9 AS DOUBLE)) / 1e6, 2) AS p90_sec,
+       round(quantile_cont(d_us, CAST(0.99 AS DOUBLE)) / 1e6, 2) AS p99_sec
+FROM deltas"""
+
+ORACLES["source_entropy"] = """
+WITH sl AS (
+  SELECT source, lang, count(*) AS n
+  FROM documents GROUP BY source, lang),
+probs AS (
+  SELECT source, n,
+         CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY source) AS p
+  FROM sl)
+SELECT source, round(sum(-p * ln(p)), 4) AS entropy_nats,
+       sum(n) AS n_docs
+FROM probs GROUP BY source"""
 
 ORACLES["customer_order_distribution"] = """
 WITH per_cust AS (

@@ -94,6 +94,8 @@ HEADLINE = [
     "event_transition_matrix",
     "gap_fill_forward",
     "link_graph_triangles",
+    "weighted_sample",
+    "conversion_time_quantiles",
 ]
 
 CDC_EVENTS = int(os.environ.get("DATAX_BENCH_EVENTS", "1000000"))

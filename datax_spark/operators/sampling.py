@@ -71,6 +71,36 @@ def token_budget_sample(
     )
 
 
+def weighted_sample_topk(
+    df: DataFrame,
+    k: int,
+    weight_col: str = "n_chars",
+    key_col: str = "doc_id",
+    score_col: str = "sample_score",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement: the k rows
+    with the smallest ``u / w``, where ``u`` is a 48-bit md5 integer of
+    the key and ``w`` the row's weight — the integer-exact, engine-
+    portable form of the Efraimidis–Spirakis exponential race (for the
+    winning, smallest keys ``u/w`` and ``-ln(1-u)/w`` agree to first
+    order, so selection probability is ∝ weight). No RNG and NO
+    transcendentals: both inputs of the one division are exact
+    integers, and IEEE-754 division is correctly rounded, so every
+    engine computes a BIT-IDENTICAL score — membership can't flip
+    across engines the way ln()/pow() ulp noise flips it.
+
+    Scale shape: scoring is a pure projection; top-k is a map-side
+    partial top-k per partition + one k-row reduce (Spark's
+    TakeOrdered), never a full sort."""
+    u = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 12), 16, 10)
+    score = (u.cast("double") / F.col(weight_col).cast("double")).alias(score_col)
+    return (
+        df.withColumn(score_col, score)
+        .orderBy(F.col(score_col).asc(), F.col(key_col).asc())
+        .limit(k)
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     fractions: dict[str, float],

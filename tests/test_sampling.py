@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from datax_spark.operators.sampling import (
     deterministic_sample,
     token_budget_sample,
+    weighted_sample_topk,
 )
 
 
@@ -79,3 +80,48 @@ def test_stratified_sample_per_group_gates(spark):
     assert stratified_sample(df2, {"a": 0.5}).count() == 0
     kept = stratified_sample(df2, {"a": 0.5}, default_fraction=0.1).count()
     assert 100 < kept < 320
+
+
+def test_weighted_sample_topk_deterministic_and_weighted(spark):
+    # 2000 docs; weights: doc_id < 200 get weight 1000, the rest 10 —
+    # heavy docs are 10% of the corpus but should dominate the sample
+    df = spark.createDataFrame(
+        [(i, 1000 if i < 200 else 10) for i in range(2000)],
+        "doc_id long, n_chars int",
+    )
+    out = weighted_sample_topk(df, 100)
+    ids = [r["doc_id"] for r in out.collect()]
+    assert len(ids) == 100 and len(set(ids)) == 100
+    heavy = sum(1 for i in ids if i < 200)
+    # expected share ≈ 200*1000/(200*1000+1800*10) ≈ 92%
+    assert heavy > 70
+    # replay-identical (no RNG)
+    again = [r["doc_id"] for r in weighted_sample_topk(df, 100).collect()]
+    assert ids == again
+    # membership of the winners is stable under corpus growth: new rows
+    # can displace but never reshuffle existing scores
+    bigger = spark.createDataFrame(
+        [(i, 1000 if i < 200 else 10) for i in range(4000)],
+        "doc_id long, n_chars int",
+    )
+    s1 = {r["doc_id"]: r["sample_score"] for r in out.collect()}
+    s2 = {
+        r["doc_id"]: r["sample_score"]
+        for r in weighted_sample_topk(bigger, 100).collect()
+        if r["doc_id"] in s1
+    }
+    for k, v in s2.items():
+        assert v == s1[k]
+
+
+def test_weighted_sample_topk_plan_is_takeordered(spark):
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "doc_id long, n_chars int"
+    )
+    plan = (
+        weighted_sample_topk(df, 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan  # top-k reduce, not a full Sort
