@@ -1697,6 +1697,112 @@ def q_link_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_stats(_synthetic_edges(_t(spark, sf_dir, "events")))
 
 
+def _recrawl_snapshot(docs: DataFrame) -> DataFrame:
+    """Deterministic perturbation of `documents` standing in for a
+    recrawl: every 10th doc vanishes (D), every 7th survivor changes
+    (U), every 13th doc reappears under a fresh url (I) — SQL-shared
+    with the oracle."""
+    url = F.concat(F.lit("https://doc/"), F.col("doc_id")).alias("url")
+    changed = F.col("doc_id") % 7 == 0
+    survivors = docs.where(F.col("doc_id") % 10 != 0).select(
+        url,
+        F.when(changed, F.concat(F.col("text"), F.lit(" [recrawl]")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+        "source",
+        (
+            F.col("n_chars") + F.when(changed, F.lit(10)).otherwise(F.lit(0))
+        ).alias("n_chars"),
+    )
+    fresh = docs.where(F.col("doc_id") % 13 == 0).select(
+        F.concat(F.lit("https://doc/"), F.col("doc_id") + 10_000_000).alias(
+            "url"
+        ),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return survivors.unionByName(fresh)
+
+
+def q_recrawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl → minimal change batch (operators/snapshot_diff.py):
+    bulk-load `documents` as the table state, diff a deterministically
+    perturbed snapshot against it — unchanged keys emit NOTHING, so the
+    MERGE cost downstream scales with churn, not crawl size. One
+    full-outer join; per-op counts + url envelopes returned. The oracle
+    replays the same perturbation + null-safe diff in SQL."""
+    import tempfile
+
+    from datax_spark.icetable.table import IceTable
+    from datax_spark.operators.snapshot_diff import snapshot_to_events
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("https://doc/"), F.col("doc_id")).alias("url"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    tag = Path(sf_dir).name
+    root = Path(tempfile.gettempdir()) / f"datax_recrawl_{tag}"
+    if not (root / "t" / "metadata" / "version-hint.text").exists():
+        tbl = IceTable.create(
+            spark, root / "t", pages.schema, num_partitions=8, key_column="url"
+        )
+        tbl.bulk_overwrite(pages, epoch=0)
+    else:
+        tbl = IceTable.load(spark, root / "t")
+    ev = snapshot_to_events(
+        tbl, _recrawl_snapshot(docs), base_lsn=1, emit_deletes=True
+    )
+    return ev.groupBy("op").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("url").alias("url_min"),
+        F.max("url").alias("url_max"),
+    )
+
+
+def q_changelog_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed read (icetable read_changes): two bulk-loaded
+    snapshots of the SAME deterministic states the recrawl query uses,
+    diffed by the table's semantic changelog — so the CDF read path and
+    the snapshot_to_events batch path are cross-validated against ONE
+    oracle. The diff is partition-pruned to changed partitions; a
+    rewrite-only commit would emit nothing."""
+    import tempfile
+
+    from datax_spark.icetable.table import IceTable
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("https://doc/"), F.col("doc_id")).alias("url"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    tag = Path(sf_dir).name
+    root = Path(tempfile.gettempdir()) / f"datax_cdf_{tag}"
+    if not (root / "t" / "metadata" / "version-hint.text").exists():
+        tbl = IceTable.create(
+            spark, root / "t", pages.schema, num_partitions=8, key_column="url"
+        )
+        tbl.bulk_overwrite(pages, epoch=0)  # v1: the pre-recrawl state
+        tbl.bulk_overwrite(_recrawl_snapshot(docs), epoch=1)  # v2
+    else:
+        tbl = IceTable.load(spark, root / "t")
+    feed = tbl.read_changes(1, 2)
+    return feed.groupBy(F.col("_op").alias("op")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("url").alias("url_min"),
+        F.max("url").alias("url_max"),
+    )
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement (operators/sampling.py
     weighted_sample_topk): 50 documents, selection ∝ n_chars, via the
@@ -2453,6 +2559,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gap_fill_forward": q_gap_fill_forward,
     "link_graph_triangles": q_link_graph_triangles,
     "weighted_sample": q_weighted_sample,
+    "recrawl_diff": q_recrawl_diff,
+    "changelog_feed": q_changelog_feed,
     "debounce_events": q_debounce_events,
     "lang_source_chi2": q_lang_source_chi2,
     "conversion_time_quantiles": q_conversion_time_quantiles,
@@ -4202,6 +4310,37 @@ WITH scored AS (
   FROM documents)
 SELECT doc_id, n_chars, round(s, 4) AS sample_score
 FROM scored ORDER BY s ASC, doc_id ASC LIMIT 50"""
+
+ORACLES["recrawl_diff"] = """
+WITH pages AS (
+  SELECT 'https://doc/' || CAST(doc_id AS VARCHAR) AS url,
+         text, lang, source, n_chars
+  FROM documents),
+snap AS (
+  SELECT 'https://doc/' || CAST(doc_id AS VARCHAR) AS url,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' [recrawl]' ELSE text END
+           AS text,
+         lang, source,
+         n_chars + CASE WHEN doc_id % 7 = 0 THEN 10 ELSE 0 END AS n_chars
+  FROM documents WHERE doc_id % 10 <> 0
+  UNION ALL
+  SELECT 'https://doc/' || CAST(doc_id + 10000000 AS VARCHAR),
+         text, lang, source, n_chars
+  FROM documents WHERE doc_id % 13 = 0),
+diff AS (
+  SELECT coalesce(s.url, p.url) AS url,
+         CASE WHEN p.url IS NULL THEN 'I'
+              WHEN s.url IS NULL THEN 'D'
+              WHEN NOT (p.text IS NOT DISTINCT FROM s.text)
+                OR NOT (p.lang IS NOT DISTINCT FROM s.lang)
+                OR NOT (p.source IS NOT DISTINCT FROM s.source)
+                OR NOT (p.n_chars IS NOT DISTINCT FROM s.n_chars)
+              THEN 'U' END AS op
+  FROM pages p FULL OUTER JOIN snap s ON p.url = s.url)
+SELECT op, count(*) AS n, min(url) AS url_min, max(url) AS url_max
+FROM diff WHERE op IS NOT NULL GROUP BY op"""
+
+ORACLES["changelog_feed"] = ORACLES["recrawl_diff"]
 
 ORACLES["debounce_events"] = """
 WITH lagged AS (
