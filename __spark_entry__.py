@@ -1766,6 +1766,99 @@ def q_recrawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between event types co-occurring in
+    the same session (30-min gap sessions): sessionize (one user_id
+    exchange), collapse to DISTINCT (session, type) — ≤5 rows per
+    session — then a bounded self-join on session id (≤ C(5,2) pairs
+    each) and ln(N·n_ab / (n_a·n_b)). The pair join is keyed and
+    cardinality-capped by the type alphabet, never events × events."""
+    ev = _t(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    gap = sec - F.lag(sec).over(by_user)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_idx",
+        F.sum(new_sess).over(
+            by_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).select(
+        F.concat_ws("#", F.col("user_id"), F.col("session_idx")).alias("sid"),
+        "event_type",
+    ).distinct()
+    n_sessions = sess.select("sid").distinct().count()
+    singles = sess.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a = sess.select("sid", F.col("event_type").alias("t_a"))
+    b = sess.select("sid", F.col("event_type").alias("t_b"))
+    pairs = (
+        a.join(b, "sid")
+        .where(F.col("t_a") < F.col("t_b"))
+        .groupBy("t_a", "t_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    na = singles.select(F.col("event_type").alias("t_a"), F.col("n_t").alias("n_a"))
+    nb = singles.select(F.col("event_type").alias("t_b"), F.col("n_t").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "t_a")
+        .join(F.broadcast(nb), "t_b")
+        .select(
+            "t_a",
+            "t_b",
+            "n_ab",
+            F.round(
+                F.log(
+                    F.lit(float(n_sessions))
+                    * F.col("n_ab")
+                    / (F.col("n_a") * F.col("n_b"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation of purchasers: recency (days since last
+    purchase vs corpus max ts), frequency, monetary — each cut into
+    quartiles by ntile over deterministic orders — rolled up to segment
+    counts. One purchase-filtered aggregate; the ntile windows run over
+    the 150-user summary, not the event log."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(sec).alias("last_sec"),
+        F.count(F.lit(1)).alias("freq"),
+        F.round(F.sum("value"), 4).alias("monetary"),
+    )
+    ref = per_user.agg(F.max("last_sec").alias("ref_sec"))
+    scored = per_user.crossJoin(F.broadcast(ref)).select(
+        "user_id",
+        ((F.col("ref_sec") - F.col("last_sec")) / 86400.0).alias("rec_days"),
+        "freq",
+        "monetary",
+    )
+    r = F.ntile(4).over(
+        Window.orderBy(F.col("rec_days").asc(), F.col("user_id").asc())
+    )
+    f = F.ntile(4).over(
+        Window.orderBy(F.col("freq").desc(), F.col("user_id").asc())
+    )
+    m = F.ntile(4).over(
+        Window.orderBy(F.col("monetary").desc(), F.col("user_id").asc())
+    )
+    seg = scored.select(
+        r.cast("long").alias("r_quartile"),
+        f.cast("long").alias("f_quartile"),
+        m.cast("long").alias("m_quartile"),
+        "monetary",
+    )
+    return seg.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.sum("monetary"), 2).alias("total_value"),
+    )
+
+
 def q_changelog_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data-feed read (icetable read_changes): two bulk-loaded
     snapshots of the SAME deterministic states the recrawl query uses,
@@ -2561,6 +2654,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample": q_weighted_sample,
     "recrawl_diff": q_recrawl_diff,
     "changelog_feed": q_changelog_feed,
+    "event_pmi": q_event_pmi,
+    "rfm_segments": q_rfm_segments,
     "debounce_events": q_debounce_events,
     "lang_source_chi2": q_lang_source_chi2,
     "conversion_time_quantiles": q_conversion_time_quantiles,
@@ -4341,6 +4436,59 @@ SELECT op, count(*) AS n, min(url) AS url_min, max(url) AS url_max
 FROM diff WHERE op IS NOT NULL GROUP BY op"""
 
 ORACLES["changelog_feed"] = ORACLES["recrawl_diff"]
+
+ORACLES["event_pmi"] = """
+WITH lagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap
+  FROM events),
+sess AS (
+  SELECT CAST(user_id AS VARCHAR) || '#' || CAST(
+           sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS VARCHAR) AS sid,
+         event_type
+  FROM lagged),
+st AS (SELECT DISTINCT sid, event_type FROM sess),
+n_sess AS (SELECT count(DISTINCT sid) AS n FROM st),
+singles AS (SELECT event_type, count(*) AS n_t FROM st GROUP BY event_type),
+pairs AS (
+  SELECT a.event_type AS t_a, b.event_type AS t_b, count(*) AS n_ab
+  FROM st a JOIN st b ON a.sid = b.sid AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type)
+SELECT t_a, t_b, n_ab,
+       round(ln(CAST(n_sess.n AS DOUBLE) * n_ab
+                / (CAST(sa.n_t AS DOUBLE) * sb.n_t)), 4) AS pmi
+FROM pairs, n_sess, singles sa, singles sb
+WHERE sa.event_type = t_a AND sb.event_type = t_b"""
+
+ORACLES["rfm_segments"] = """
+WITH per_user AS (
+  SELECT user_id,
+         max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_sec,
+         count(*) AS freq,
+         round(sum("value"), 4) AS monetary
+  FROM events WHERE event_type = \'purchase\' GROUP BY user_id),
+scored AS (
+  SELECT user_id,
+         (SELECT max(last_sec) FROM per_user) - last_sec AS rec_sec,
+         freq, monetary
+  FROM per_user),
+seg AS (
+  SELECT ntile(4) OVER (ORDER BY rec_sec / CAST(86400.0 AS DOUBLE) ASC,
+                        user_id ASC) AS r_quartile,
+         ntile(4) OVER (ORDER BY freq DESC, user_id ASC) AS f_quartile,
+         ntile(4) OVER (ORDER BY monetary DESC, user_id ASC) AS m_quartile,
+         monetary
+  FROM scored)
+SELECT CAST(r_quartile AS BIGINT) AS r_quartile,
+       CAST(f_quartile AS BIGINT) AS f_quartile,
+       CAST(m_quartile AS BIGINT) AS m_quartile,
+       count(*) AS n_users, round(sum(monetary), 2) AS total_value
+FROM seg GROUP BY 1, 2, 3"""
 
 ORACLES["debounce_events"] = """
 WITH lagged AS (
