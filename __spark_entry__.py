@@ -1727,6 +1727,32 @@ def _recrawl_snapshot(docs: DataFrame) -> DataFrame:
     return survivors.unionByName(fresh)
 
 
+def _ensure_diff_table(spark, sf_dir: str, name: str, build) -> "Path":
+    """Crash-safe cached fixture table under the system tempdir: built
+    in a hidden dir and atomically renamed into place (the
+    _ensure_cdc_fixture pattern), so an interrupted build can never
+    leave a half-initialized table that poisons every later run —
+    IceTable.create publishes version-hint BEFORE any bulk load, which
+    a naive exists-check would mistake for a finished fixture."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    root = Path(tempfile.gettempdir()) / f"datax_{name}_{Path(sf_dir).name}"
+    if root.exists():
+        return root / "t"
+    work = root.parent / f".build-{uuid.uuid4().hex}"
+    build(work / "t")
+    try:
+        os.rename(work, root)
+    except OSError:
+        shutil.rmtree(work, ignore_errors=True)  # lost the race: reuse theirs
+        if not root.exists():
+            raise
+    return root / "t"
+
+
 def q_recrawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recrawl → minimal change batch (operators/snapshot_diff.py):
     bulk-load `documents` as the table state, diff a deterministically
@@ -1734,8 +1760,6 @@ def q_recrawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     MERGE cost downstream scales with churn, not crawl size. One
     full-outer join; per-op counts + url envelopes returned. The oracle
     replays the same perturbation + null-safe diff in SQL."""
-    import tempfile
-
     from datax_spark.icetable.table import IceTable
     from datax_spark.operators.snapshot_diff import snapshot_to_events
 
@@ -1747,15 +1771,16 @@ def q_recrawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_chars",
     )
-    tag = Path(sf_dir).name
-    root = Path(tempfile.gettempdir()) / f"datax_recrawl_{tag}"
-    if not (root / "t" / "metadata" / "version-hint.text").exists():
+
+    def _build(path):
         tbl = IceTable.create(
-            spark, root / "t", pages.schema, num_partitions=8, key_column="url"
+            spark, path, pages.schema, num_partitions=8, key_column="url"
         )
         tbl.bulk_overwrite(pages, epoch=0)
-    else:
-        tbl = IceTable.load(spark, root / "t")
+
+    tbl = IceTable.load(
+        spark, _ensure_diff_table(spark, sf_dir, "recrawl", _build)
+    )
     ev = snapshot_to_events(
         tbl, _recrawl_snapshot(docs), base_lsn=1, emit_deletes=True
     )
@@ -1787,7 +1812,11 @@ def q_event_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("#", F.col("user_id"), F.col("session_idx")).alias("sid"),
         "event_type",
     ).distinct()
-    n_sessions = sess.select("sid").distinct().count()
+    # one-row session count folded in via broadcast crossJoin — fully
+    # lazy, no construction-time driver job
+    n_sess = sess.agg(
+        F.count_distinct("sid").cast("double").alias("n_sessions")
+    )
     singles = sess.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
     a = sess.select("sid", F.col("event_type").alias("t_a"))
     b = sess.select("sid", F.col("event_type").alias("t_b"))
@@ -1802,13 +1831,14 @@ def q_event_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(F.broadcast(na), "t_a")
         .join(F.broadcast(nb), "t_b")
+        .crossJoin(F.broadcast(n_sess))
         .select(
             "t_a",
             "t_b",
             "n_ab",
             F.round(
                 F.log(
-                    F.lit(float(n_sessions))
+                    F.col("n_sessions")
                     * F.col("n_ab")
                     / (F.col("n_a") * F.col("n_b"))
                 ),
@@ -1866,8 +1896,6 @@ def q_changelog_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the snapshot_to_events batch path are cross-validated against ONE
     oracle. The diff is partition-pruned to changed partitions; a
     rewrite-only commit would emit nothing."""
-    import tempfile
-
     from datax_spark.icetable.table import IceTable
 
     docs = _t(spark, sf_dir, "documents")
@@ -1878,16 +1906,15 @@ def q_changelog_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_chars",
     )
-    tag = Path(sf_dir).name
-    root = Path(tempfile.gettempdir()) / f"datax_cdf_{tag}"
-    if not (root / "t" / "metadata" / "version-hint.text").exists():
+
+    def _build(path):
         tbl = IceTable.create(
-            spark, root / "t", pages.schema, num_partitions=8, key_column="url"
+            spark, path, pages.schema, num_partitions=8, key_column="url"
         )
         tbl.bulk_overwrite(pages, epoch=0)  # v1: the pre-recrawl state
         tbl.bulk_overwrite(_recrawl_snapshot(docs), epoch=1)  # v2
-    else:
-        tbl = IceTable.load(spark, root / "t")
+
+    tbl = IceTable.load(spark, _ensure_diff_table(spark, sf_dir, "cdf", _build))
     feed = tbl.read_changes(1, 2)
     return feed.groupBy(F.col("_op").alias("op")).agg(
         F.count(F.lit(1)).alias("n"),

@@ -520,10 +520,13 @@ class IceTable:
 
     def archive_quarantine(self, epoch_dirs: list[str]) -> int:
         """Move the named quarantine epoch directories into
-        ``quarantine_archive`` (kept, not deleted — the audit trail of
-        what a reprocess consumed). Already-archived names are skipped,
-        so a crashed reprocess can safely re-run. Returns the number of
-        directories moved."""
+        ``quarantine_archive`` (kept, NEVER deleted — the audit trail of
+        what a reprocess consumed). A name that already exists in the
+        archive (an epoch number reused across reprocess generations)
+        archives under a ``.rK`` suffix rather than deleting either
+        copy — the audit trail must not lose rows even when the two
+        directories' contents differ. Returns the number of directories
+        moved."""
         qdir = self.root / "quarantine"
         adir = self.root / "quarantine_archive"
         adir.mkdir(parents=True, exist_ok=True)
@@ -533,10 +536,11 @@ class IceTable:
             if not src.exists():
                 continue
             dest = adir / name
-            if dest.exists():
-                shutil.rmtree(str(src), ignore_errors=True)
-            else:
-                os.rename(src, dest)
+            k = 1
+            while dest.exists():
+                dest = adir / f"{name}.r{k}"
+                k += 1
+            os.rename(src, dest)
             moved += 1
         return moved
 

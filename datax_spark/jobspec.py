@@ -779,15 +779,25 @@ def _run_batch_job_body(
         from datax_spark.icetable.table import IceTable
         from datax_spark.operators.merge import reprocess_quarantine
 
+        from datax_spark.operators.merge import REPROCESS_EPOCH_BASE
+
         tbl = IceTable.load(spark, reader["path"])
 
         def _repair(qdf: DataFrame) -> DataFrame:
             return apply_transforms(qdf, spec.get("transforms"))
 
-        committed = tbl.committed_epochs()
         epoch = reader.get("epoch")
         if epoch is None:
-            epoch = (max(committed) + 1) if committed else 0
+            # auto-pick from the RESERVED reprocess namespace, never
+            # max(committed)+1: on a CDC-driver-fed table that would be
+            # exactly the driver's next epoch number (the driver numbers
+            # epochs from its own offset log, not the table ledger), so
+            # the driver's next ingest batch would ledger-skip and its
+            # events would be silently lost
+            prior = [
+                e for e in tbl.committed_epochs() if e >= REPROCESS_EPOCH_BASE
+            ]
+            epoch = (max(prior) + 1) if prior else REPROCESS_EPOCH_BASE
         stats = reprocess_quarantine(
             tbl,
             _repair,

@@ -87,10 +87,9 @@ def triangle_stats(
     w1 = oriented.select("s", F.col("t").alias("t1"))
     w2 = oriented.select("s", F.col("t").alias("t2"))
     wedges = w1.join(w2, "s").filter(F.col("t1") < F.col("t2"))
+    # the wedge filter guarantees t1 < t2, matching e's (u < v) canon
     closed = wedges.join(
-        e,
-        (F.least("t1", "t2") == e["u"]) & (F.greatest("t1", "t2") == e["v"]),
-        "inner",
+        e, (F.col("t1") == e["u"]) & (F.col("t2") == e["v"]), "inner"
     )
     tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
     wtot = deg.agg(

@@ -483,6 +483,12 @@ def apply_epoch(
     return stats
 
 
+# epochs >= this are reserved for dead-letter reprocess jobs: they share
+# the (epoch, pid) ledger with ingest but can never collide with a CDC
+# driver's own epoch numbering (which grows from 0 with its offset log)
+REPROCESS_EPOCH_BASE = 1 << 40
+
+
 def reprocess_quarantine(
     table: IceTable,
     repair,
@@ -508,10 +514,21 @@ def reprocess_quarantine(
     stay live, and the NEXT reprocess (fresh epoch) re-consumes them:
     re-ingesting identical (key, lsn) rows is a no-op under the MERGE
     lsn guard, so convergence costs one extra no-op epoch and never
-    loses a row. The target epoch's own directory is never archived,
-    so reusing a consumed epoch number can't swallow fresh leftovers.
-    Returns None when the quarantine area is empty."""
-    consumed = [n for n in table.quarantine_epochs() if n != f"epoch={epoch}"]
+    loses a row. The target epoch must not already have a LIVE
+    quarantine directory (``write_quarantine`` is idempotent per epoch
+    — an existing directory would silently swallow the re-quarantine
+    of this run's unfixable rows, and the subsequent archive would
+    remove their only live copy): such a call raises up front; pick a
+    fresh epoch (the job-spec path auto-picks from the reserved
+    ``REPROCESS_EPOCH_BASE`` namespace). Returns None when the
+    quarantine area is empty."""
+    consumed = table.quarantine_epochs()
+    if f"epoch={epoch}" in consumed:
+        raise ValueError(
+            f"reprocess epoch {epoch} already has a live quarantine "
+            f"directory — its re-quarantined leftovers would be silently "
+            f"dropped; use a fresh epoch (live: {consumed})"
+        )
     q = table.read_quarantine()
     if q is None:
         return None

@@ -114,6 +114,52 @@ def test_jobspec_reprocess_action(spark, tmp_path):
     )
 
 
+def test_ledger_replay_skip_keeps_consumed_dirs_live(spark, tmp_path):
+    """A reprocess whose epoch is already in the commit ledger is a
+    pure no-op: nothing was written, so the consumed quarantine dirs
+    MUST stay live (archiving them would lose their rows)."""
+    table = IceTable.create(spark, tmp_path / "t", PAGE_SCHEMA, num_partitions=2)
+    dirty = spark.createDataFrame([(3, "I", None, None, b"<p>c</p>", "en")], EV)
+    apply_epoch(table, dirty, 0)
+    clean = spark.createDataFrame(
+        [(5, "I", "https://x/ok", None, b"<p>a</p>", "en")], EV
+    )
+    apply_epoch(table, clean, 500)  # epoch 500 now in the ledger
+    assert table.quarantine_epochs() == ["epoch=0"]
+    stats = reprocess_quarantine(table, _fix_ops, epoch=500)
+    assert stats is not None and stats.skipped and stats.rows_dirty == 0
+    # nothing archived, nothing lost
+    assert table.quarantine_epochs() == ["epoch=0"]
+    assert not (table.root / "quarantine_archive").exists()
+    # a fresh epoch still drains (the row stays unfixable → re-queued)
+    reprocess_quarantine(table, _fix_ops, epoch=501)
+    assert table.quarantine_epochs() == ["epoch=501"]
+
+
+def test_reprocess_rejects_live_target_epoch(spark, tmp_path):
+    """Reusing an epoch that still has a LIVE quarantine directory must
+    raise: write_quarantine is idempotent per epoch, so this run's
+    re-quarantined leftovers would be silently swallowed."""
+    import pytest
+
+    table = IceTable.create(spark, tmp_path / "t", PAGE_SCHEMA, num_partitions=2)
+    ev = spark.createDataFrame([(3, "I", None, None, b"<p>c</p>", "en")], EV)
+    apply_epoch(table, ev, 0)
+    reprocess_quarantine(table, _fix_ops, epoch=100)
+    assert table.quarantine_epochs() == ["epoch=100"]
+    with pytest.raises(ValueError, match="live quarantine"):
+        reprocess_quarantine(table, _fix_ops, epoch=100)
+    # the archive never deletes on a name collision either: a second
+    # generation of epoch=100 leftovers archives under a .rK suffix
+    reprocess_quarantine(table, _fix_ops, epoch=101)
+    reprocess_quarantine(table, _fix_ops, epoch=100)  # leftovers live at 100
+    reprocess_quarantine(table, _fix_ops, epoch=102)  # consumes + archives 100
+    names = sorted(
+        p.name for p in (table.root / "quarantine_archive").glob("epoch=100*")
+    )
+    assert names == ["epoch=100", "epoch=100.r1"]
+
+
 def test_unfixable_rows_never_loop_lost(spark, tmp_path):
     table = IceTable.create(spark, tmp_path / "t", PAGE_SCHEMA, num_partitions=2)
     ev = spark.createDataFrame([(3, "I", None, None, b"<p>c</p>", "en")], EV)
