@@ -1791,6 +1791,68 @@ def q_recrawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE Structured Streaming on the board: a real readStream over
+    the events parquet, session_window(30 min gap) aggregation, memory
+    sink, availableNow trigger run to completion — so the STREAMING
+    path itself gets SQL-oracle parity (the oracle is the equivalent
+    batch gap-sessionization; Spark merges an event into a session iff
+    ts < prev_end = prev_ts + gap, i.e. a new session starts at
+    diff >= 1800s). Complete output mode: no watermark needed for a
+    bounded replay, and the result is the full deterministic state."""
+    import uuid
+
+    import os
+    import shutil
+    import tempfile
+
+    ev_schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    # FileStreamSource needs a DIRECTORY; stage the single parquet into
+    # a cached tmp dir (build-and-rename, crash-safe like the fixtures)
+    stage = (
+        Path(tempfile.gettempdir()) / f"datax_evstream_{Path(sf_dir).name}"
+    )
+    if not stage.exists():
+        build = stage.parent / f".build-{uuid.uuid4().hex}"
+        build.mkdir(parents=True)
+        shutil.copy(f"{sf_dir}/events.parquet", build / "events.parquet")
+        try:
+            os.rename(build, stage)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)
+            if not stage.exists():
+                raise
+    sdf = (
+        spark.readStream.schema(ev_schema).format("parquet").load(str(stage))
+    )
+    agg = sdf.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        "n_events",
+        "sum_value",
+    )
+
+
 def q_event_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pointwise mutual information between event types co-occurring in
     the same session (30-min gap sessions): sessionize (one user_id
@@ -2681,6 +2743,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample": q_weighted_sample,
     "recrawl_diff": q_recrawl_diff,
     "changelog_feed": q_changelog_feed,
+    "streaming_session_window": q_streaming_session_window,
     "event_pmi": q_event_pmi,
     "rfm_segments": q_rfm_segments,
     "debounce_events": q_debounce_events,
@@ -4463,6 +4526,25 @@ SELECT op, count(*) AS n, min(url) AS url_min, max(url) AS url_max
 FROM diff WHERE op IS NOT NULL GROUP BY op"""
 
 ORACLES["changelog_feed"] = ORACLES["recrawl_diff"]
+
+ORACLES["streaming_session_window"] = """
+WITH lagged AS (
+  SELECT user_id, ts, "value",
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap_us
+  FROM events),
+sess AS (
+  SELECT user_id, ts, "value",
+         sum(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sidx
+  FROM lagged)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       round(sum("value"), 2) AS sum_value
+FROM sess GROUP BY user_id, sidx"""
 
 ORACLES["event_pmi"] = """
 WITH lagged AS (
