@@ -1791,6 +1791,60 @@ def q_recrawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cdf_fixture(spark: SparkSession, sf_dir: str):
+    """The two-version table the changelog_feed query builds (v1 = the
+    raw corpus, v2 = the perturbed recrawl) — shared by the time-travel
+    and incremental-read queries."""
+    from datax_spark.icetable.table import IceTable
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("https://doc/"), F.col("doc_id")).alias("url"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+
+    def _build(path):
+        tbl = IceTable.create(
+            spark, path, pages.schema, num_partitions=8, key_column="url"
+        )
+        tbl.bulk_overwrite(pages, epoch=0)
+        tbl.bulk_overwrite(_recrawl_snapshot(docs), epoch=1)
+
+    return IceTable.load(
+        spark, _ensure_diff_table(spark, sf_dir, "cdf", _build)
+    )
+
+
+def q_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: read the CDF fixture table AT VERSION 1 (the
+    pre-recrawl state) after version 2 replaced it — per-lang profile
+    of the historical snapshot. The oracle recomputes v1 directly from
+    `documents`; any leakage of v2 rows (the perturbed/new urls) would
+    change the counts."""
+    tbl = _cdf_fixture(spark, sf_dir)
+    return tbl.read(version=1).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("url").alias("url_min"),
+    )
+
+
+def q_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-append scan (Iceberg's incremental read): rows in
+    data files added strictly after v1 — for the snapshot-replace v2
+    commit that is exactly the recrawl state, which the oracle rebuilds
+    from `documents` with the shared perturbation rules."""
+    tbl = _cdf_fixture(spark, sf_dir)
+    return tbl.read_incremental(1, 2).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("url").alias("url_min"),
+    )
+
+
 def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NATIVE Structured Streaming on the board: a real readStream over
     the events parquet, session_window(30 min gap) aggregation, memory
@@ -1958,26 +2012,7 @@ def q_changelog_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the snapshot_to_events batch path are cross-validated against ONE
     oracle. The diff is partition-pruned to changed partitions; a
     rewrite-only commit would emit nothing."""
-    from datax_spark.icetable.table import IceTable
-
-    docs = _t(spark, sf_dir, "documents")
-    pages = docs.select(
-        F.concat(F.lit("https://doc/"), F.col("doc_id")).alias("url"),
-        "text",
-        "lang",
-        "source",
-        "n_chars",
-    )
-
-    def _build(path):
-        tbl = IceTable.create(
-            spark, path, pages.schema, num_partitions=8, key_column="url"
-        )
-        tbl.bulk_overwrite(pages, epoch=0)  # v1: the pre-recrawl state
-        tbl.bulk_overwrite(_recrawl_snapshot(docs), epoch=1)  # v2
-
-    tbl = IceTable.load(spark, _ensure_diff_table(spark, sf_dir, "cdf", _build))
-    feed = tbl.read_changes(1, 2)
+    feed = _cdf_fixture(spark, sf_dir).read_changes(1, 2)
     return feed.groupBy(F.col("_op").alias("op")).agg(
         F.count(F.lit(1)).alias("n"),
         F.min("url").alias("url_min"),
@@ -2743,6 +2778,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample": q_weighted_sample,
     "recrawl_diff": q_recrawl_diff,
     "changelog_feed": q_changelog_feed,
+    "time_travel_read": q_time_travel_read,
+    "incremental_read": q_incremental_read,
     "streaming_session_window": q_streaming_session_window,
     "event_pmi": q_event_pmi,
     "rfm_segments": q_rfm_segments,
@@ -4526,6 +4563,23 @@ SELECT op, count(*) AS n, min(url) AS url_min, max(url) AS url_max
 FROM diff WHERE op IS NOT NULL GROUP BY op"""
 
 ORACLES["changelog_feed"] = ORACLES["recrawl_diff"]
+
+ORACLES["time_travel_read"] = """
+SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+       min('https://doc/' || CAST(doc_id AS VARCHAR)) AS url_min
+FROM documents GROUP BY lang"""
+
+ORACLES["incremental_read"] = """
+WITH snap AS (
+  SELECT 'https://doc/' || CAST(doc_id AS VARCHAR) AS url, lang,
+         n_chars + CASE WHEN doc_id % 7 = 0 THEN 10 ELSE 0 END AS n_chars
+  FROM documents WHERE doc_id % 10 <> 0
+  UNION ALL
+  SELECT 'https://doc/' || CAST(doc_id + 10000000 AS VARCHAR), lang, n_chars
+  FROM documents WHERE doc_id % 13 = 0)
+SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+       min(url) AS url_min
+FROM snap GROUP BY lang"""
 
 ORACLES["streaming_session_window"] = """
 WITH lagged AS (
