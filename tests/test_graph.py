@@ -160,3 +160,24 @@ def test_triangle_stats_wedge_free_graph_null_clustering(spark):
     row = triangle_stats(e).collect()[0]
     assert (row["n_triangles"], row["n_wedges"]) == (0, 0)
     assert row["clustering"] is None
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=15, deadline=None, derandomize=True)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_triangle_stats_property(spark, edges):
+    rows = [(str(a), str(b)) for a, b in edges]
+    if not any(a != b for a, b in rows):
+        return  # empty simple graph: nothing to assert beyond no-crash
+    e = spark.createDataFrame(rows, ["src", "dst"])
+    row = triangle_stats(e).collect()[0]
+    tri, wedges = _py_triangles(rows)
+    assert (row["n_triangles"], row["n_wedges"]) == (tri, wedges)

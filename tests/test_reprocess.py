@@ -171,3 +171,60 @@ def test_unfixable_rows_never_loop_lost(spark, tmp_path):
     reprocess_quarantine(table, _fix_ops, epoch=101)
     assert table.quarantine_epochs() == ["epoch=101"]
     assert table.read_quarantine().count() == 1
+
+
+def test_e2e_rdbms_sync_quarantine_then_repair(spark, tmp_path):
+    """The full DataX-shaped story in one flow: an RDBMS source (real
+    embedded Derby) synced into the lake via icetable_merge, one row
+    with a broken key routed to quarantine instead of poisoning the
+    epoch, then an icetable_reprocess job whose transforms repair the
+    key and recover the row — zero rows lost end to end."""
+    from datax_spark.jobspec import run_batch_job
+
+    driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    db = f"jdbc:derby:{tmp_path}/db;create=true"
+    src = spark.createDataFrame(
+        [
+            ("https://x/a", "en", "alpha"),
+            ("https://x/b", "en", "beta"),
+            ("", "de", "broken-key"),  # dirty: empty url
+        ],
+        "url string, lang string, text string",
+    )
+    src.write.jdbc(db, "pages", properties={"driver": driver})
+
+    table_root = tmp_path / "lake"
+    run_batch_job(
+        spark,
+        {
+            "reader": {"type": "jdbc", "jdbcUrl": db, "table": "pages",
+                       "driver": driver},
+            "writer": {"type": "icetable_merge", "path": str(table_root),
+                       "keyColumn": "url", "synthesizeOps": True},
+        },
+    )
+    from datax_spark.icetable.table import IceTable
+
+    tbl = IceTable.load(spark, table_root)
+    assert {r["url"] for r in tbl.read().collect()} == {
+        "https://x/a", "https://x/b",
+    }
+    assert tbl.quarantine_epochs() == ["epoch=0"]
+
+    # repair: quarantined rows get a synthetic url derived from text
+    stats_df = run_batch_job(
+        spark,
+        {
+            "reader": {"type": "icetable_reprocess", "path": str(table_root)},
+            "transforms": [
+                {"op": "pad", "col": "url", "side": "l", "len": 24,
+                 "pad": "https://fixed/broken-key"},
+            ],
+        },
+    )
+    row = stats_df.collect()[0]
+    assert row["rows_upserted"] == 1 and row["rows_dirty"] == 0
+    assert {r["url"] for r in tbl.read().collect()} == {
+        "https://x/a", "https://x/b", "https://fixed/broken-key",
+    }
+    assert tbl.quarantine_epochs() == []
