@@ -564,7 +564,12 @@ class IceTable:
             deletes=self.delete_entries(to_version),
         )
 
-    def read_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+    def read_changes(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        pre_images: bool = False,
+    ) -> DataFrame:
         """Net row-level changelog (change-data-feed) between two retained
         versions: one row per key whose LIVE state differs, labeled
         ``_op`` ∈ {I, U, D}, carrying the to-version schema — post-image
@@ -589,7 +594,15 @@ class IceTable:
         a rebucket — pids aren't comparable and the diff falls back to
         both full states). Rows equal in every user column but touched
         by a same-value rewrite do NOT appear (_lsn is bookkeeping, not
-        payload)."""
+        payload).
+
+        ``pre_images=True`` switches to the Delta-CDF four-op form the
+        incremental-view maintainer consumes: each U splits into a
+        ``UB`` (update pre-image, from-version values + LSN) and a
+        ``UA`` (update post-image) row; I and D are unchanged. The
+        split is a per-row explode inside the SAME single full-outer
+        join — both images are already on the joined row, so pre-images
+        cost no extra scan or shuffle."""
         to_version = self.current_version() if to_version is None else to_version
         key = self.metadata(to_version)["partition_spec"]["key"]
         bootstrap_empty = from_version == 0 and not (
@@ -666,21 +679,53 @@ class IceTable:
             .when(F.col(f"b_{key}").isNull(), "D")
             .otherwise("U")
         )
+        filtered = j.withColumn("_op", op).filter(
+            (F.col("_op") != "U") | changed
+        )
+        if pre_images:
+            def _img(side: str, lsn: F.Column) -> F.Column:
+                return F.struct(
+                    F.col(f"{side}_{key}").alias(key),
+                    *[F.col(f"{side}_{c}").alias(c) for c in vals],
+                    lsn.alias("_lsn"),
+                )
+
+            def _entry(o: str, img: F.Column) -> F.Column:
+                return F.struct(F.lit(o).alias("_op"), img.alias("row"))
+
+            rows = (
+                F.when(
+                    F.col("_op") == "I",
+                    F.array(_entry("I", _img("b", F.col("b_lsn")))),
+                )
+                .when(
+                    F.col("_op") == "D",
+                    F.array(_entry("D", _img("a", F.col("a_lsn") + 1))),
+                )
+                .otherwise(
+                    F.array(
+                        _entry("UB", _img("a", F.col("a_lsn"))),
+                        _entry("UA", _img("b", F.col("b_lsn"))),
+                    )
+                )
+            )
+            e = filtered.select(F.explode(rows).alias("e"))
+            return e.select(
+                F.col("e._op").alias("_op"),
+                *[F.col(f"e.row.{c}").alias(c) for c in [key, *vals]],
+                F.col("e.row._lsn").alias("_lsn"),
+            )
         # side-select by op, NOT coalesce: an update that nulls an evolved
         # column must surface the null post-image, not the old value
         is_d = F.col("_op") == "D"
         pick = lambda c: F.when(is_d, F.col(f"a_{c}")).otherwise(F.col(f"b_{c}"))
-        return (
-            j.withColumn("_op", op)
-            .filter((F.col("_op") != "U") | changed)
-            .select(
-                "_op",
-                pick(key).alias(key),
-                *[pick(c).alias(c) for c in vals],
-                F.when(is_d, F.col("a_lsn") + 1)
-                .otherwise(F.col("b_lsn"))
-                .alias("_lsn"),
-            )
+        return filtered.select(
+            "_op",
+            pick(key).alias(key),
+            *[pick(c).alias(c) for c in vals],
+            F.when(is_d, F.col("a_lsn") + 1)
+            .otherwise(F.col("b_lsn"))
+            .alias("_lsn"),
         )
 
     def history(self) -> list[dict]:

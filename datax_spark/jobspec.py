@@ -218,7 +218,11 @@ def compile_reader(spark: SparkSession, reader: dict[str, Any]) -> DataFrame:
         tbl = IceTable.load(spark, reader["path"])
         df = (
             tbl.read_changes(
-                int(reader.get("fromVersion", 0)), reader.get("toVersion")
+                int(reader.get("fromVersion", 0)),
+                reader.get("toVersion"),
+                # four-op Delta-CDF form (UB/UA update images) — what the
+                # icetable_view_refresh sink's maintainer consumes
+                pre_images=bool(reader.get("preImages", False)),
             )
             .withColumnRenamed("_op", "op")
             .withColumnRenamed("_lsn", "lsn")
@@ -502,6 +506,16 @@ def apply_transforms(
                 t.get("as", "shard"),
                 shard_id(t.get("keyCol", "doc_id"), int(t["nShards"])),
             )
+        elif op == "timeRollup":
+            from datax_spark.operators.rollup_time import time_rollup
+
+            df = time_rollup(
+                df,
+                t.get("tsCol", "ts"),
+                t.get("groupCols", []),
+                t["valueCol"],
+                tuple(t.get("resolutions", ("hour", "day"))),
+            )
         else:
             raise ValueError(f"unknown transform {op!r}")
     if track_cast_ok:
@@ -711,6 +725,78 @@ def _write_batch_output(spark: SparkSession, df: DataFrame, writer: dict[str, An
                 epoch=int(epoch),
                 extract=bool(writer.get("extract", False)),
                 merge_strategy=writer.get("mergeStrategy", "auto"),
+            )
+        elif wtype == "icetable_view_refresh":
+            # incremental materialized-view maintenance: the input is a
+            # PRE-IMAGE change feed (reader icetable_changes with
+            # preImages: true — ops I/D/UB/UA), the target a tiny
+            # grouped-aggregate IceTable. The source table is NEVER
+            # re-scanned: the previous view + the churn-sized delta
+            # produce the next view, published as one atomic snapshot
+            # replace (the view is |groups| rows, so the rewrite is
+            # metadata-cheap even when the source is 100 TB). Bootstrap
+            # needs no special case: an absent cursor tag makes the
+            # reader emit the full state as I-rows, and maintaining an
+            # EMPTY view with an all-insert feed IS the full aggregate.
+            from datax_spark.icetable.table import IceTable
+            from datax_spark.operators.incremental_view import (
+                agg_view,
+                maintain_agg_view,
+            )
+
+            group_cols = list(writer["groupCols"])
+            sum_cols = list(writer.get("sumCols", []))
+            missing = ({"op"} | set(group_cols) | set(sum_cols)) - set(
+                df.columns
+            )
+            if missing:
+                raise ValueError(
+                    f"icetable_view_refresh: feed lacks columns "
+                    f"{sorted(missing)} — read from icetable_changes "
+                    f"with preImages: true"
+                )
+            changes = df.withColumnRenamed("op", "_op")
+            root = Path(writer["path"])
+            # the view key: one synthetic column concatenating the group
+            # columns (IceTable keys are single-column); unit separator
+            # keeps multi-column groups collision-free
+            key_parts = [
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                for c in group_cols
+            ]
+            empty = agg_view(
+                changes.select(*group_cols, *sum_cols).limit(0),
+                group_cols,
+                sum_cols,
+            )
+            if (root / "metadata" / "version-hint.text").exists():
+                tbl = IceTable.load(spark, root)
+                view = tbl.read().drop("view_key")
+            else:
+                tbl = IceTable.create(
+                    spark,
+                    root,
+                    T.StructType(
+                        [T.StructField("view_key", T.StringType(), True)]
+                        + [
+                            T.StructField(f.name, f.dataType, True)
+                            for f in empty.schema.fields
+                        ]
+                    ),
+                    num_partitions=int(writer.get("numPartitions", 4)),
+                    key_column="view_key",
+                )
+                view = empty
+            maintained = maintain_agg_view(
+                view, changes, group_cols, sum_cols
+            ).withColumn("view_key", F.concat_ws("\x1f", *key_parts))
+            committed = tbl.committed_epochs()
+            epoch = writer.get("epoch")
+            if epoch is None:
+                epoch = (max(committed) + 1) if committed else 0
+            tbl.bulk_overwrite(
+                maintained.select(*[f.name for f in tbl.schema().fields]),
+                epoch=int(epoch),
             )
         elif wtype == "noop":
             df.write.format("noop").mode("overwrite").save()
