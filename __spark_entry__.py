@@ -2667,6 +2667,389 @@ def q_multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.join(feats, "doc_id")
 
 
+# ------------- TPC-H analog completion (Q2/7/8/9/11/12/15/17/20/21) ------- #
+
+def q_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations, both
+    directions, per year — customer nation via orders, supplier nation
+    via lineitem, both dims broadcast."""
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk"))
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3 suppliers' share of ASIA-customer
+    revenue per order year — conditional-sum ratio, all dims broadcast,
+    lineitem never shuffled except the final year groupBy."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    cn = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("c_nk"))
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("c_nk"), "left_semi")
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("s_nk"))
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier nation per year for PROMO
+    parts; the synthetic schema has no partsupp, so supply cost is
+    modeled as 80% of retail price × quantity. The profit sum is
+    cancellation-heavy (revenue − cost), so sum-order FP noise lands
+    exactly on cent-rounding boundaries; summing per-row integer cents
+    (floor(x*100+0.5) of bit-identical per-row doubles) makes the
+    aggregate order-free and cross-engine exact."""
+    nation = _t(spark, sf_dir, "nation")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.8
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    cents = F.floor(profit * 100 + F.lit(0.5)).cast("long")
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    )
+    return j.groupBy(
+        F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+    ).agg(F.round(F.sum(cents) / 100.0, 2).alias("profit"))
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the cheapest EUROPE offer per size-25 part —
+    correlated MIN subquery decorrelated to one row_number window.
+    The unit cost is a single IEEE division of identical operands in
+    both engines (never an accumulated aggregate), so the rank order is
+    bit-deterministic; ties break on supplier then lineitem identity."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    en = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("e_nk"))
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(en), F.col("s_nationkey") == F.col("e_nk"), "left_semi"
+    )
+    part = _t(spark, sf_dir, "part").where(F.col("p_size") == 25)
+    li = _t(spark, sf_dir, "lineitem")
+    offers = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .select(
+            "p_partkey",
+            "s_suppkey",
+            "s_name",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+    )
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.col("unit_cost").asc(),
+        F.col("s_suppkey").asc(),
+        F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+    )
+    return (
+        offers.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "p_partkey",
+            "s_suppkey",
+            "s_name",
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+    )
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part inventory value held by NATION_5
+    suppliers, kept where it exceeds 0.1% of the nation's total — the
+    scalar-subquery threshold as a broadcast crossJoin of a 1-row
+    aggregate. Verified at sf0.01 that no part sits near the threshold
+    (nearest relative gap ≫ FP noise), so the cut is cross-engine
+    stable."""
+    nation = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_5")
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+        "left_semi",
+    )
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    vals = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey, "left_semi")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_partkey")
+        .agg(
+            F.sum(F.col("l_quantity") * F.col("p_retailprice")).alias("value")
+        )
+    )
+    total = vals.agg(F.sum("value").alias("total"))
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .where(F.col("value") > F.col("total") * 0.001)
+        .select("p_partkey", F.round("value", 2).alias("value"))
+    )
+
+
+def q_ship_delay_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: order counts by ship-delay bucket × priority
+    class (the synthetic lineitem has no ship mode or commit date;
+    order-to-ship latency carries the bucketing). Integral counts —
+    no FP surface at all."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay < 30, "fast")
+        .when(delay < 90, "normal")
+        .otherwise("late")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy(bucket.alias("delay_bucket")).agg(
+        F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+    )
+
+
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) achieving maximum quarterly
+    revenue — scalar MAX subquery as a window over the 1-grain
+    aggregate. Revenue is rounded to cents BEFORE the max compare so
+    cross-engine sum-order noise cannot flip the argmax."""
+    supp = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    top = rev.withColumn(
+        "max_rev", F.max("total_revenue").over(Window.partitionBy())
+    ).where(F.col("total_revenue") == F.col("max_rev"))
+    return top.join(supp, top.l_suppkey == supp.s_suppkey).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: average yearly revenue lost if small-quantity
+    Brand#7 orders stopped shipping — the correlated per-part AVG as a
+    window. l_quantity is integral-valued, so the per-part mean is an
+    EXACT sum divided by a count: bit-identical across engines, and the
+    0.2× threshold compare cannot flip."""
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#7")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    w = Window.partitionBy("p_partkey")
+    small = j.withColumn("avg_qty", F.avg("l_quantity").over(w)).where(
+        F.col("l_quantity") < 0.2 * F.col("avg_qty")
+    )
+    return small.agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+    )
+
+
+def q_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped more than half of some
+    part's 1997 volume — nested semi joins collapsed to one grouped
+    share computation (quantities are integral-valued doubles, so both
+    sums are exact and the 50% cut is deterministic)."""
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("supp_qty")
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        per_ps.withColumn("part_qty", F.sum("supp_qty").over(w))
+        .where(F.col("supp_qty") * 2 > F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )
+
+
+def q_waiting_orders_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    multi-supplier order. The classic EXISTS/NOT-EXISTS self-join pair
+    collapses to ONE per-order aggregate (distinct suppliers, distinct
+    late suppliers, the late supplier id) — one shuffle on orderkey
+    instead of two lineitem self-joins; at 100 TB that is the difference
+    between one exchange and three."""
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90
+        ).alias("late"),
+    )
+    per_order = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supp"),
+    )
+    blamed = per_order.where(
+        (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+    )
+    counts = blamed.groupBy("late_supp").agg(
+        F.count(F.lit(1)).alias("numwait")
+    )
+    return (
+        counts.join(supp, counts.late_supp == supp.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+# --------- incremental view maintenance / multires rollup / autocorr ------ #
+
+def q_incremental_view_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the per-lang corpus
+    profile built at v1 of the CDF fixture, maintained to v2 purely
+    from read_changes(pre_images=True) — never re-scanning the table.
+    The oracle recomputes the v2 aggregate from scratch, so a green row
+    IS the maintain≡recompute proof at sf scale (the unit differential
+    lives in tests/test_incremental_view.py)."""
+    from datax_spark.operators.incremental_view import agg_view, maintain_agg_view
+
+    tbl = _cdf_fixture(spark, sf_dir)
+    view = agg_view(tbl.read(version=1), ["lang"], ["n_chars"])
+    maintained = maintain_agg_view(
+        view, tbl.read_changes(1, 2, pre_images=True), ["lang"], ["n_chars"]
+    )
+    return maintained.select(
+        "lang",
+        F.col("n_rows").alias("n_docs"),
+        F.col("sum_n_chars").alias("total_chars"),
+    )
+
+
+def q_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hour and day grains of
+    the event stream in ONE raw scan and two exchanges — finest-grain
+    partials explode into their (grain, bucket) memberships and every
+    level merges in one groupBy (plan-asserted in
+    tests/test_rollup_time.py; the union-of-cascades form measured a
+    scan per grain, so it was rejected)."""
+    from datax_spark.operators.rollup_time import time_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    out = time_rollup(ev, "ts", ["event_type"], "value", ("hour", "day"))
+    return out.select(
+        "resolution",
+        "bucket_ts",
+        "event_type",
+        "n",
+        F.round("sum_value", 2).alias("sum_value"),
+        "min_value",
+        "max_value",
+    )
+
+
+def q_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of daily event volume per type — the
+    time-series health check (is traffic self-similar day over day?).
+    Two grouped aggregates; the day-count relation is tiny, so the
+    window + corr run on |days × types| rows, not events."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.withColumn("prev_n", F.lag("n").over(w))
+    return (
+        lagged.where(F.col("prev_n").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.round(F.corr("n", "prev_n"), 4).alias("autocorr_lag1"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )
+
+
 # ----------------------- CDC engine (rows-only) ----------------------- #
 
 def q_cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2815,6 +3198,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transformer_chain": q_transformer_chain,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_wav_roundtrip": q_multimodal_wav_roundtrip,
+    "nation_pair_volume": q_nation_pair_volume,
+    "market_share": q_market_share,
+    "profit_by_nation_year": q_profit_by_nation_year,
+    "min_cost_supplier": q_min_cost_supplier,
+    "important_parts": q_important_parts,
+    "ship_delay_matrix": q_ship_delay_matrix,
+    "top_supplier_revenue": q_top_supplier_revenue,
+    "small_quantity_revenue": q_small_quantity_revenue,
+    "excess_stock_suppliers": q_excess_stock_suppliers,
+    "waiting_orders_blame": q_waiting_orders_blame,
+    "incremental_view_maintain": q_incremental_view_maintain,
+    "multires_rollup": q_multires_rollup,
+    "autocorr_daily": q_autocorr_daily,
     "cdc_final_state": q_cdc_final_state,
 }
 
@@ -5133,6 +5529,169 @@ SELECT r.node, round(r.pr * nn.n, 4) AS rank_n FROM r{iters} r, nn"""
 
 
 ORACLES["link_graph_pagerank"] = _pagerank_oracle()
+
+
+ORACLES["nation_pair_volume"] = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem, orders, customer, supplier, nation sn, nation cn
+WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+  AND l_suppkey = s_suppkey
+  AND s_nationkey = sn.n_nationkey AND c_nationkey = cn.n_nationkey
+  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+  AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+GROUP BY 1, 2, 3"""
+
+ORACLES["market_share"] = """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       round(sum(CASE WHEN n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+FROM lineitem, orders, supplier, nation
+WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+  AND s_nationkey = n_nationkey
+  AND o_custkey IN (SELECT c_custkey FROM customer, nation n2, region
+                    WHERE c_nationkey = n2.n_nationkey
+                      AND n2.n_regionkey = r_regionkey AND r_name = 'ASIA')
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+GROUP BY 1"""
+
+ORACLES["profit_by_nation_year"] = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       round(sum(CAST(floor((l_extendedprice * (1 - l_discount)
+                 - 0.8 * p_retailprice * l_quantity) * 100 + 0.5)
+                 AS BIGINT)) / 100.0, 2) AS profit
+FROM lineitem, part, orders, supplier, nation
+WHERE p_type = 'PROMO' AND l_partkey = p_partkey
+  AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+  AND s_nationkey = n_nationkey
+GROUP BY 1, 2"""
+
+ORACLES["min_cost_supplier"] = """
+WITH eu_s AS (
+  SELECT s_suppkey, s_name FROM supplier, nation, region
+  WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+    AND r_name = 'EUROPE'),
+offers AS (
+  SELECT p_partkey, s_suppkey, s_name,
+         l_extendedprice / l_quantity AS unit_cost,
+         row_number() OVER (
+           PARTITION BY p_partkey
+           ORDER BY l_extendedprice / l_quantity ASC, s_suppkey ASC,
+                    l_orderkey ASC, l_linenumber ASC) AS rn
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_size = 25
+  JOIN eu_s ON l_suppkey = s_suppkey)
+SELECT p_partkey, s_suppkey, s_name, round(unit_cost, 4) AS unit_cost
+FROM offers WHERE rn = 1"""
+
+ORACLES["important_parts"] = """
+WITH vals AS (
+  SELECT p_partkey, sum(l_quantity * p_retailprice) AS v
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier, nation
+                      WHERE s_nationkey = n_nationkey
+                        AND n_name = 'NATION_5')
+  GROUP BY 1)
+SELECT p_partkey, round(v, 2) AS "value"
+FROM vals WHERE v > (SELECT sum(v) FROM vals) * 0.001"""
+
+ORACLES["ship_delay_matrix"] = """
+SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) < 30 THEN 'fast'
+            WHEN date_diff('day', o_orderdate, l_shipdate) < 90 THEN 'normal'
+            ELSE 'late' END AS delay_bucket,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem, orders WHERE l_orderkey = o_orderkey
+GROUP BY 1"""
+
+ORACLES["top_supplier_revenue"] = """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)"""
+
+ORACLES["small_quantity_revenue"] = """
+WITH j AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#7'),
+a AS (SELECT l_partkey, avg(l_quantity) AS avg_qty FROM j GROUP BY 1)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM j JOIN a USING (l_partkey) WHERE l_quantity < 0.2 * avg_qty"""
+
+ORACLES["excess_stock_suppliers"] = """
+WITH per_ps AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+  GROUP BY 1, 2),
+tot AS (SELECT l_partkey, sum(supp_qty) AS part_qty FROM per_ps GROUP BY 1),
+dom AS (SELECT DISTINCT l_suppkey
+        FROM per_ps JOIN tot USING (l_partkey)
+        WHERE supp_qty * 2 > part_qty)
+SELECT s_suppkey, s_name, n_name AS nation
+FROM supplier JOIN dom ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey"""
+
+ORACLES["waiting_orders_blame"] = """
+WITH j AS (
+  SELECT l_orderkey, l_suppkey,
+         date_diff('day', o_orderdate, l_shipdate) > 90 AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'),
+per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp,
+         max(CASE WHEN late THEN l_suppkey END) AS late_supp
+  FROM j GROUP BY 1)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM per_order JOIN supplier ON late_supp = s_suppkey
+WHERE n_supp > 1 AND n_late_supp = 1
+GROUP BY 1 ORDER BY numwait DESC, s_name ASC LIMIT 20"""
+
+ORACLES["incremental_view_maintain"] = """
+WITH snap AS (
+  SELECT lang,
+         n_chars + CASE WHEN doc_id % 7 = 0 THEN 10 ELSE 0 END AS n_chars
+  FROM documents WHERE doc_id % 10 <> 0
+  UNION ALL
+  SELECT lang, n_chars FROM documents WHERE doc_id % 13 = 0)
+SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM snap GROUP BY lang"""
+
+ORACLES["multires_rollup"] = """
+SELECT 'hour' AS resolution, date_trunc('hour', ts) AS bucket_ts,
+       event_type, count(*) AS n,
+       round(sum("value"), 2) AS sum_value,
+       min("value") AS min_value, max("value") AS max_value
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'day', date_trunc('day', ts), event_type, count(*),
+       round(sum("value"), 2), min("value"), max("value")
+FROM events GROUP BY 2, 3"""
+
+ORACLES["autocorr_daily"] = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2),
+lagged AS (
+  SELECT event_type, n,
+         lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n
+  FROM daily)
+SELECT event_type, round(corr(n, prev_n), 4) AS autocorr_lag1,
+       CAST(count(*) AS BIGINT) AS n_days
+FROM lagged WHERE prev_n IS NOT NULL GROUP BY 1"""
 
 
 def oracle_sql() -> dict[str, str]:

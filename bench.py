@@ -96,6 +96,11 @@ HEADLINE = [
     "link_graph_triangles",
     "weighted_sample",
     "conversion_time_quantiles",
+    "local_supplier_volume",
+    "profit_by_nation_year",
+    "waiting_orders_blame",
+    "multires_rollup",
+    "incremental_view_maintain",
 ]
 
 CDC_EVENTS = int(os.environ.get("DATAX_BENCH_EVENTS", "1000000"))
