@@ -1094,6 +1094,27 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_t(spark, sf_dir, "documents"), queries, k=5)
 
 
+def q_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted inverted index (operators/text_index.py), built
+    INCREMENTALLY — half the corpus at build, half via add() — and
+    probed with the same three queries: the serving path reads only the
+    probed terms' bucket partitions, and union-of-adds must equal the
+    one-shot scorer, so this row shares bm25_retrieval's oracle."""
+    from datax_spark.operators.text_index import Bm25Index
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def _build(path):
+        idx = Bm25Index.build(
+            docs.where(F.col("doc_id") % 2 == 0), path, n_buckets=64
+        )
+        idx.add(docs.where(F.col("doc_id") % 2 == 1))
+
+    root = _ensure_diff_table(spark, sf_dir, "bm25idx", _build)
+    queries = spark.createDataFrame(_BM25_QUERIES, "query_id long, query string")
+    return Bm25Index(spark, root).probe(queries, k=5)
+
+
 def q_patch_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-level partial-image CDC fold (operators/patch.py — the
     HBase-versioned-put / OTS-UpdateRow semantics, SURVEY S8/S9):
@@ -3127,6 +3148,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "pack_documents": q_pack_documents,
     "bm25_retrieval": q_bm25_retrieval,
+    "bm25_index_topk": q_bm25_index_topk,
     "duplicate_span_stats": q_duplicate_span_stats,
     "duplicate_span_removal": q_duplicate_span_removal,
     "frequency_quality_buckets": q_frequency_quality_buckets,
@@ -4959,6 +4981,8 @@ SELECT op, count(*) AS n, min(url) AS url_min, max(url) AS url_max
 FROM diff WHERE op IS NOT NULL GROUP BY op"""
 
 ORACLES["changelog_feed"] = ORACLES["recrawl_diff"]
+# the persisted-index probe must equal the one-shot scorer exactly
+ORACLES["bm25_index_topk"] = ORACLES["bm25_retrieval"]
 
 ORACLES["time_travel_read"] = """
 SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,

@@ -105,17 +105,19 @@ def maintain_agg_view(
     changes: DataFrame,
     group_cols: Sequence[str],
     sum_cols: Sequence[str],
-    broadcast_delta: bool = True,
 ) -> DataFrame:
     """Apply a ``read_changes(pre_images=True)`` batch to a view built
     by :func:`agg_view`, returning the maintained view.
 
     Null group keys are legal groups (SQL GROUP BY keeps them), so the
     merge joins with null-safe equality — a plain equi-join would
-    duplicate the NULL group on both sides."""
+    duplicate the NULL group on both sides. The merge is a FULL OUTER
+    join (new groups appear, drained groups must surface to be
+    dropped), which Spark cannot broadcast — so it sort-merges on the
+    group key. Both sides are |groups|-sized relations, never the fact
+    table, so the exchange is the cheap part of the plan by
+    construction."""
     delta = changes_delta(changes, group_cols, sum_cols)
-    if broadcast_delta:
-        delta = F.broadcast(delta)
     v = view.alias("v")
     d = delta.alias("d")
     cond = None

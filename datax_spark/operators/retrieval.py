@@ -71,7 +71,10 @@ def bm25_topk(
     )
     stats = base.select(F.size("_toks").alias("dl")).agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.avg("dl").alias("avgdl"),
+        # exact integer sum / count (NOT F.avg's double accumulation):
+        # one IEEE division over exact operands, bit-identical to the
+        # persisted Bm25Index's meta-derived avgdl (sum_dl / n_docs)
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
     )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
     idf = df_t.crossJoin(F.broadcast(stats)).select(
