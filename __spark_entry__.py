@@ -3086,6 +3086,24 @@ def q_cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("url", "lang", "title")
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/dsir.py): docs with
+    doc_id % 5 == 0 stand in for the high-quality target corpus, the
+    rest are the raw pool; hashed unigram+bigram bucket distributions
+    (md5-prefix, 1024 buckets) give each raw doc a log importance
+    weight, and Gumbel-top-60 (md5-derived noise — deterministic)
+    samples the selection set proportional to the weights. Both bucket
+    count tables are <=1024 rows and broadcast; the only corpus shuffle
+    is the map-side-combined per-doc weight groupBy; selection is
+    TakeOrdered (plan-asserted in tests/test_dsir.py)."""
+    from datax_spark.operators.dsir import dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 5 == 0)
+    raw = docs.filter(F.col("doc_id") % 5 != 0)
+    return dsir_select(target, raw, n=60)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lww_latest_by_key": q_lww_latest_by_key,
     "lww_window_form": q_lww_window_form,
@@ -3233,6 +3251,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_view_maintain": q_incremental_view_maintain,
     "multires_rollup": q_multires_rollup,
     "autocorr_daily": q_autocorr_daily,
+    "dsir_select": q_dsir_select,
     "cdc_final_state": q_cdc_final_state,
 }
 
@@ -5716,6 +5735,64 @@ lagged AS (
 SELECT event_type, round(corr(n, prev_n), 4) AS autocorr_lag1,
        CAST(count(*) AS BIGINT) AS n_days
 FROM lagged WHERE prev_n IS NOT NULL GROUP BY 1"""
+
+
+ORACLES["dsir_select"] = r"""
+WITH tgt AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+rawd AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+tb AS (
+  SELECT doc_id,
+         list_transform(
+           list_concat(toks,
+             list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i+1])),
+           g -> CAST(concat('0x', substr(md5('dsir' || g), 1, 8)) AS BIGINT)
+                % 1024) AS bks
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\s+'),
+                           x -> x <> '') AS toks
+        FROM tgt)
+),
+rb AS (
+  SELECT doc_id,
+         list_transform(
+           list_concat(toks,
+             list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i+1])),
+           g -> CAST(concat('0x', substr(md5('dsir' || g), 1, 8)) AS BIGINT)
+                % 1024) AS bks
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\s+'),
+                           x -> x <> '') AS toks
+        FROM rawd)
+),
+tcnt AS (SELECT u.b AS bucket, count(*) AS tc FROM tb, unnest(bks) AS u(b) GROUP BY 1),
+rcnt AS (SELECT u.b AS bucket, count(*) AS rc FROM rb, unnest(bks) AS u(b) GROUP BY 1),
+tot AS (SELECT (SELECT sum(tc) FROM tcnt) AS tt, (SELECT sum(rc) FROM rcnt) AS rt),
+ratio AS (
+  SELECT g.bucket,
+         ln(coalesce(tc, 0) + 1.0) - ln(tt + 1024.0)
+       - ln(coalesce(rc, 0) + 1.0) + ln(rt + 1024.0) AS lw
+  FROM (SELECT unnest(range(0, 1024)) AS bucket) g
+  LEFT JOIN tcnt USING (bucket) LEFT JOIN rcnt USING (bucket), tot
+),
+occ AS (SELECT doc_id, u.b AS bucket FROM rb, unnest(bks) AS u(b)),
+wsum AS (
+  SELECT occ.doc_id, sum(r.lw) AS logw
+  FROM occ JOIN ratio r USING (bucket) GROUP BY 1
+),
+w AS (
+  SELECT rawd.doc_id, coalesce(wsum.logw, 0.0) AS logw
+  FROM rawd LEFT JOIN wsum USING (doc_id)
+),
+scored AS (
+  SELECT doc_id, round(logw, 4) AS weight,
+         round(logw + (-ln(-ln(
+           ((CAST(concat('0x', substr(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 8))
+             AS BIGINT) % 1000000) + 0.5) / 1000000.0))), 4) AS score
+  FROM w
+)
+SELECT doc_id, weight, score FROM scored ORDER BY score DESC, doc_id LIMIT 60"""
 
 
 def oracle_sql() -> dict[str, str]:
