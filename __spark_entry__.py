@@ -3104,6 +3104,17 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select(target, raw, n=60)
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/val/test split (operators/splits.py): MinHash
+    near-dup clusters (same pair graph as near_dup_clusters) each draw
+    ONE md5 gate from the cluster id, so no near-duplicate pair
+    straddles train and test. Component table broadcasts onto the
+    corpus; singletons fall through to their own id via coalesce."""
+    from datax_spark.operators.splits import leakage_safe_split
+
+    return leakage_safe_split(_t(spark, sf_dir, "documents"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lww_latest_by_key": q_lww_latest_by_key,
     "lww_window_form": q_lww_window_form,
@@ -3252,6 +3263,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multires_rollup": q_multires_rollup,
     "autocorr_daily": q_autocorr_daily,
     "dsir_select": q_dsir_select,
+    "leakage_safe_split": q_leakage_safe_split,
     "cdc_final_state": q_cdc_final_state,
 }
 
@@ -3378,8 +3390,10 @@ def _minhash_oracle() -> str:
     return f"\nWITH {ctes}\n{select}"
 
 
-def _near_dup_clusters_oracle(n_iter: int = 4) -> str:
-    """MinHash pair CTEs + unrolled min-label propagation."""
+def _cc_parts(n_iter: int = 4) -> list[str]:
+    """MinHash pair CTEs + unrolled min-label propagation, as a parts
+    list ending in l{n_iter}(src, label) — shared by the
+    connected-components and cluster-split oracles."""
     ctes, pair_select = _minhash_pair_parts()
     parts = [
         ctes,
@@ -3400,10 +3414,44 @@ def _near_dup_clusters_oracle(n_iter: int = 4) -> str:
   FROM cedges e JOIN l{i - 1} l ON l.src = e.dst
   GROUP BY e.src)"""
         )
+    return parts
+
+
+def _near_dup_clusters_oracle(n_iter: int = 4) -> str:
+    """MinHash pair CTEs + unrolled min-label propagation."""
+    parts = _cc_parts(n_iter)
     return (
         "WITH "
         + ",\n".join(parts)
         + f"\nSELECT src AS doc_id, label AS cluster_id FROM l{n_iter}"
+    )
+
+
+def _cluster_split_oracle(n_iter: int = 4) -> str:
+    """Near-dup clusters (shared parts) → per-cluster md5 gate →
+    train/val/test at (0.8, 0.1, 0.1)."""
+    parts = _cc_parts(n_iter)
+    parts.append(
+        f"""assigned AS (
+  SELECT d.doc_id, coalesce(l.label, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN l{n_iter} l ON l.src = d.doc_id)"""
+    )
+    parts.append(
+        """gated AS (
+  SELECT doc_id, cluster_id,
+         CAST(concat('0x', substr(md5('split' || CAST(cluster_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % 10000 AS g
+  FROM assigned)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT doc_id, cluster_id,
+       CASE WHEN g < 8000 THEN 'train'
+            WHEN g < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM gated"""
     )
 
 
@@ -5793,6 +5841,9 @@ scored AS (
   FROM w
 )
 SELECT doc_id, weight, score FROM scored ORDER BY score DESC, doc_id LIMIT 60"""
+
+
+ORACLES["leakage_safe_split"] = _cluster_split_oracle()
 
 
 def oracle_sql() -> dict[str, str]:

@@ -1787,6 +1787,48 @@ class IceTable:
                 f"provably disjoint."
             )
 
+    def commit_append_with_retry(
+        self,
+        epoch: int,
+        partition_ids: set[int],
+        added_files: list[dict],
+        new_schema: T.StructType | None = None,
+        summary_extra: dict | None = None,
+        max_retries: int = 5,
+    ) -> int:
+        """Additive commit that survives optimistic-CAS races with other
+        writers (Iceberg's retryable-append semantics). Pure appends
+        compose with ANY interleaved commit — they remove nothing and
+        shadow nothing, so losing the CAS only means the manifest deltas
+        must be rebuilt against the NEW current snapshot, which
+        ``commit`` already does by re-reading metadata on every call
+        (the staged data files themselves never move). Anything that
+        removes or shadows files (upserts, compaction, rebucket) must
+        NOT auto-retry — its rewrite set was computed against a specific
+        version — which is why those paths pass ``expected_version`` and
+        surface ``TableCommitConflict`` to be recomputed instead.
+
+        The one-live-row-per-key invariant is re-verified against the
+        fresh snapshot on every attempt, so an interleaved commit that
+        introduces an overlap turns the retry into a
+        ``TableInvariantError`` rather than a silent duplicate.
+        """
+        last: TableCommitConflict | None = None
+        for _ in range(max_retries + 1):
+            try:
+                return self.commit(
+                    epoch,
+                    partition_ids,
+                    added_files,
+                    new_schema=new_schema,
+                    summary_extra=summary_extra,
+                )
+            except TableCommitConflict as e:  # lost the CAS — rebuild
+                last = e
+        raise TableCommitConflict(
+            f"append still conflicting after {max_retries} retries"
+        ) from last
+
     def commit(
         self,
         epoch: int,
