@@ -101,6 +101,8 @@ HEADLINE = [
     "waiting_orders_blame",
     "multires_rollup",
     "incremental_view_maintain",
+    "dsir_select",
+    "leakage_safe_split",
 ]
 
 CDC_EVENTS = int(os.environ.get("DATAX_BENCH_EVENTS", "1000000"))
