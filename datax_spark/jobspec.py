@@ -470,27 +470,7 @@ def apply_transforms(
         elif op == "expect":
             from datax_spark.operators import expectations as _X
 
-            builders = {
-                "not_null": lambda c: _X.not_null(
-                    c["col"], float(c.get("threshold", 1.0))
-                ),
-                "unique": lambda c: _X.unique(
-                    c["col"], float(c.get("threshold", 1.0))
-                ),
-                "in_set": lambda c: _X.in_set(
-                    c["col"], c["values"], float(c.get("threshold", 1.0))
-                ),
-                "in_range": lambda c: _X.in_range(
-                    c["col"], c["lo"], c["hi"], float(c.get("threshold", 1.0))
-                ),
-                "matches": lambda c: _X.matches(
-                    c["col"], c["pattern"], float(c.get("threshold", 1.0))
-                ),
-                "min_rows": lambda c: _X.min_rows(int(c["rows"])),
-            }
-            _X.enforce(
-                df, [builders[c["kind"]](c) for c in t["constraints"]]
-            )
+            _X.enforce(df, _X.parse_constraints(t["constraints"]))
         elif op == "zorder":
             from datax_spark.operators.layout import zorder_sort, zvalue
 
@@ -695,13 +675,45 @@ def _write_batch_output(spark: SparkSession, df: DataFrame, writer: dict[str, An
                 # positive — lsn ≤ 0 is the dirty-row rule — and monotone,
                 # so later put batches win LWW)
                 df = df.withColumn("lsn", F.lit(int(epoch) + 1).cast("long"))
-            apply_epoch(
-                tbl,
-                df,
-                epoch=int(epoch),
-                extract=bool(writer.get("extract", False)),
-                merge_strategy=writer.get("mergeStrategy", "auto"),
-            )
+            wap = writer.get("wap")
+            if wap:
+                # write-audit-publish: apply, audit the post-image with
+                # the declared constraints, fast-forward the prod tag or
+                # roll back (operators/wap.py). A failed audit raises so
+                # the job exits non-zero — the DataX errorLimit analogue
+                # at table level.
+                from datax_spark.operators.expectations import parse_constraints
+                from datax_spark.operators.wap import wap_apply
+
+                report = wap_apply(
+                    tbl,
+                    df,
+                    epoch=int(epoch),
+                    checks=parse_constraints(wap["constraints"]),
+                    prod_tag=wap.get("prodTag", "prod"),
+                    audit_affected_only=bool(wap.get("auditAffectedOnly", False)),
+                    key_col=writer.get("keyColumn", "url"),
+                    extract=bool(writer.get("extract", False)),
+                    merge_strategy=writer.get("mergeStrategy", "auto"),
+                )
+                if not report["published"] and not report["stats"].skipped:
+                    failed = [
+                        f"{r['constraint']}: metric {r['metric']} < {r['threshold']}"
+                        for r in report["audit"]
+                        if not r["passed"]
+                    ]
+                    raise ValueError(
+                        "wap audit failed — table rolled back, prod tag "
+                        "unmoved: " + "; ".join(failed)
+                    )
+            else:
+                apply_epoch(
+                    tbl,
+                    df,
+                    epoch=int(epoch),
+                    extract=bool(writer.get("extract", False)),
+                    merge_strategy=writer.get("mergeStrategy", "auto"),
+                )
         elif wtype == "icetable_diff_merge":
             # recrawl ingestion: diff the incoming SNAPSHOT against the
             # table state (operators/snapshot_diff.py — unchanged keys

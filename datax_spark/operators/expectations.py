@@ -120,6 +120,36 @@ def check(df: DataFrame, expectations: Sequence[Expect]) -> DataFrame:
     return row.select(F.explode(F.array(*out)).alias("r")).select("r.*")
 
 
+def parse_constraints(constraints: Sequence[dict]) -> list[Expect]:
+    """JSON/job-spec form → Expect list. Each entry:
+    ``{"kind": "not_null"|"unique"|"in_set"|"in_range"|"matches"|
+    "min_rows", "col": ..., and the kind's parameters}`` — the shared
+    vocabulary of the ``expect`` transform and ``writer.wap``."""
+    builders = {
+        "not_null": lambda c: not_null(c["col"], float(c.get("threshold", 1.0))),
+        "unique": lambda c: unique(c["col"], float(c.get("threshold", 1.0))),
+        "in_set": lambda c: in_set(
+            c["col"], c["values"], float(c.get("threshold", 1.0))
+        ),
+        "in_range": lambda c: in_range(
+            c["col"], c["lo"], c["hi"], float(c.get("threshold", 1.0))
+        ),
+        "matches": lambda c: matches(
+            c["col"], c["pattern"], float(c.get("threshold", 1.0))
+        ),
+        "min_rows": lambda c: min_rows(int(c["rows"])),
+    }
+    out = []
+    for c in constraints:
+        kind = c.get("kind")
+        if kind not in builders:
+            raise ValueError(
+                f"unknown expectation kind {kind!r} — one of {sorted(builders)}"
+            )
+        out.append(builders[kind](c))
+    return out
+
+
 def enforce(df: DataFrame, expectations: Sequence[Expect]) -> None:
     """Raise ``ValueError`` naming every failed constraint — the abort
     gate in front of a table commit. Collects |expectations| rows."""

@@ -89,6 +89,47 @@ def test_replayed_epoch_is_noop(spark, tmp_path):
     assert t.refs()["prod"] == prod
 
 
+def test_jobspec_wap_gate(spark, tmp_path):
+    """writer.wap in an icetable_merge spec: good batch publishes and
+    moves prod; bad batch raises, rolls back, prod unmoved."""
+    from datax_spark.jobspec import run_batch_job
+
+    feed = tmp_path / "feed.parquet"
+    _batch(spark, 12).write.parquet(str(feed))
+    spec = {
+        "reader": {"type": "parquet", "path": str(feed)},
+        "writer": {
+            "type": "icetable_merge",
+            "path": str(tmp_path / "t"),
+            "keyColumn": "url",
+            "wap": {
+                "constraints": [
+                    {"kind": "not_null", "col": "url"},
+                    {"kind": "in_set", "col": "lang",
+                     "values": ["en", "de", "fr"]},
+                ],
+            },
+        },
+    }
+    run_batch_job(spark, spec)
+    t = IceTable.load(spark, tmp_path / "t")
+    assert t.refs()["prod"] == t.resolve_ref("prod")
+    assert wap_read(t).count() == 12
+
+    bad = tmp_path / "bad.parquet"
+    _batch(spark, 3, lsn0=500, lang="zz", prefix="x").write.parquet(str(bad))
+    prod_before = t.refs()["prod"]
+    spec_bad = {**spec, "reader": {"type": "parquet", "path": str(bad)}}
+    try:
+        run_batch_job(spark, spec_bad)
+        raise AssertionError("expected wap audit failure")
+    except ValueError as e:
+        assert "wap audit failed" in str(e)
+    t = IceTable.load(spark, tmp_path / "t")
+    assert t.refs()["prod"] == prod_before
+    assert wap_read(t).count() == 12
+
+
 def test_affected_only_audit_passes_and_prunes(spark, tmp_path):
     t = IceTable.create(spark, tmp_path / "t", PAGE_SCHEMA, num_partitions=4)
     wap_apply(t, _batch(spark, 40), 0, CHECKS)
