@@ -49,9 +49,12 @@ def wap_apply(
     whole post-image — the 100-TB setting where a full post-image pass
     per epoch would be O(table).
     """
-    base_version = table.current_version()
     if prod_tag not in table.refs():
-        table.tag(prod_tag, base_version)  # bootstrap: pin the pre-image
+        table.tag(prod_tag, table.current_version())  # bootstrap: pin pre-image
+    # pre-image anchor AFTER any bootstrap tag publish (tagging bumps the
+    # metadata version), so skip detection and rollback target the state
+    # immediately before the apply
+    base_version = table.current_version()
     stats = apply_epoch(table, batch_df, epoch, **apply_kw)
     v_new = table.current_version()
     if stats.skipped or v_new == base_version:
