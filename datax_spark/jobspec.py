@@ -449,6 +449,42 @@ def apply_transforms(
                 token_col=t.get("tokenCol", "n_tokens"),
                 quality_col=t.get("qualityCol", "quality"),
             )
+        elif op == "dsirSelect":
+            # DSIR importance resampling (operators/dsir.py): keep the
+            # n raw docs that look most like the target corpus. The
+            # target is its own reader spec (any source the engine
+            # reads), so "select webtext that reads like Wikipedia" is
+            # one job config.
+            from datax_spark.operators.dsir import dsir_select
+
+            target = compile_reader(df.sparkSession, t["target"])
+            df = dsir_select(
+                target,
+                df,
+                n=int(t["n"]),
+                id_col=t.get("idCol", "doc_id"),
+                text_col=t.get("textCol", "text"),
+                n_buckets=int(t.get("nBuckets", 1024)),
+                seed=t.get("seed", "dsir"),
+                alpha=float(t.get("alpha", 1.0)),
+                gumbel=bool(t.get("gumbel", True)),
+            ).join(df, t.get("idCol", "doc_id"), "inner")
+        elif op == "clusterSplit":
+            # leakage-safe train/val/test tagging (operators/splits.py):
+            # adds cluster_id + split columns; downstream filters or
+            # partitioned writers consume the split column
+            from datax_spark.operators.splits import leakage_safe_split
+
+            fr = t.get("fractions", [0.8, 0.1, 0.1])
+            lab = leakage_safe_split(
+                df,
+                fractions=(float(fr[0]), float(fr[1]), float(fr[2])),
+                seed=t.get("seed", "split"),
+                id_col=t.get("idCol", "doc_id"),
+                text_col=t.get("textCol", "text"),
+                jaccard_threshold=float(t.get("jaccardThreshold", 0.7)),
+            )
+            df = df.join(lab, t.get("idCol", "doc_id"), "inner")
         elif op == "normalizeUnicode":
             from datax_spark.functions.unicode import clean_unicode
 

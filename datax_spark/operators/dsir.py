@@ -104,8 +104,10 @@ def dsir_log_ratio(
     spark = target.sparkSession
     tc = bucket_counts(target, text_col, n_buckets, seed)
     rc = bucket_counts(raw, text_col, n_buckets, seed)
-    t_tot = tc.agg(F.sum("cnt").alias("t_total"))
-    r_tot = rc.agg(F.sum("cnt").alias("r_total"))
+    # coalesce: a corpus with NO n-grams at all (every doc empty) has a
+    # NULL sum, which must behave as total 0, not poison every lw
+    t_tot = tc.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("t_total"))
+    r_tot = rc.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("r_total"))
     ab = float(alpha) * n_buckets
     full = (
         spark.range(n_buckets)

@@ -12,6 +12,8 @@ import hashlib
 import math
 import re
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from datax_spark.operators.dsir import (
@@ -146,6 +148,75 @@ def test_gumbel_selection_deterministic_and_weight_consistent(spark):
     # score = weight + gumbel noise; both columns populated and finite
     for row in a:
         assert row["weight"] is not None and row["score"] is not None
+
+
+def test_jobspec_dsir_and_split_transforms(spark, tmp_path):
+    """dsirSelect and clusterSplit as job-spec transforms: one config
+    selects target-like docs and tags leakage-safe splits end to end."""
+    from datax_spark.jobspec import run_batch_job
+
+    t, r = _dfs(spark)
+    t.write.parquet(str(tmp_path / "target"))
+    r.filter(F.col("doc_id").isin(10, 11, 12, 13)).write.parquet(
+        str(tmp_path / "raw")
+    )
+    spec = {
+        "reader": {"type": "parquet", "path": str(tmp_path / "raw")},
+        "transforms": [
+            {
+                "op": "dsirSelect",
+                "target": {"type": "parquet", "path": str(tmp_path / "target")},
+                "n": 2,
+                "nBuckets": B,
+                "gumbel": False,
+            },
+            {"op": "clusterSplit", "jaccardThreshold": 0.5},
+        ],
+        "writer": {
+            "type": "parquet",
+            "path": str(tmp_path / "out"),
+            "mode": "overwrite",
+        },
+    }
+    run_batch_job(spark, spec)
+    back = spark.read.parquet(str(tmp_path / "out"))
+    rows = {row["doc_id"]: row for row in back.collect()}
+    assert set(rows) == {10, 11}  # the target-like pair
+    for row in rows.values():
+        assert row["split"] in ("train", "val", "test")
+        assert row["weight"] is not None and row["cluster_id"] is not None
+        assert row["text"]  # original columns survive the join
+
+
+_doc_st = st.text(alphabet="ab x\tZ.9", min_size=0, max_size=40)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    st.lists(_doc_st, min_size=2, max_size=8),
+    st.lists(_doc_st, min_size=2, max_size=8),
+)
+def test_weights_match_python_on_random_corpora(spark, t_texts, r_texts):
+    """Hypothesis differential: arbitrary (whitespace-heavy, empty,
+    punctuation) corpora — engine weights == pure-python to 1e-9."""
+    trows = list(enumerate(t_texts))
+    rrows = [(100 + i, s) for i, s in enumerate(r_texts)]
+    t = spark.createDataFrame(trows, "doc_id bigint, text string")
+    r = spark.createDataFrame(rrows, "doc_id bigint, text string")
+    ratio = dsir_log_ratio(t, r, n_buckets=B)
+    got = {
+        row["doc_id"]: row["logw"]
+        for row in dsir_weights(r, ratio, n_buckets=B).collect()
+    }
+    exp = py_weights(trows, rrows)
+    assert set(got) == set(exp)
+    for i in exp:
+        assert abs(got[i] - exp[i]) < 1e-9, (i, got[i], exp[i])
 
 
 def test_plan_shape(spark):
