@@ -190,6 +190,46 @@ def _translate_writer(name: str, p: dict[str, Any]) -> dict[str, Any]:
     raise ValueError(f"unknown DataX writer plugin {name!r}")
 
 
+def _translate_transformers(tfs: list[dict[str, Any]]) -> list[dict[str, Any]]:
+    """Stock DataX ``transformer`` entries → jobspec transforms. DataX
+    transformers address Record columns BY POSITION (columnIndex) with
+    0-based substring/replace offsets; jobspec resolves ``colIndex``
+    against the frame's column order at apply time. dx_groovy is
+    per-record scripting — banned on this engine's hot path — and is
+    rejected with the vectorized migration path named."""
+    out: list[dict[str, Any]] = []
+    for tf in tfs or []:
+        name = tf.get("name")
+        p = tf.get("parameter", {}) or {}
+        idx = p.get("columnIndex")
+        paras = [str(x) for x in (p.get("paras") or [])]
+        if name == "dx_substr":
+            # DataX paras [startIndex(0-based), length] → 1-based SQL
+            out.append({"op": "substr", "colIndex": idx,
+                        "start": int(paras[0]) + 1, "len": int(paras[1])})
+        elif name == "dx_pad":
+            out.append({"op": "pad", "colIndex": idx,
+                        "side": paras[0].lower(), "len": int(paras[1]),
+                        "pad": paras[2]})
+        elif name == "dx_replace":
+            out.append({"op": "replace", "colIndex": idx,
+                        "start": int(paras[0]) + 1, "len": int(paras[1]),
+                        "with": paras[2]})
+        elif name == "dx_filter":
+            out.append({"op": "dxFilter", "colIndex": idx,
+                        "cmp": paras[0], "value": paras[1]})
+        elif name == "dx_groovy":
+            raise ValueError(
+                "dx_groovy is per-record scripting and does not run on "
+                "this engine — port the script to a vectorized transform "
+                "(functions/transformers.dx_vectorized) or a spec "
+                "'filter'/'mapValues'/'cast' rule"
+            )
+        else:
+            raise ValueError(f"unknown DataX transformer {name!r}")
+    return out
+
+
 def translate_datax_job(job: dict[str, Any]) -> list[dict[str, Any]]:
     """Full DataX ``{"job": {...}}`` envelope → list of jobspecs (one
     per ``content`` element)."""
@@ -203,6 +243,8 @@ def translate_datax_job(job: dict[str, Any]) -> list[dict[str, Any]]:
             "reader": _translate_reader(rd["name"], rd.get("parameter", {})),
             "writer": _translate_writer(wr["name"], wr.get("parameter", {})),
         }
+        if content.get("transformer"):
+            spec["transforms"] = _translate_transformers(content["transformer"])
         st: dict[str, Any] = {}
         speed = setting.get("speed") or {}
         if speed.get("channel") is not None:

@@ -54,7 +54,7 @@ from __future__ import annotations
 from pathlib import Path
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -277,6 +277,17 @@ def apply_transforms(
     ok_tmp: list[str] = []
     for t in transforms or []:
         op = t["op"]
+        if "colIndex" in t and "col" not in t:
+            # stock DataX transformers address Record columns BY
+            # POSITION (compat.py translation); resolve against the
+            # frame's current column order at apply time
+            idx = int(t["colIndex"])
+            if idx >= len(df.columns):
+                raise ValueError(
+                    f"transformer columnIndex {idx} out of range — the "
+                    f"record has {len(df.columns)} columns {df.columns}"
+                )
+            t = {**t, "col": df.columns[idx]}
         if op == "substr":
             df = df.withColumn(
                 t.get("as", t["col"]), TX.dx_substr(t["col"], t["start"], t["len"])
@@ -293,6 +304,38 @@ def apply_transforms(
             )
         elif op == "filter":
             df = TX.dx_filter(df, t["predicate"])
+        elif op == "dxFilter":
+            # stock dx_filter: DROP the record when the condition
+            # matches. "like"/"not like" are Java Pattern.matches —
+            # full-string regex — hence the ^(?:…)$ anchor; comparisons
+            # go numeric when both sides parse as numbers (DataX
+            # compares in the column's type).
+            c = F.col(t["col"])
+            cmp, val = t["cmp"], str(t["value"])
+            if cmp in ("like", "not like"):
+                cond = c.rlike(f"^(?:{val})$")
+                if cmp == "not like":
+                    cond = ~cond
+            else:
+                ops = {
+                    ">": Column.__gt__, "<": Column.__lt__,
+                    ">=": Column.__ge__, "<=": Column.__le__,
+                    "=": Column.__eq__, "==": Column.__eq__,
+                    "!=": Column.__ne__,
+                }
+                if cmp not in ops:
+                    raise ValueError(
+                        f"dx_filter operator {cmp!r} — one of "
+                        f"{sorted(ops)} or like/not like"
+                    )
+                try:
+                    lhs, rhs = c.cast("double"), F.lit(float(val))
+                except ValueError:
+                    lhs, rhs = c, F.lit(val)
+                cond = ops[cmp](lhs, rhs)
+            # null condition (null value / failed numeric cast) = no
+            # match = record KEPT, explicitly
+            df = df.filter(~F.coalesce(cond, F.lit(False)))
         elif op == "mapValues":
             # value remapping (the canonical dead-letter repair rule:
             # legacy op codes → canonical ones): a chained CASE WHEN,

@@ -217,3 +217,62 @@ def test_odpswriter_static_partition_truncate_replaces_one_partition(spark, tmp_
         "SELECT pt, count(*) AS n FROM ods_pages GROUP BY pt").collect()}
     assert counts == {"20230101": 3, "20230102": 3}
     spark.sql("DROP TABLE IF EXISTS ods_pages")
+
+
+def test_stock_transformer_chain(spark, tmp_path):
+    """DataX transformer section runs unchanged: positional dx_substr /
+    dx_pad / dx_replace / dx_filter with 0-based offsets and
+    drop-on-match filter semantics (like = full-string Java regex)."""
+    src = tmp_path / "tf_src"
+    spark.createDataFrame(
+        [("alpha-one", "x1", "keep", 5),
+         ("beta-two", "x2", "dropme", 50),
+         ("gamma-three", "x3", "keep", 7)],
+        "a string, b string, c string, n long",
+    ).coalesce(1).write.parquet(str(src))
+    job = {"job": {"content": [{
+        "reader": {"name": "hdfsreader", "parameter": {
+            "path": str(src), "fileType": "parquet"}},
+        "transformer": [
+            # substr col 0 from 0-based index 0, length 5 -> "alpha"…
+            {"name": "dx_substr", "parameter": {
+                "columnIndex": 0, "paras": ["0", "5"]}},
+            # pad col 1 left to 4 with '*'
+            {"name": "dx_pad", "parameter": {
+                "columnIndex": 1, "paras": ["l", "4", "*"]}},
+            # replace 4 chars at 0-based index 0 of col 2 with 'T'
+            {"name": "dx_replace", "parameter": {
+                "columnIndex": 2, "paras": ["0", "4", "T"]}},
+            # drop records where n > 10
+            {"name": "dx_filter", "parameter": {
+                "columnIndex": 3, "paras": [">", "10"]}},
+            # drop records whose (replaced) col 2 full-matches 'Tme'
+            {"name": "dx_filter", "parameter": {
+                "columnIndex": 2, "paras": ["like", "Tme"]}},
+        ],
+        "writer": {"name": "streamwriter", "parameter": {}},
+    }]}}
+    out = run_datax_job(spark, job)
+    rows = {r["a"]: r for r in out.collect()}
+    # beta-two dropped by n>10 (n=50); its replaced c would be 'Tme' too
+    assert set(rows) == {"alpha", "gamma"}
+    assert rows["alpha"]["b"] == "**x1"
+    assert rows["alpha"]["c"] == "T"          # 'keep' -> replace(0,4,'T')
+    assert rows["gamma"]["n"] == 7
+
+
+def test_stock_dx_groovy_rejected():
+    job = {"job": {"content": [{
+        "reader": {"name": "streamreader", "parameter": {
+            "sliceRecordCount": 1,
+            "column": [{"value": "x", "type": "string", "name": "a"}]}},
+        "transformer": [{"name": "dx_groovy", "parameter": {
+            "code": "record.setColumn(0, null)"}}],
+        "writer": {"name": "streamwriter", "parameter": {}},
+    }]}}
+    import pytest as _pt
+
+    from datax_spark.compat import translate_datax_job
+
+    with _pt.raises(ValueError, match="dx_groovy"):
+        translate_datax_job(job)
