@@ -328,9 +328,18 @@ def apply_transforms(
                         f"dx_filter operator {cmp!r} — one of "
                         f"{sorted(ops)} or like/not like"
                     )
-                try:
-                    lhs, rhs = c.cast("double"), F.lit(float(val))
-                except ValueError:
+                # DataX compares in the COLUMN's type: numeric columns
+                # get a numeric comparison, string columns a string one
+                # (so a string '007' does not numerically equal 7)
+                numeric_col = isinstance(
+                    df.schema[t["col"]].dataType, T.NumericType
+                )
+                if numeric_col:
+                    try:
+                        lhs, rhs = c.cast("double"), F.lit(float(val))
+                    except ValueError:
+                        lhs, rhs = c.cast("string"), F.lit(val)
+                else:
                     lhs, rhs = c, F.lit(val)
                 cond = ops[cmp](lhs, rhs)
             # null condition (null value / failed numeric cast) = no

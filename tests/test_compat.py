@@ -276,3 +276,28 @@ def test_stock_dx_groovy_rejected():
 
     with _pt.raises(ValueError, match="dx_groovy"):
         translate_datax_job(job)
+
+
+def test_dx_filter_compares_in_column_type(spark):
+    """String column '007' must NOT equal 7 numerically; numeric column
+    7 must equal '7'. (DataX compares in the column's type.)"""
+    job = {"job": {"content": [{
+        "reader": {"name": "streamreader", "parameter": {
+            "sliceRecordCount": 1,
+            "column": [{"value": "007", "type": "string", "name": "s"},
+                       {"value": 7, "type": "long", "name": "n"}]}},
+        "transformer": [
+            {"name": "dx_filter", "parameter": {
+                "columnIndex": 0, "paras": ["=", "7"]}},
+        ],
+        "writer": {"name": "streamwriter", "parameter": {}},
+    }]}}
+    out = run_datax_job(spark, job)
+    assert out.count() == 1  # '007' != '7' as strings — record kept
+
+    job["job"]["content"][0]["transformer"] = [
+        {"name": "dx_filter", "parameter": {
+            "columnIndex": 1, "paras": ["=", "7"]}},
+    ]
+    out = run_datax_job(spark, job)
+    assert out.count() == 0  # numeric 7 == '7' — record dropped
