@@ -3086,6 +3086,49 @@ def q_cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("url", "lang", "title")
 
 
+def q_debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 wire bridge (sources/debezium.py): the shared CDC event log
+    serialized into Debezium envelopes (op c/u/d, base64 html,
+    MicroTimestamp warc_ts, source.lsn) and parsed back, then folded to
+    the final state with the engine's quarantine + LWW rules. The
+    oracle folds the SAME parquet shards directly, so a green row
+    proves the public-format wire round trip launders nothing: dirty
+    events stay dirty, clean events stay bit-identical (including the
+    binary html and microsecond timestamps the fold keys on). Both
+    directions are per-row from_json/to_json codegen — no UDF, no
+    shuffle; the only exchange is the LWW groupBy itself."""
+    from pyspark.sql import types as T
+
+    from datax_spark.operators.quarantine import dirty_predicate
+    from datax_spark.sources.debezium import parse_debezium, to_debezium
+
+    _utc(spark)
+    d = _ensure_cdc_fixture()
+    row_schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("html", T.BinaryType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("title", T.StringType()),
+        ]
+    )
+    ev = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(str(d / "events-e*.parquet"))
+        .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+        .select("lsn", "op", "url", "warc_ts", "html", "lang", "title")
+    )
+    wired = parse_debezium(to_debezium(ev), row_schema)
+    latest = lww_resolve(
+        wired.filter(~dirty_predicate("url")),
+        key="url",
+        order="lsn",
+        strategy="max_by",
+    )
+    return latest.filter(F.col("op") != "D").select("url", "lang", "title")
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (operators/dsir.py): docs with
     doc_id % 5 == 0 stand in for the high-quality target corpus, the
@@ -3265,6 +3308,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_select": q_dsir_select,
     "leakage_safe_split": q_leakage_safe_split,
     "cdc_final_state": q_cdc_final_state,
+    "debezium_roundtrip": q_debezium_roundtrip,
 }
 
 
@@ -4848,6 +4892,29 @@ FROM documents d JOIN peaks p USING (doc_id)""",
     # LWW = per-url max-lsn; deletes drop). `text` bytes are checked by the
     # pytest golden-byte + replay suites instead (not SQL-expressible).
     "cdc_final_state": f"""
+WITH ev AS (
+  SELECT * FROM read_parquet(
+    '{_CDC_EVENTS_DIR}/events-e*.parquet', union_by_name=true)
+),
+clean AS (
+  SELECT * FROM ev
+  WHERE url IS NOT NULL AND length(url) > 0
+    AND op IN ('I', 'U', 'D')
+    AND lsn IS NOT NULL AND lsn > 0
+),
+latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY url ORDER BY lsn DESC) AS rn
+    FROM clean
+  ) WHERE rn = 1
+)
+SELECT url, lang, title FROM latest WHERE op <> 'D'""",
+    # The Debezium wire round trip is an identity on clean events (and
+    # preserves dirtiness on dirty ones), so the oracle is the same
+    # direct fold of the shards — a value mismatch would mean the wire
+    # (base64 html / MicroTimestamp / op mapping / before-vs-after
+    # image selection) altered an event.
+    "debezium_roundtrip": f"""
 WITH ev AS (
   SELECT * FROM read_parquet(
     '{_CDC_EVENTS_DIR}/events-e*.parquet', union_by_name=true)
