@@ -90,6 +90,14 @@ class TableInvariantError(ValueError):
     and nothing in the commit shadows or removes the old copies)."""
 
 
+class StaleWriterFence(RuntimeError):
+    """This writer's lease generation was superseded — a newer driver
+    took over the table (zombie fencing). The fenced writer must stop;
+    its work is safe to abandon because every epoch it half-applied is
+    either in the ledger (the successor skips it) or will be recomputed
+    identically by the successor from the shared checkpoint."""
+
+
 def _key_stats(meta: "pq.FileMetaData", key: str) -> tuple[str, str]:
     """min/max of the key column from parquet footer statistics only —
     no data pages are read (files are sorted by key, stats are exact)."""
@@ -133,6 +141,9 @@ class IceTable:
         self._manifest_cache: dict[str, list[dict]] = {}
         self._bloom_cache: dict[str, dict] = {}
         self._bloom_words_cache: dict[str, tuple[int, dict[int, int]]] = {}
+        # writer-fence generation this handle holds (None = unfenced
+        # legacy writer; commit() skips the lease check)
+        self._fence_generation: int | None = None
 
     # ------------------------------------------------------------------ #
     # lifecycle
@@ -258,6 +269,53 @@ class IceTable:
                 "refs": refs,
             }
         )
+
+    # ------------------------------------------------------------------ #
+    # writer fencing (zombie-driver protection). A lease is a monotone
+    # generation stored IN the table metadata and bumped by a CAS'd
+    # rewrite-only snapshot, so takeover serializes through the same
+    # version CAS as every data commit — there is NO check-then-act
+    # window: a zombie that read pre-takeover metadata loses the
+    # version CAS (TableCommitConflict); one that reads post-takeover
+    # metadata sees the newer generation and gets StaleWriterFence at
+    # the fence check. Either way its commit cannot land. This is the
+    # epoch-fencing pattern Kafka transactions / HDFS lease recovery
+    # use, expressed as Iceberg-style metadata. Opt-in: handles that
+    # never acquire a lease commit exactly as before (single-writer
+    # deployments pay nothing).
+    # ------------------------------------------------------------------ #
+    def writer_lease(self) -> dict[str, Any]:
+        """Current lease, ``{"generation": 0}`` if never acquired."""
+        return dict(self.metadata().get("writer_lease") or {"generation": 0})
+
+    def acquire_writer_lease(self, owner: str, max_retries: int = 5) -> int:
+        """Take over as THE writer: bump the lease generation via a
+        rewrite-only CAS'd snapshot and bind this handle to the new
+        generation. Every commit through a handle bound to an older
+        generation fails from this point on. Acquire BEFORE reading
+        the checkpoint/table state you will resume from — the bump's
+        CAS then guarantees nothing the fenced writer lands afterwards
+        can have escaped your view."""
+        last: TableCommitConflict | None = None
+        for _ in range(max_retries + 1):
+            meta = self.metadata()
+            gen = int((meta.get("writer_lease") or {}).get("generation", 0)) + 1
+            try:
+                self._publish(
+                    {
+                        **meta,
+                        "version": meta["version"] + 1,
+                        "parent_version": meta["version"],
+                        "writer_lease": {"generation": gen, "owner": owner},
+                    }
+                )
+                self._fence_generation = gen
+                return gen
+            except TableCommitConflict as e:  # racing commit/acquire
+                last = e
+        raise TableCommitConflict(
+            f"lease acquisition still conflicting after {max_retries} retries"
+        ) from last
 
     def schema(self, version: int | None = None) -> T.StructType:
         meta = self.metadata(version)
@@ -1860,6 +1918,14 @@ class IceTable:
         if verify_disjoint and added_files:
             self._assert_disjoint_commit(added_files, removed, added_deletes)
         meta = self.metadata()
+        if self._fence_generation is not None:
+            lease = meta.get("writer_lease") or {"generation": 0}
+            if int(lease["generation"]) != self._fence_generation:
+                raise StaleWriterFence(
+                    f"writer generation {self._fence_generation} superseded "
+                    f"by {lease['generation']} "
+                    f"(owner {lease.get('owner')!r}) — this driver is fenced"
+                )
         if expected_version is not None and meta["version"] != expected_version:
             # optimistic-transaction validation for multi-snapshot
             # operations (compaction, rebucket): their added/removed sets

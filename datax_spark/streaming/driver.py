@@ -48,6 +48,7 @@ class EpochDriver:
         max_files_per_partition: int | None = None,
         expire_keep_last: int | None = None,
         canonicalize_urls: bool = False,
+        fence_owner: str | None = None,
     ):
         self.spark = spark
         self.source = source
@@ -101,6 +102,18 @@ class EpochDriver:
         # identical batches; the per-row lsn guard already makes the
         # merged histories' late events no-ops.
         self.canonicalize_urls = canonicalize_urls
+        # zombie fencing: naming an owner acquires a writer lease NOW —
+        # before this driver reads any checkpoint or table state — so a
+        # predecessor driver for the same table is fenced from the
+        # moment this one exists, and nothing it lands afterwards can
+        # escape this driver's view (the lease bump is a CAS'd
+        # snapshot; see IceTable.acquire_writer_lease). The fenced
+        # predecessor's next commit raises StaleWriterFence; its
+        # half-applied epoch, if any, is in the ledger or recomputed
+        # identically here from the shared checkpoint.
+        self.fence_generation = (
+            table.acquire_writer_lease(fence_owner) if fence_owner else None
+        )
 
     # ---------------- checkpoint log ---------------- #
     def _offset_path(self, epoch: int) -> Path:
