@@ -3129,6 +3129,26 @@ def q_debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.filter(F.col("op") != "D").select("url", "lang", "title")
 
 
+def q_logreg_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality classifier, SQL-checkable core
+    (operators/logreg.one_step_scores): one exact full-batch gradient
+    step from w=0 over hashed unigram+bigram counts (256 md5 buckets),
+    labels y = (doc_id % 5 == 0) as the reference-corpus proxy. All
+    arithmetic is dyadic-exact (±0.5 × int sums, a power-of-two step, a
+    dyadic dot product), so scores hash-match DuckDB bit-for-bit with
+    NO rounding. The full iterative sigmoid path is differential-tested
+    against numpy in tests/test_logreg.py (not cross-engine-exact by
+    nature). Plan: two map-side-combined groupBys + one broadcast of
+    the ≤256-row gradient table; the corpus never shuffles wide."""
+    from datax_spark.operators.logreg import one_step_scores
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "y", (F.col("doc_id") % 5 == 0).cast("int")
+    )
+    out = one_step_scores(docs, "y")
+    return out.select(F.col("id").alias("doc_id"), "score")
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (operators/dsir.py): docs with
     doc_id % 5 == 0 stand in for the high-quality target corpus, the
@@ -3305,6 +3325,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_view_maintain": q_incremental_view_maintain,
     "multires_rollup": q_multires_rollup,
     "autocorr_daily": q_autocorr_daily,
+    "logreg_one_step": q_logreg_one_step,
     "dsir_select": q_dsir_select,
     "leakage_safe_split": q_leakage_safe_split,
     "cdc_final_state": q_cdc_final_state,
@@ -5908,6 +5929,41 @@ scored AS (
   FROM w
 )
 SELECT doc_id, weight, score FROM scored ORDER BY score DESC, doc_id LIMIT 60"""
+
+
+ORACLES["logreg_one_step"] = r"""
+WITH lab AS (
+  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN 1.0 ELSE 0.0 END AS y, text
+  FROM documents
+),
+fb AS (
+  SELECT doc_id,
+         list_transform(
+           list_concat(toks,
+             list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i+1])),
+           g -> CAST(concat('0x', substr(md5('lrstep' || g), 1, 8)) AS BIGINT)
+                % 256) AS bks
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\s+'),
+                           x -> x <> '') AS toks
+        FROM lab)
+),
+x AS (
+  SELECT doc_id, u.b AS bucket, CAST(count(*) AS DOUBLE) AS x
+  FROM fb, unnest(bks) AS u(b) GROUP BY 1, 2
+),
+grad AS (
+  SELECT bucket, sum((0.5 - l.y) * x.x) AS g
+  FROM x JOIN lab l USING (doc_id) GROUP BY bucket
+),
+w AS (SELECT bucket, -g / 1024.0 AS w FROM grad),
+s AS (
+  SELECT x.doc_id, sum(x.x * w.w) AS score
+  FROM x JOIN w USING (bucket) GROUP BY 1
+)
+SELECT d.doc_id, coalesce(s.score, 0.0) AS score
+FROM documents d LEFT JOIN s USING (doc_id)"""
 
 
 ORACLES["leakage_safe_split"] = _cluster_split_oracle()
