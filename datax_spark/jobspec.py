@@ -227,6 +227,25 @@ def compile_reader(spark: SparkSession, reader: dict[str, Any]) -> DataFrame:
             .withColumnRenamed("_op", "op")
             .withColumnRenamed("_lsn", "lsn")
         )
+    elif rtype == "debezium":
+        # Debezium envelope tail (sources/debezium.py): a directory of
+        # JSON-lines envelope files — what a Kafka-topic dump or a
+        # Connect file sink produces — parsed into the canonical
+        # change-event shape (lsn, op, key, *payload). Chain into
+        # writer.type "icetable_merge" and the public CDC wire feeds
+        # the exactly-once sink directly. reader.rowSchema is the
+        # payload row as Spark DDL ("url string, warc_ts timestamp,
+        # html binary, ..."); parse failures surface as the quarantine
+        # predicate's dirty shape, never as job crashes.
+        from pyspark.sql import types as T
+
+        from datax_spark.sources.debezium import parse_debezium
+
+        df = parse_debezium(
+            spark.read.text(str(reader["path"])),
+            T.StructType.fromDDL(reader["rowSchema"]),
+            lsn_field=reader.get("lsnField", "lsn"),
+        )
     else:
         raise ValueError(f"unknown reader type {rtype!r}")
     if reader.get("positional"):
@@ -615,6 +634,18 @@ def _write_batch_output(spark: SparkSession, df: DataFrame, writer: dict[str, An
             df.write.mode(mode).json(str(writer["path"]))
         elif wtype == "text":
             df.write.mode(mode).text(str(writer["path"]))
+        elif wtype == "debezium":
+            # CDC egress in the public wire format: a canonical
+            # change-event feed (e.g. reader.type "icetable_changes")
+            # serialized to Debezium envelope JSON lines — any
+            # third-party Debezium consumer can tail the output.
+            from datax_spark.sources.debezium import to_debezium
+
+            to_debezium(
+                df,
+                lsn_col=writer.get("lsnCol", "lsn"),
+                op_col=writer.get("opCol", "op"),
+            ).write.mode(mode).text(str(writer["path"]))
         elif wtype == "jdbc":
             # DataX RDBMS writer (S1-S4/S7 write side; executable — see
             # tests/test_jdbc_exec.py against embedded Derby);
