@@ -15,6 +15,10 @@ Commands:
                                  lines, or parquet when [out] is given
                                  (a change-event feed another table
                                  ingests: lake-to-lake sync)
+    delete <predicate>           DELETE FROM … WHERE (GDPR purge): emits
+                                 D events through the exactly-once merge
+    update <col=expr[,…]> <pred> UPDATE … SET … WHERE; assigning a new
+                                 column name backfills it table-wide
 
 Every command prints machine-readable JSON on stdout; exit 0 on success.
 """
@@ -76,6 +80,19 @@ def main(argv: list[str]) -> int:
     elif cmd == "droptag":
         table.drop_tag(args[0])
         print(json.dumps({"dropped": args[0], "refs": table.refs()}))
+    elif cmd == "delete":
+        from datax_spark.operators.rowlevel import delete_where
+
+        stats = delete_where(table, args[0])
+        print(json.dumps({"deleted": stats.rows_in, "skipped": stats.skipped,
+                          "version": table.current_version()}))
+    elif cmd == "update":
+        from datax_spark.operators.rowlevel import update_where
+
+        sets = dict(kv.split("=", 1) for kv in args[0].split(","))
+        stats = update_where(table, sets, args[1] if len(args) > 1 else "true")
+        print(json.dumps({"updated": stats.rows_in, "skipped": stats.skipped,
+                          "version": table.current_version()}))
     elif cmd == "report":
         meta = table.metadata()
         print(json.dumps(
