@@ -366,3 +366,48 @@ def run_structured(
         .start()
     )
     q.awaitTermination()
+
+
+def run_structured_wire(
+    spark: SparkSession,
+    wire_dir: str | Path,
+    table: IceTable,
+    checkpoint_dir: str | Path,
+    row_schema,
+    lww_strategy: str = "auto",
+    extract: bool = True,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Structured Streaming over the PUBLIC wire format: a growing
+    directory of Debezium envelope JSON-line files (what a Kafka
+    Connect file sink emits) tailed with ``readStream.text`` →
+    ``parse_debezium`` (pure codegen) → the same exactly-once
+    ``apply_epoch`` sink. On a cluster the source line becomes
+    ``readStream.format("kafka")`` + ``col("value").cast("string")``
+    with everything downstream unchanged — this is that path, minus
+    the broker. Dirty envelopes quarantine per batch instead of
+    killing the query."""
+    from datax_spark.sources.debezium import parse_debezium
+
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
+        .text(str(Path(wire_dir)))
+    )
+    events = parse_debezium(stream, row_schema)
+
+    def _sink(batch_df, epoch_id: int) -> None:
+        apply_epoch(
+            table,
+            batch_df,
+            int(epoch_id),
+            lww_strategy=lww_strategy,
+            extract=extract,
+        )
+
+    q = (
+        events.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", str(Path(checkpoint_dir)))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -122,6 +122,69 @@ def test_wire_types():
     assert w["url"].dataType == T.StringType()
 
 
+def test_readstream_wire_ingest(spark, event_log, tmp_path):
+    """Real Structured Streaming over the wire: envelope JSON lines
+    tailed by readStream.text → parse_debezium → foreachBatch
+    apply_epoch (availableNow to completion), then a checkpoint-resume
+    no-op. Final state matches the pure-python fold — the Kafka path
+    minus the broker."""
+    import pyarrow.parquet as pq_
+
+    from datax_spark.datagen.generator import reference_apply
+    from datax_spark.icetable.table import IceTable
+    from datax_spark.streaming.driver import run_structured_wire
+
+    import os
+    import shutil
+
+    ev = _read_events(spark, event_log)
+    # the wire must preserve the log's per-key LSN order ACROSS batches
+    # (a Kafka topic key-partitioned by url guarantees exactly this),
+    # so shard by LSN range and order file mtimes: the file source
+    # triggers one batch per file, oldest first
+    half = ev.agg(F.max("lsn")).first()[0] // 2
+    wire = tmp_path / "wire"
+    wire.mkdir()
+    for i, chunk in enumerate(
+        (ev.filter(F.col("lsn") <= half), ev.filter(F.col("lsn") > half))
+    ):
+        part_dir = tmp_path / f"wirepart{i}"
+        to_debezium(chunk).coalesce(1).write.text(str(part_dir))
+        src = next(part_dir.glob("part-*.txt"))
+        dst = wire / f"{i:04d}.txt"
+        shutil.copy(src, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    page_schema = T.StructType(
+        [f for f in ROW_SCHEMA.fields if f.name != "title"]
+    )
+    table = IceTable.create(
+        spark, tmp_path / "tbl",
+        T.StructType(page_schema.fields + [T.StructField("title", T.StringType())]),
+        num_partitions=4,
+    )
+    run_structured_wire(
+        spark, wire, table, tmp_path / "ckpt", ROW_SCHEMA, extract=False
+    )
+
+    events = []
+    for p in sorted(event_log.glob("events-e*.parquet")):
+        events.extend(pq_.read_table(p).to_pylist())
+    expect = reference_apply(events)
+    got = {r["url"]: r for r in table.read().collect()}
+    assert set(got) == set(expect)
+    for url, e in expect.items():
+        assert got[url]["lang"] == e["lang"]
+        assert got[url]["title"] == e.get("title")
+
+    # checkpoint resume over the same file set: no new snapshot
+    v = table.current_version()
+    run_structured_wire(
+        spark, wire, table, tmp_path / "ckpt", ROW_SCHEMA, extract=False
+    )
+    assert table.current_version() == v
+
+
 def test_lake_to_wire_to_lake_sync(spark, tmp_path):
     """CDC egress + ingress as TWO DataX-style job specs through the
     PUBLIC wire format: src table → changelog feed → Debezium JSON
