@@ -103,6 +103,8 @@ HEADLINE = [
     "incremental_view_maintain",
     "dsir_select",
     "leakage_safe_split",
+    "logreg_one_step",
+    "debezium_roundtrip",
 ]
 
 CDC_EVENTS = int(os.environ.get("DATAX_BENCH_EVENTS", "1000000"))

@@ -156,6 +156,7 @@ class IceTable:
         schema: T.StructType,
         num_partitions: int = 16,
         key_column: str = "url",
+        properties: dict[str, Any] | None = None,
     ) -> "IceTable":
         t = cls(spark, root)
         if (t.meta_dir / "version-hint.text").exists():
@@ -183,6 +184,7 @@ class IceTable:
             "commits": {},
             "commit_epoch_watermark": -1,
             "summary": {"total_rows": 0},
+            "properties": dict(properties or {}),
         }
         t._publish(meta)
         return t
@@ -269,6 +271,55 @@ class IceTable:
                 "refs": refs,
             }
         )
+
+    # ------------------------------------------------------------------ #
+    # table properties (Iceberg-style): write knobs every data-file
+    # write path honors. Supported today:
+    #   write.parquet.compression-codec  snappy|zstd|gzip|lz4|none
+    #       (zstd is the 100-TB default choice: ~30-50% smaller files
+    #       than snappy on web text for a modest CPU cost — at petabyte
+    #       scan volumes the I/O saved dominates)
+    #   write.max-records-per-file       int — caps file size so one
+    #       hot partition's epoch write splits into parallel-scannable
+    #       files (Spark's maxRecordsPerFile; manifests already carry
+    #       multi-file partitions, and the compaction triggers bound
+    #       the resulting file count)
+    # Properties ride the metadata ({**meta} carries them through every
+    # commit) so they version, time-travel and replicate with the table.
+    # ------------------------------------------------------------------ #
+    def properties(self) -> dict[str, Any]:
+        return dict(self.metadata().get("properties") or {})
+
+    def set_properties(self, props: dict[str, Any]) -> None:
+        """Merge ``props`` into the table properties (None deletes a
+        key) via a rewrite-only CAS'd snapshot — data files untouched,
+        changelog-invisible, effective for every subsequent write."""
+        meta = self.metadata()
+        merged = dict(meta.get("properties") or {})
+        for k, v in props.items():
+            if v is None:
+                merged.pop(k, None)
+            else:
+                merged[k] = v
+        self._publish(
+            {
+                **meta,
+                "version": meta["version"] + 1,
+                "parent_version": meta["version"],
+                "properties": merged,
+            }
+        )
+
+    def _write_conf(self, writer):
+        """Apply the table's write properties to a DataFrameWriter."""
+        props = self.metadata().get("properties") or {}
+        codec = props.get("write.parquet.compression-codec")
+        if codec:
+            writer = writer.option("compression", codec)
+        max_rec = props.get("write.max-records-per-file")
+        if max_rec:
+            writer = writer.option("maxRecordsPerFile", int(max_rec))
+        return writer
 
     # ------------------------------------------------------------------ #
     # writer fencing (zombie-driver protection). A lease is a monotone
@@ -832,12 +883,11 @@ class IceTable:
         # directly (bypassing stage_data_files' aligned check which uses
         # the old num_partitions for the repartition width)
         staging = self.root / f"_staging-rebucket-{uuid.uuid4().hex[:8]}"
-        (
+        self._write_conf(
             staging_df.sortWithinPartitions("_pid", self.key_column)
             .write.partitionBy("_pid")
             .mode("overwrite")
-            .parquet(str(staging))
-        )
+        ).parquet(str(staging))
         key = self.key_column
 
         def entry(dest: Path, pid: int, fmeta: "pq.FileMetaData") -> dict:
@@ -1215,12 +1265,11 @@ class IceTable:
         if not aligned:
             df = df.repartition(num_p, F.col(key))
         pre = self._begin_bloom_compose(bloom_compose)
-        (
+        self._write_conf(
             df.sortWithinPartitions(pid_column, key)
             .write.partitionBy(pid_column)
             .mode("overwrite")
-            .parquet(str(staging))
-        )
+        ).parquet(str(staging))
         def entry(dest: Path, pid: int, meta: "pq.FileMetaData") -> dict:
             min_url, max_url = _key_stats(meta, key)
             return {
@@ -1287,12 +1336,11 @@ class IceTable:
         df = keys_df.select(pid_column, key)
         if not aligned:
             df = df.repartition(self.num_partitions, F.col(key))
-        (
+        self._write_conf(
             df.sortWithinPartitions(pid_column, key)
             .write.partitionBy(pid_column)
             .mode("overwrite")
-            .parquet(str(staging))
-        )
+        ).parquet(str(staging))
         def entry(dest: Path, pid: int, meta: "pq.FileMetaData") -> dict:
             return {
                 "path": str(dest.relative_to(self.root)),
@@ -1347,12 +1395,11 @@ class IceTable:
         # partition writer requires that ordering and would insert its
         # own local sort — dropping the within-file key sort — if ours
         # didn't already satisfy it
-        (
+        self._write_conf(
             both.sortWithinPartitions("_dl", pid_column, key)
             .write.partitionBy("_dl", pid_column)
             .mode("overwrite")
-            .parquet(str(staging))
-        )
+        ).parquet(str(staging))
 
         def data_entry(dest: Path, pid: int, meta: "pq.FileMetaData") -> dict:
             min_url, max_url = _key_stats(meta, key)

@@ -784,6 +784,9 @@ def _write_batch_output(spark: SparkSession, df: DataFrame, writer: dict[str, An
                     schema,
                     num_partitions=int(writer.get("numPartitions", 16)),
                     key_column=key_column,
+                    # Iceberg-style write knobs (compression codec,
+                    # max records per file) — see IceTable.properties
+                    properties=writer.get("properties"),
                 )
             committed = tbl.committed_epochs()
             epoch = writer.get("epoch")
