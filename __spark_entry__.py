@@ -1812,6 +1812,73 @@ def q_recrawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_into_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL MERGE INTO with all three WHEN clauses
+    (operators/rowlevel.merge_into): target = even-doc_id documents
+    bulk-loaded as an IceTable, source = div-by-3 documents with
+    shifted counts. WHEN MATCHED AND source.val % 5 = 0 → DELETE;
+    WHEN MATCHED AND source.val > target.val → UPDATE SET val (subset
+    SET — target's lang survives); WHEN NOT MATCHED AND lang <> 'de' →
+    INSERT. Clause evaluation joins the source against a bloom- and
+    partition-pruned slice of the target, and the event batch rides the
+    exactly-once merge epoch (replays are ledger no-ops). The oracle
+    states the same clause algebra as a LEFT JOIN pair."""
+    from pyspark.sql import types as T
+
+    from datax_spark.icetable.table import IceTable
+    from datax_spark.operators.merge import apply_epoch
+    from datax_spark.operators.rowlevel import merge_into
+
+    def _build(root):
+        docs = _t(spark, sf_dir, "documents")
+        target = docs.filter(F.col("doc_id") % 2 == 0).select(
+            F.concat(F.lit("d"), F.col("doc_id")).alias("url"),
+            F.col("n_chars").alias("val"),
+            "lang",
+        )
+        schema = T.StructType(
+            [
+                T.StructField("url", T.StringType()),
+                T.StructField("val", T.LongType()),
+                T.StructField("lang", T.StringType()),
+            ]
+        )
+        t = IceTable.create(spark, root, schema, num_partitions=8)
+        apply_epoch(
+            t,
+            target.select(
+                F.lit(1).cast("long").alias("lsn"),
+                F.lit("I").alias("op"),
+                "url",
+                "val",
+                "lang",
+            ),
+            epoch=0,
+            extract=False,
+        )
+        source = docs.filter(F.col("doc_id") % 3 == 0).select(
+            F.concat(F.lit("d"), F.col("doc_id")).alias("url"),
+            (F.col("n_chars") + F.lit(7)).alias("val"),
+            "lang",
+        )
+        merge_into(
+            t,
+            source,
+            when_matched_delete=True,
+            when_matched_delete_condition="source.val % 5 = 0",
+            when_matched_update={"val": "source.val"},
+            when_matched_update_condition="source.val > target.val",
+            when_not_matched_insert="*",
+            when_not_matched_insert_condition="source.lang <> 'de'",
+            epoch=1,
+        )
+
+    from datax_spark.icetable.table import IceTable as _IT
+
+    root = _ensure_diff_table(spark, sf_dir, "mergeinto", _build)
+    return _IT.load(spark, root).read().select("url", "val", "lang")
+
+
 def _cdf_fixture(spark: SparkSession, sf_dir: str):
     """The two-version table the changelog_feed query builds (v1 = the
     raw corpus, v2 = the perturbed recrawl) — shared by the time-travel
@@ -3274,6 +3341,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_graph_triangles": q_link_graph_triangles,
     "weighted_sample": q_weighted_sample,
     "recrawl_diff": q_recrawl_diff,
+    "merge_into_clauses": q_merge_into_clauses,
     "changelog_feed": q_changelog_feed,
     "time_travel_read": q_time_travel_read,
     "incremental_read": q_incremental_read,
@@ -5136,6 +5204,27 @@ SELECT op, count(*) AS n, min(url) AS url_min, max(url) AS url_max
 FROM diff WHERE op IS NOT NULL GROUP BY op"""
 
 ORACLES["changelog_feed"] = ORACLES["recrawl_diff"]
+
+# MERGE INTO clause algebra: matched-delete first, then conditional
+# subset-SET update (target lang survives), then gated not-matched
+# insert — one LEFT JOIN per side of the final state
+ORACLES["merge_into_clauses"] = """
+WITH t AS (
+  SELECT 'd' || CAST(doc_id AS VARCHAR) AS url, n_chars AS val, lang
+  FROM documents WHERE doc_id % 2 = 0),
+s AS (
+  SELECT 'd' || CAST(doc_id AS VARCHAR) AS url, n_chars + 7 AS val, lang
+  FROM documents WHERE doc_id % 3 = 0)
+SELECT t.url AS url,
+       CASE WHEN s.url IS NOT NULL AND s.val > t.val THEN s.val
+            ELSE t.val END AS val,
+       t.lang AS lang
+FROM t LEFT JOIN s ON t.url = s.url
+WHERE s.url IS NULL OR s.val % 5 <> 0
+UNION ALL
+SELECT s.url AS url, s.val AS val, s.lang AS lang
+FROM s LEFT JOIN t ON s.url = t.url
+WHERE t.url IS NULL AND s.lang <> 'de'"""
 # the persisted-index probe must equal the one-shot scorer exactly
 ORACLES["bm25_index_topk"] = ORACLES["bm25_retrieval"]
 

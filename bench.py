@@ -105,6 +105,7 @@ HEADLINE = [
     "leakage_safe_split",
     "logreg_one_step",
     "debezium_roundtrip",
+    "merge_into_clauses",
 ]
 
 CDC_EVENTS = int(os.environ.get("DATAX_BENCH_EVENTS", "1000000"))

@@ -119,6 +119,93 @@ def _key_stats(meta: "pq.FileMetaData", key: str) -> tuple[str, str]:
     return (min(mins), max(maxs)) if mins else ("", "￿")
 
 
+_STATS_STR_TRUNC = 64
+
+
+def _stats_norm(v, dt: T.DataType, is_max: bool):
+    """Normalize one parquet-footer min/max value to a JSON-storable,
+    order-preserving form keyed by the SPARK column type: timestamps →
+    epoch micros (int), dates → ordinal days, strings → ≤64-char
+    prefix (max padded past any real suffix, same trick as
+    _key_stats), numerics/bools as-is. Returns None when the value
+    can't be normalized (→ the column is unprunable for this file)."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    if isinstance(dt, T.TimestampType):
+        if not isinstance(v, _dt.datetime):
+            return None
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return int((v - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+    if isinstance(dt, T.DateType):
+        if not isinstance(v, _dt.date):
+            return None
+        return v.toordinal()
+    if isinstance(dt, T.StringType):
+        if isinstance(v, bytes):
+            try:
+                v = v.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        if not isinstance(v, str):
+            return None
+        if len(v) > _STATS_STR_TRUNC:
+            v = v[:_STATS_STR_TRUNC]
+            if is_max:
+                v += "￿"
+        return v
+    if isinstance(v, bool) or isinstance(v, (int, float)):
+        return v
+    return None
+
+
+def _column_stats(
+    meta: "pq.FileMetaData", schema: T.StructType, key: str
+) -> dict[str, list]:
+    """Per-file [min, max] for every primitive comparable column except
+    the key (which has the dedicated min_url/max_url envelope) and
+    binary/nested payloads (stats on a 5 KB html blob are manifest
+    bloat with no pruning power). Footer statistics only — no data
+    pages are read. A column missing from any row group's stats is
+    omitted (conservatively unprunable). Values are normalized by
+    _stats_norm, so manifests stay plain JSON."""
+    arrow = meta.schema.to_arrow_schema()
+    out: dict[str, list] = {}
+    for field in schema.fields:
+        name, dt = field.name, field.dataType
+        if name == key or isinstance(
+            dt, (T.BinaryType, T.ArrayType, T.MapType, T.StructType)
+        ):
+            continue
+        idx = arrow.get_field_index(name)
+        if idx < 0:
+            continue
+        mins, maxs = [], []
+        ok = True
+        for rg in range(meta.num_row_groups):
+            col = meta.row_group(rg).column(idx)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                # all-null row group: prunable iff the whole group is
+                # null (comparisons never match null) — otherwise bail
+                if st is not None and st.null_count == meta.row_group(rg).num_rows:
+                    continue
+                ok = False
+                break
+            lo = _stats_norm(st.min, dt, is_max=False)
+            hi = _stats_norm(st.max, dt, is_max=True)
+            if lo is None or hi is None:
+                ok = False
+                break
+            mins.append(lo)
+            maxs.append(hi)
+        if ok and mins:
+            out[name] = [min(mins), max(maxs)]
+    return out
+
+
 def _schema_to_json(schema: T.StructType) -> dict:
     return json.loads(schema.json())
 
@@ -130,6 +217,10 @@ def _schema_from_json(j: dict) -> T.StructType:
 class IceTable:
     def __init__(self, spark: SparkSession, root: str | Path):
         self.spark = spark
+        # Iceberg-spec timestamps: int64 micros, never legacy INT96 —
+        # INT96 also writes NO footer min/max, which would blind the
+        # per-file column envelopes (_column_stats) on timestamp columns
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         self.root = Path(root)
         self.meta_dir = self.root / "metadata"
         self.manifest_dir = self.meta_dir / "manifests"
@@ -309,6 +400,17 @@ class IceTable:
                 "properties": merged,
             }
         )
+
+    def _stats_schema(self) -> T.StructType | None:
+        """The schema to collect per-file column stats against, or None
+        when ``write.metadata.metrics = none`` switches collection off
+        (stats add O(columns) floats/strings per manifest entry — at a
+        million files that is real manifest weight, which is exactly
+        why Iceberg makes it a table property)."""
+        props = self.metadata().get("properties") or {}
+        if props.get("write.metadata.metrics", "full") == "none":
+            return None
+        return self.schema()
 
     def _write_conf(self, writer):
         """Apply the table's write properties to a DataFrameWriter."""
@@ -517,6 +619,112 @@ class IceTable:
             deletes=self.delete_entries(version, partition_ids),
         )
         return df, files
+
+    # ------------------------------------------------------------------ #
+    # stats-pruned scans (Iceberg-style file skipping on ANY column)
+    # ------------------------------------------------------------------ #
+    def plan_scan(
+        self,
+        filters: list[tuple[str, str, Any]],
+        version: int | None = None,
+    ) -> tuple[list[dict], int]:
+        """Scan planning: keep only data files whose per-file [min, max]
+        column envelopes (collected from parquet footers at write time,
+        see _column_stats) can satisfy EVERY filter. ``filters`` is a
+        conjunction of ``(column, op, literal)`` with op ∈ {=, !=, <,
+        <=, >, >=}. Pruning is conservative: a file without stats for a
+        column (older manifests, disabled metrics, nested/binary types)
+        is always kept; a pruned file provably contains no matching row
+        (nulls never satisfy a comparison). Returns (kept_files,
+        total_files) — the caller applies the residual filter for
+        exactness. Key-column filters prune via the min_url/max_url
+        envelope. Cost is O(manifest entries) driver-side metadata, the
+        same order the scan itself must touch; nothing is read from
+        data files at plan time."""
+        ops = {"=", "!=", "<", "<=", ">", ">="}
+        schema = {f.name: f.dataType for f in self.schema(version).fields}
+        key = self.key_column
+        norm_filters = []
+        for col, op, val in filters:
+            if op not in ops:
+                raise ValueError(f"unsupported filter op {op!r} (use {sorted(ops)})")
+            if col not in schema:
+                raise ValueError(f"unknown column {col!r} in scan filter")
+            if val is None:
+                raise ValueError(
+                    "NULL literal in a comparison matches nothing; filter "
+                    "nulls with a residual isNull/isNotNull instead"
+                )
+            # strings compare RAW against the stored (truncated-min,
+            # padded-max) bounds — truncating the literal itself could
+            # prune a file whose true range contains it
+            if isinstance(schema[col], T.StringType):
+                nv = val if isinstance(val, str) else None
+            else:
+                nv = _stats_norm(val, schema[col], is_max=False)
+            norm_filters.append((col, op, val, nv))
+
+        def keep(entry: dict) -> bool:
+            stats = entry.get("stats") or {}
+            for col, op, raw, nv in norm_filters:
+                if col == key:
+                    lo, hi = entry["min_url"], entry["max_url"]
+                    v = raw
+                else:
+                    if col not in stats or nv is None:
+                        continue  # unprunable column: stay conservative
+                    lo, hi = stats[col]
+                    v = nv
+                if op == "=" and not (lo <= v <= hi):
+                    return False
+                if op == "!=" and lo == hi == v:
+                    return False
+                if op == ">" and not (hi > v):
+                    return False
+                if op == ">=" and not (hi >= v):
+                    return False
+                if op == "<" and not (lo < v):
+                    return False
+                if op == "<=" and not (lo <= v):
+                    return False
+            return True
+
+        all_files = self.manifest_entries(version)
+        kept = [f for f in all_files if keep(f)]
+        return kept, len(all_files)
+
+    def scan(
+        self,
+        filters: list[tuple[str, str, Any]],
+        version: int | None = None,
+        with_lsn: bool = False,
+    ) -> DataFrame:
+        """Stats-pruned read: ``plan_scan`` drops every data file whose
+        column envelopes exclude the filters, the survivors are scanned
+        with merge-on-read deletes applied (only the touched
+        partitions' delete files), and the EXACT filter runs as a
+        residual on top — so the result equals
+        ``read().filter(...)`` while the I/O scales with the matching
+        files, not the table. At 100 TB this is the difference between
+        a full-table scan and touching one time-slice's files for a
+        ``warc_ts >= X`` query."""
+        kept, _ = self.plan_scan(filters, version)
+        pids = {f["partition_id"] for f in kept}
+        df = self._read_files(
+            kept, version, with_lsn, deletes=self.delete_entries(version, pids)
+        )
+        residual = F.lit(True)
+        for col, op, val in filters:
+            c = F.col(col)
+            residual = residual & {
+                "=": c == F.lit(val),
+                "!=": c != F.lit(val),
+                "<": c < F.lit(val),
+                "<=": c <= F.lit(val),
+                ">": c > F.lit(val),
+                ">=": c >= F.lit(val),
+            }[op]
+        return df.filter(residual)
 
     def _read_files(
         self,
@@ -889,10 +1097,11 @@ class IceTable:
             .mode("overwrite")
         ).parquet(str(staging))
         key = self.key_column
+        stats_schema = self._stats_schema()
 
         def entry(dest: Path, pid: int, fmeta: "pq.FileMetaData") -> dict:
             min_url, max_url = _key_stats(fmeta, key)
-            return {
+            e = {
                 "path": str(dest.relative_to(self.root)),
                 "partition_id": pid,
                 "rows": fmeta.num_rows,
@@ -900,6 +1109,9 @@ class IceTable:
                 "max_url": max_url,
                 "added_epoch": meta["summary"].get("last_epoch", 0),
             }
+            if stats_schema is not None:
+                e["stats"] = _column_stats(fmeta, stats_schema, key)
+            return e
 
         new_files = self._publish_staged(staging, "_pid", "rb", entry)
         self._attach_blooms(new_files)
@@ -1270,9 +1482,11 @@ class IceTable:
             .write.partitionBy(pid_column)
             .mode("overwrite")
         ).parquet(str(staging))
+        stats_schema = self._stats_schema()
+
         def entry(dest: Path, pid: int, meta: "pq.FileMetaData") -> dict:
             min_url, max_url = _key_stats(meta, key)
-            return {
+            e = {
                 "path": str(dest.relative_to(self.root)),
                 "partition_id": pid,
                 "rows": meta.num_rows,
@@ -1280,6 +1494,9 @@ class IceTable:
                 "max_url": max_url,
                 "added_epoch": epoch,
             }
+            if stats_schema is not None:
+                e["stats"] = _column_stats(meta, stats_schema, key)
+            return e
 
         entries = self._publish_staged(staging, pid_column, f"e{epoch:05d}", entry)
         self._attach_blooms(entries, pre=pre)
@@ -1401,9 +1618,11 @@ class IceTable:
             .mode("overwrite")
         ).parquet(str(staging))
 
+        stats_schema = self._stats_schema()
+
         def data_entry(dest: Path, pid: int, meta: "pq.FileMetaData") -> dict:
             min_url, max_url = _key_stats(meta, key)
-            return {
+            e = {
                 "path": str(dest.relative_to(self.root)),
                 "partition_id": pid,
                 "rows": meta.num_rows,
@@ -1411,6 +1630,9 @@ class IceTable:
                 "max_url": max_url,
                 "added_epoch": epoch,
             }
+            if stats_schema is not None:
+                e["stats"] = _column_stats(meta, stats_schema, key)
+            return e
 
         def del_entry(dest: Path, pid: int, meta: "pq.FileMetaData") -> dict:
             return {

@@ -36,7 +36,7 @@ the op is serialized by the commit CAS either way.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from datax_spark.icetable.table import IceTable
@@ -119,6 +119,173 @@ def update_where(
         F.col(key),
         *[(sets[c] if c in sets else F.col(c)).alias(c) for c in payload],
         *[sets[c].alias(c) for c in new_cols],
+    )
+    apply_kwargs.setdefault("extract", False)
+    return apply_epoch(
+        table, events, _auto_epoch(table) if epoch is None else epoch, **apply_kwargs
+    )
+
+
+def merge_into(
+    table: IceTable,
+    source: DataFrame,
+    *,
+    when_matched_update: dict[str, Column | str] | str | None = None,
+    when_matched_update_condition: str | Column | None = None,
+    when_matched_delete: bool = False,
+    when_matched_delete_condition: str | Column | None = None,
+    when_not_matched_insert: dict[str, Column | str] | str | None = "*",
+    when_not_matched_insert_condition: str | Column | None = None,
+    epoch: int | None = None,
+    validate_unique_keys: bool = True,
+    **apply_kwargs,
+) -> EpochStats:
+    """SQL ``MERGE INTO target USING source ON target.key = source.key``
+    with WHEN MATCHED THEN UPDATE/DELETE and WHEN NOT MATCHED THEN
+    INSERT clauses (Iceberg/Delta's flagship row-level op), expressed —
+    like every op in this module — as self-generated change events
+    through the exactly-once ``apply_epoch`` MERGE.
+
+    The join condition is fixed to equality on the table's key column
+    (the shape every keyed lake table and the CDC feed share); clause
+    conditions and SET/INSERT expressions are SQL strings (or Columns)
+    that may reference ``source.<col>`` and, for matched clauses,
+    ``target.<col>`` — e.g. ``"source.warc_ts > target.warc_ts"``.
+
+    Clause semantics, mirroring the standard:
+    - ``when_matched_delete`` is evaluated before update: a matched row
+      whose delete condition holds becomes a D event; otherwise, if the
+      update condition holds, a U event (SET columns take their
+      expressions, every other payload column keeps the TARGET value —
+      a subset SET never nulls untouched columns); otherwise no action.
+    - ``when_not_matched_insert`` maps columns to expressions over
+      ``source.*``, or ``"*"`` for "every source payload column by
+      name" (unmentioned table columns become typed nulls).
+    - ``"*"`` for ``when_matched_update`` likewise means "SET every
+      source payload column".
+    - SET/INSERT may assign columns the table doesn't have yet — the
+      additive schema-evolution path, same as ``update_where``.
+    - Two source rows with one key is the standard's cardinality
+      violation and raises (``validate_unique_keys=False`` skips the
+      check job when the source is unique by construction, e.g. the
+      output of an LWW resolve).
+
+    Scale shape: the clause evaluation joins the source against a
+    bloom-pruned, partition-pruned slice of the target (only the
+    source keys' partitions, only files whose bloom may contain a
+    source key — a file pruned out provably holds none, so the left
+    join against the slice equals one against the full state). The
+    resulting event batch then rides the normal merge epoch: replay is
+    a ledger no-op, later feed events win the LSN race, lineage and
+    CoW/MoR apply unchanged.
+    """
+    key = table.key_column
+    if key not in source.columns:
+        raise ValueError(f"MERGE source lacks the table key column {key!r}")
+    if (
+        when_matched_update is None
+        and not when_matched_delete
+        and when_not_matched_insert is None
+    ):
+        raise ValueError("MERGE with no WHEN clause is a no-op; refuse it")
+    if validate_unique_keys:
+        row = source.agg(
+            F.count(F.lit(1)).alias("n"), F.countDistinct(key).alias("d")
+        ).first()
+        if row["n"] != row["d"]:
+            raise ValueError(
+                f"MERGE cardinality violation: {row['n'] - row['d']} duplicate "
+                f"source keys (the standard forbids two source rows matching "
+                f"one target row); LWW-resolve the source first"
+            )
+
+    from datax_spark.functions.hashing import url_partition
+
+    pids = {
+        r["pid"]
+        for r in source.select(
+            url_partition(F.col(key), table.num_partitions).alias("pid")
+        )
+        .distinct()
+        .collect()
+    }
+    state, _ = table.read_partitions(
+        pids, with_lsn=True, keys_df=source.select(key)
+    )
+    lsn = _stamp(table)
+
+    payload = [c for c in state.columns if c not in (key, "_lsn")]
+    src_payload = [c for c in source.columns if c != key]
+
+    def _exprs(spec) -> dict[str, Column]:
+        if spec is None:
+            return {}
+        if spec == "*":
+            return {c: F.col(f"source.{c}") for c in src_payload}
+        out = {}
+        for c, e in spec.items():
+            if c == key:
+                raise ValueError(f"MERGE cannot assign the key column {key!r}")
+            out[c] = F.expr(e) if isinstance(e, str) else e
+        return out
+
+    upd = _exprs(when_matched_update)
+    ins = _exprs(when_not_matched_insert)
+    new_cols = [c for c in {**upd, **ins} if c not in state.columns]
+    all_payload = payload + new_cols
+
+    def _cond(c, default):
+        if c is None:
+            return default
+        return F.expr(c) if isinstance(c, str) else c
+
+    joined = source.alias("source").join(
+        state.alias("target"),
+        F.col(f"source.{key}") == F.col(f"target.{key}"),
+        "left_outer",
+    )
+    matched = F.col(f"target.{key}").isNotNull()
+    del_fire = (
+        matched & _cond(when_matched_delete_condition, F.lit(True))
+        if when_matched_delete
+        else F.lit(False)
+    )
+    upd_fire = (
+        matched & ~del_fire & _cond(when_matched_update_condition, F.lit(True))
+        if upd
+        else F.lit(False)
+    )
+    ins_fire = (
+        (~matched) & _cond(when_not_matched_insert_condition, F.lit(True))
+        if ins
+        else F.lit(False)
+    )
+
+    def _typed_null(c):
+        dt = state.schema[c].dataType if c in state.columns else None
+        col = F.lit(None)
+        return col.cast(dt) if dt is not None else col
+
+    def _payload_col(c):
+        # D rows carry typed nulls; U takes SET else target; I takes
+        # INSERT else typed null
+        upd_val = upd.get(c, F.col(f"target.{c}") if c in payload else _typed_null(c))
+        ins_val = ins.get(c, _typed_null(c))
+        return (
+            F.when(del_fire, _typed_null(c))
+            .when(upd_fire, upd_val)
+            .otherwise(ins_val)
+            .alias(c)
+        )
+
+    events = joined.filter(del_fire | upd_fire | ins_fire).select(
+        F.lit(lsn).cast("long").alias("lsn"),
+        F.when(del_fire, F.lit("D"))
+        .when(upd_fire, F.lit("U"))
+        .otherwise(F.lit("I"))
+        .alias("op"),
+        F.col(f"source.{key}").alias(key),
+        *[_payload_col(c) for c in all_payload],
     )
     apply_kwargs.setdefault("extract", False)
     return apply_epoch(

@@ -40,6 +40,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # int64 micros, not legacy INT96: the Iceberg spec's timestamp
+        # physical type, and the only form that carries parquet footer
+        # min/max statistics (IceTable's per-file column envelopes need
+        # them to file-skip on warc_ts predicates)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # IceTable scans pass explicit LEAF-FILE paths (the pruned file
         # set), never directories to recurse — above this threshold Spark
         # schedules a distributed listing JOB per relation, a full

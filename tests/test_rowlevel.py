@@ -151,3 +151,148 @@ def test_changelog_shows_the_ops(spark, table):
         for r in table.read_changes(v0).collect()
     }
     assert ch == {"c": "D", "a": "U"}
+
+
+# --------------------------- MERGE INTO --------------------------- #
+
+from datax_spark.operators.rowlevel import merge_into  # noqa: E402
+
+
+def _source(spark, rows):
+    return spark.createDataFrame(rows, "url string, val long, lang string")
+
+
+def test_merge_into_upsert_star(spark, table):
+    # b matched -> updated with source values; e unmatched -> inserted;
+    # a/c/d untouched
+    stats = merge_into(
+        table,
+        _source(spark, [("b", 61, "nl"), ("e", 5, "it")]),
+        when_matched_update="*",
+        epoch=9100,
+    )
+    assert stats.rows_in == 2 and not stats.skipped
+    assert _state(table) == {
+        "a": (10, "en"),
+        "b": (61, "nl"),
+        "c": (70, "en"),
+        "d": (20, "fr"),
+        "e": (5, "it"),
+    }
+    # idempotent retry: same epoch is a ledger skip, state unchanged
+    again = merge_into(
+        table,
+        _source(spark, [("b", 999, "xx"), ("e", 999, "xx")]),
+        when_matched_update="*",
+        epoch=9100,
+    )
+    assert again.skipped
+    assert _state(table)["b"] == (61, "nl")
+
+
+def test_merge_into_conditional_update_refs_both_sides(spark, table):
+    # only update where the source value beats the target's; subset SET
+    # keeps the untouched column's TARGET value
+    merge_into(
+        table,
+        _source(spark, [("a", 99, "xx"), ("b", 1, "xx")]),
+        when_matched_update={"val": "source.val"},
+        when_matched_update_condition="source.val > target.val",
+        when_not_matched_insert=None,
+        epoch=9101,
+    )
+    st = _state(table)
+    assert st["a"] == (99, "en")  # updated val, kept target lang
+    assert st["b"] == (60, "de")  # condition false -> untouched
+
+
+def test_merge_into_matched_delete_before_update(spark, table):
+    # delete clause evaluated first; surviving matches take the update
+    merge_into(
+        table,
+        _source(spark, [("b", 0, "de"), ("c", 71, "en")]),
+        when_matched_delete=True,
+        when_matched_delete_condition="source.val = 0",
+        when_matched_update="*",
+        when_not_matched_insert=None,
+        epoch=9102,
+    )
+    st = _state(table)
+    assert "b" not in st
+    assert st["c"] == (71, "en")
+
+
+def test_merge_into_insert_only_with_condition(spark, table):
+    merge_into(
+        table,
+        _source(spark, [("a", 1, "xx"), ("x", 2, "it"), ("y", 3, "zz")]),
+        when_not_matched_insert="*",
+        when_not_matched_insert_condition="source.lang <> 'zz'",
+        epoch=9103,
+    )
+    st = _state(table)
+    assert st["a"] == (10, "en")  # matched, no matched clause -> untouched
+    assert st["x"] == (2, "it")
+    assert "y" not in st  # insert condition false
+
+
+def test_merge_into_cardinality_violation_raises(spark, table):
+    with pytest.raises(ValueError, match="cardinality"):
+        merge_into(
+            table,
+            _source(spark, [("b", 1, "a"), ("b", 2, "b")]),
+            when_matched_update="*",
+            epoch=9104,
+        )
+
+
+def test_merge_into_schema_evolution_set_new_column(spark, table):
+    # SET a column the table doesn't have -> additive evolution;
+    # untouched rows read NULL for it
+    merge_into(
+        table,
+        _source(spark, [("a", 10, "en"), ("q", 1, "fr")]),
+        when_matched_update={"quality": F.lit(0.9)},
+        when_not_matched_insert={
+            "val": "source.val",
+            "lang": "source.lang",
+            "quality": "cast(0.5 as double)",
+        },
+        epoch=9105,
+    )
+    rows = {r["url"]: r for r in table.read().collect()}
+    assert rows["a"]["quality"] == pytest.approx(0.9)
+    assert rows["a"]["val"] == 10  # subset SET kept target payload
+    assert rows["q"]["quality"] == pytest.approx(0.5)
+    assert rows["b"]["quality"] is None
+
+
+def test_merge_into_lsn_race_later_feed_wins(spark, table):
+    # merge stamps max(_lsn)+1; a feed event with a HIGHER lsn applied
+    # afterwards still wins, and a STALE feed event loses
+    merge_into(
+        table,
+        _source(spark, [("a", 50, "en")]),
+        when_matched_update="*",
+        when_not_matched_insert=None,
+        epoch=9106,
+    )
+    apply_epoch(
+        table,
+        _events(spark, [(3, "U", "a", 1, "xx"), (100, "U", "d", 21, "fr")]),
+        epoch=9107,
+        extract=False,
+    )
+    st = _state(table)
+    assert st["a"] == (50, "en")  # lsn 3 is stale vs merge's stamp
+    assert st["d"] == (21, "fr")  # lsn 100 beats it
+
+
+def test_merge_into_no_clause_raises(spark, table):
+    with pytest.raises(ValueError, match="no WHEN clause"):
+        merge_into(
+            table,
+            _source(spark, [("a", 1, "x")]),
+            when_not_matched_insert=None,
+            epoch=9108,
+        )
