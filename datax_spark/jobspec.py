@@ -152,6 +152,25 @@ _DATAX_TYPES = {
 }
 
 
+def _scan_filter(tbl, f) -> tuple:
+    """One JSON ``[col, op, literal]`` filter triple → plan_scan form;
+    ISO strings coerce to the column's temporal type so job specs can
+    state `["warc_ts", ">=", "2026-01-15T00:00:00"]` without a literal
+    syntax of their own."""
+    import datetime as _dt
+
+    if not isinstance(f, (list, tuple)) or len(f) != 3:
+        raise ValueError(f"reader.filters entries are [col, op, literal]; got {f!r}")
+    col, op, val = f
+    dt = {fl.name: fl.dataType for fl in tbl.schema().fields}.get(col)
+    if isinstance(val, str):
+        if isinstance(dt, T.TimestampType):
+            val = _dt.datetime.fromisoformat(val)
+        elif isinstance(dt, T.DateType):
+            val = _dt.date.fromisoformat(val)
+    return (col, op, val)
+
+
 def compile_reader(spark: SparkSession, reader: dict[str, Any]) -> DataFrame:
     rtype = reader.get("type", "parquet")
     if rtype == "jdbc":
@@ -202,12 +221,23 @@ def compile_reader(spark: SparkSession, reader: dict[str, Any]) -> DataFrame:
         )
     elif rtype == "icetable":
         # lake table as a batch source — current snapshot, an int
-        # version, or a named tag (reader.version: 3 | "prod")
+        # version, or a named tag (reader.version: 3 | "prod").
+        # reader.filters = [[col, op, literal], ...] (ANDed) takes the
+        # stats-pruned scan path: files whose per-column [min,max]
+        # envelopes exclude the conjunction are never opened, and the
+        # exact predicate still applies as a residual — DataX's `where`
+        # pushdown, but at the manifest level instead of the row level
         from datax_spark.icetable.table import IceTable
 
-        df = IceTable.load(spark, reader["path"]).read(
-            version=reader.get("version")
-        )
+        tbl = IceTable.load(spark, reader["path"])
+        filters = reader.get("filters")
+        if filters:
+            df = tbl.scan(
+                [_scan_filter(tbl, f) for f in filters],
+                version=reader.get("version"),
+            )
+        else:
+            df = tbl.read(version=reader.get("version"))
     elif rtype == "icetable_changes":
         # lake-as-source: the changelog feed of an icetable between two
         # versions, already shaped as a change-event batch (op/lsn/key +
@@ -836,6 +866,50 @@ def _write_batch_output(spark: SparkSession, df: DataFrame, writer: dict[str, An
                     extract=bool(writer.get("extract", False)),
                     merge_strategy=writer.get("mergeStrategy", "auto"),
                 )
+        elif wtype == "icetable_merge_into":
+            # SQL MERGE INTO clause semantics over the incoming batch
+            # (operators/rowlevel.merge_into): the batch is the USING
+            # source (no op/lsn columns needed — the clauses decide),
+            # conditions/SET expressions reference source./target. as
+            # SQL strings. writer.epoch is the idempotent retry handle.
+            from datax_spark.icetable.table import IceTable
+            from datax_spark.operators.rowlevel import merge_into
+
+            root = Path(writer["path"])
+            if (root / "metadata" / "version-hint.text").exists():
+                tbl = IceTable.load(spark, root)
+            else:
+                key_column = writer.get("keyColumn", "url")
+                if key_column not in df.columns:
+                    raise ValueError(
+                        f"icetable_merge_into auto-create: key column "
+                        f"{key_column!r} is not in the source's columns "
+                        f"{sorted(df.columns)} — set writer.keyColumn"
+                    )
+                schema = T.StructType(
+                    [T.StructField(f.name, f.dataType, True) for f in df.schema.fields]
+                )
+                tbl = IceTable.create(
+                    spark,
+                    root,
+                    schema,
+                    num_partitions=int(writer.get("numPartitions", 16)),
+                    key_column=key_column,
+                    properties=writer.get("properties"),
+                )
+            kwargs = dict(
+                when_matched_update=writer.get("whenMatchedUpdate"),
+                when_matched_update_condition=writer.get("whenMatchedUpdateCondition"),
+                when_matched_delete=bool(writer.get("whenMatchedDelete", False)),
+                when_matched_delete_condition=writer.get("whenMatchedDeleteCondition"),
+                when_not_matched_insert=writer.get("whenNotMatchedInsert", "*"),
+                when_not_matched_insert_condition=writer.get(
+                    "whenNotMatchedInsertCondition"
+                ),
+            )
+            if writer.get("epoch") is not None:
+                kwargs["epoch"] = int(writer["epoch"])
+            merge_into(tbl, df, **kwargs)
         elif wtype == "icetable_diff_merge":
             # recrawl ingestion: diff the incoming SNAPSHOT against the
             # table state (operators/snapshot_diff.py — unchanged keys

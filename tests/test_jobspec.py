@@ -525,3 +525,99 @@ def test_zorder_transform_layout(spark, tmp_path):
     )
     assert out.rdd.getNumPartitions() == 4
     assert out.count() == 256
+
+
+def test_icetable_reader_filters_stats_pruned(spark, tmp_path):
+    """reader.filters takes the stats-pruned scan path: result equals
+    the exact filter, and the filter alone prunes files (checked via
+    plan_scan on the same table)."""
+    from pyspark.sql import types as T
+
+    from datax_spark.icetable.table import IceTable
+    from datax_spark.operators.merge import apply_epoch
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("val", T.LongType()),
+        ]
+    )
+    t = IceTable.create(spark, tmp_path / "t", schema, num_partitions=2)
+    ev = spark.createDataFrame(
+        [(i + 1, "I", f"u{i}", i) for i in range(20)],
+        "lsn long, op string, url string, val long",
+    )
+    apply_epoch(t, ev, 0, extract=False)
+    ev2 = spark.createDataFrame(
+        [(100 + i, "I", f"w{i}", 1000 + i) for i in range(20)],
+        "lsn long, op string, url string, val long",
+    )
+    apply_epoch(t, ev2, 1, merge_strategy="mor", extract=False)
+
+    out = run_batch_job(
+        spark,
+        {
+            "reader": {
+                "type": "icetable",
+                "path": str(tmp_path / "t"),
+                "filters": [["val", ">=", 1000]],
+            },
+        },
+    )
+    assert {r["url"] for r in out.collect()} == {f"w{i}" for i in range(20)}
+    kept, total = t.plan_scan([("val", ">=", 1000)])
+    assert len(kept) < total
+
+
+def test_icetable_merge_into_writer(spark, tmp_path):
+    """writer.type icetable_merge_into: clause-driven upsert from a
+    plain batch (no op/lsn), idempotent under writer.epoch retry."""
+    from datax_spark.icetable.table import IceTable
+
+    src = tmp_path / "src.parquet"
+    spark.createDataFrame(
+        [("a", 10), ("b", 20)], "url string, val long"
+    ).write.parquet(str(src))
+
+    spec = {
+        "reader": {"type": "parquet", "path": str(src)},
+        "writer": {
+            "type": "icetable_merge_into",
+            "path": str(tmp_path / "t"),
+            "whenMatchedUpdate": "*",
+            "epoch": 7,
+        },
+    }
+    run_batch_job(spark, spec)  # auto-creates; all rows insert
+    t = IceTable.load(spark, tmp_path / "t")
+    assert {r["url"]: r["val"] for r in t.read().collect()} == {"a": 10, "b": 20}
+
+    # second batch: conditional update + gated insert
+    src2 = tmp_path / "src2.parquet"
+    spark.createDataFrame(
+        [("a", 99), ("b", 1), ("c", 5)], "url string, val long"
+    ).write.parquet(str(src2))
+    spec2 = {
+        "reader": {"type": "parquet", "path": str(src2)},
+        "writer": {
+            "type": "icetable_merge_into",
+            "path": str(tmp_path / "t"),
+            "whenMatchedUpdate": {"val": "source.val"},
+            "whenMatchedUpdateCondition": "source.val > target.val",
+            "whenNotMatchedInsertCondition": "source.val > 1",
+            "epoch": 8,
+        },
+    }
+    run_batch_job(spark, spec2)
+    assert {r["url"]: r["val"] for r in t.read().collect()} == {
+        "a": 99,
+        "b": 20,
+        "c": 5,
+    }
+    # replay: ledger no-op
+    run_batch_job(spark, spec2)
+    assert {r["url"]: r["val"] for r in t.read().collect()} == {
+        "a": 99,
+        "b": 20,
+        "c": 5,
+    }
