@@ -3245,6 +3245,30 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leakage_safe_split(_t(spark, sf_dir, "documents"))
 
 
+def q_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (operators/sketches.py): k smallest
+    distinct md5 hashes of the document text → (k-1)/f(kth) estimate.
+    Engine-neutral BY VALUE (any md5+sort engine reproduces the exact
+    estimate, unlike HLL binaries) and mergeable (per-partition top-k,
+    only k rows per partition reach the driver — the 100-TB cardinality
+    plan)."""
+    from datax_spark.operators.sketches import kmv_distinct
+
+    return kmv_distinct(_t(spark, sf_dir, "documents"), "text", k=256)
+
+
+def q_drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift (operators/drift.py) between the
+    first and second half of the event log, per event_type: the CDC
+    monitoring query ("did the event mix shift?"). One narrow groupBy
+    per side + a |categories|-row join — corpus touched once per side."""
+    from datax_spark.operators.drift import psi_split
+
+    ev = _t(spark, sf_dir, "events")
+    thr = ev.agg(F.max("event_id")).first()[0] // 2
+    return psi_split(ev, "event_type", F.col("event_id") <= thr)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lww_latest_by_key": q_lww_latest_by_key,
     "lww_window_form": q_lww_window_form,
@@ -3352,6 +3376,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_source_chi2": q_lang_source_chi2,
     "conversion_time_quantiles": q_conversion_time_quantiles,
     "source_entropy": q_source_entropy,
+    "distinct_kmv": q_distinct_kmv,
+    "drift_psi_events": q_drift_psi_events,
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,
     "order_priority_exists": q_order_priority_exists,
@@ -6056,6 +6082,41 @@ FROM documents d LEFT JOIN s USING (doc_id)"""
 
 
 ORACLES["leakage_safe_split"] = _cluster_split_oracle()
+
+# 4503599627370496 = 16^13 = 2^52: the 13-hex-digit prefix is exact in a
+# double, so both engines compute the identical fraction (sketches.py)
+ORACLES["distinct_kmv"] = """
+WITH s AS (
+  SELECT DISTINCT md5(text) AS h FROM documents ORDER BY h LIMIT 256
+),
+agg AS (SELECT count(*) AS k_rows, max(h) AS kth_hash FROM s)
+SELECT 256 AS k, k_rows, kth_hash,
+       round(CASE WHEN k_rows < 256 THEN CAST(k_rows AS DOUBLE)
+             ELSE 255.0 / ((('0x' || substr(kth_hash, 1, 13))::BIGINT)
+                           / 4503599627370496.0) END, 4) AS est_distinct
+FROM agg"""
+
+ORACLES["drift_psi_events"] = """
+WITH thr AS (SELECT max(event_id) // 2 AS t FROM events),
+a AS (SELECT event_type AS category, count(*) AS n_ref
+      FROM events, thr WHERE event_id <= t GROUP BY 1),
+b AS (SELECT event_type AS category, count(*) AS n_cur
+      FROM events, thr WHERE event_id > t GROUP BY 1),
+j AS (SELECT coalesce(a.category, b.category) AS category,
+             coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+      FROM a FULL OUTER JOIN b ON a.category = b.category),
+tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+               CAST(sum(n_cur) AS BIGINT) AS t_cur,
+               count(*) AS n_cat FROM j)
+SELECT category, n_ref, n_cur,
+       round((n_ref + 0.5) / (t_ref + 0.5 * n_cat), 6) AS p_ref,
+       round((n_cur + 0.5) / (t_cur + 0.5 * n_cat), 6) AS q_cur,
+       round(((n_ref + 0.5) / (t_ref + 0.5 * n_cat)
+              - (n_cur + 0.5) / (t_cur + 0.5 * n_cat))
+             * ln(((n_ref + 0.5) / (t_ref + 0.5 * n_cat))
+                  / ((n_cur + 0.5) / (t_cur + 0.5 * n_cat))), 6) AS psi_term
+FROM j, tot
+ORDER BY category"""
 
 
 def oracle_sql() -> dict[str, str]:
