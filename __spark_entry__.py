@@ -3245,6 +3245,17 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leakage_safe_split(_t(spark, sf_dir, "documents"))
 
 
+def q_link_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the link graph via alternating
+    large-star/small-star contraction (operators/graph.py) — O(log² n)
+    rounds on ANY diameter (label propagation needs diameter-many), two
+    bounded shuffles per round, checksum-detected convergence. The
+    oracle computes the same fixpoint with a recursive CTE."""
+    from datax_spark.operators.graph import connected_components
+
+    return connected_components(_synthetic_edges(_t(spark, sf_dir, "events")))
+
+
 def q_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch (operators/sketches.py): k smallest
     distinct md5 hashes of the document text → (k-1)/f(kth) estimate.
@@ -3378,6 +3389,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_entropy": q_source_entropy,
     "distinct_kmv": q_distinct_kmv,
     "drift_psi_events": q_drift_psi_events,
+    "link_graph_components": q_link_graph_components,
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,
     "order_priority_exists": q_order_priority_exists,
@@ -6095,6 +6107,24 @@ SELECT 256 AS k, k_rows, kth_hash,
              ELSE 255.0 / ((('0x' || substr(kth_hash, 1, 13))::BIGINT)
                            / 4503599627370496.0) END, 4) AS est_distinct
 FROM agg"""
+
+# fixpoint reachability closure: fine at the 200-node board scale; the
+# engine side runs star contraction, which is the 10^9-node form
+ORACLES["link_graph_components"] = """
+WITH RECURSIVE
+base AS (
+  SELECT DISTINCT (user_id % 200) AS src, (event_id % 200) AS dst
+  FROM events
+  WHERE (user_id + event_id) % 17 = 3 AND (user_id % 200) <> (event_id % 200)
+),
+nodes AS (SELECT src AS node FROM base UNION SELECT dst FROM base),
+bi AS (SELECT src, dst FROM base UNION SELECT dst AS src, src AS dst FROM base),
+walk(node, reach) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT w.node, b.dst FROM walk w JOIN bi b ON b.src = w.reach
+)
+SELECT node, min(reach) AS component FROM walk GROUP BY node"""
 
 ORACLES["drift_psi_events"] = """
 WITH thr AS (SELECT max(event_id) // 2 AS t FROM events),

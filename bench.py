@@ -106,6 +106,9 @@ HEADLINE = [
     "logreg_one_step",
     "debezium_roundtrip",
     "merge_into_clauses",
+    "distinct_kmv",
+    "drift_psi_events",
+    "link_graph_components",
 ]
 
 CDC_EVENTS = int(os.environ.get("DATAX_BENCH_EVENTS", "1000000"))

@@ -364,6 +364,112 @@ class IceTable:
         )
 
     # ------------------------------------------------------------------ #
+    # schema evolution beyond additive: RENAME and DROP, metadata-only
+    # (Iceberg evolves by field-id; this format is name-based, so a
+    # rename records a NAME MAPPING — current name → the prior names
+    # that older data files carry. The read path requests both
+    # generations in ONE scan (absent columns read as null per file)
+    # and coalesces, so no file is rewritten and no per-file dispatch
+    # exists. Compaction naturally migrates files to current names.
+    # The one name-based limitation is made LOUD instead of silent:
+    # re-adding a previously dropped/renamed-away name is refused —
+    # with name-addressed files it would resurrect old bytes.)
+    # ------------------------------------------------------------------ #
+    def name_mapping(self, version: int | None = None) -> dict[str, list[str]]:
+        """current column name → prior names older data files use."""
+        return {
+            k: list(v)
+            for k, v in (self.metadata(version).get("name_mapping") or {}).items()
+        }
+
+    def _reserved_names(self, meta: dict) -> set[str]:
+        """Names that must never be (re)introduced: every alias in the
+        mapping and every dropped name (old files still carry their
+        bytes — a name-based re-add would resurrect them)."""
+        out = set(meta.get("dropped_names") or [])
+        for aliases in (meta.get("name_mapping") or {}).values():
+            out |= set(aliases)
+        return out
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Rename ``old`` to ``new`` — a rewrite-only snapshot (no data
+        moves; changelog-invisible: a rename alone yields an EMPTY
+        changelog). Old data files keep their bytes; reads coalesce
+        through the name mapping; the key column cannot be renamed (its
+        name is baked into delete files, bloom sidecars and the
+        min/max-url envelopes)."""
+        meta = self.metadata()
+        schema = self.schema()
+        names = {f.name for f in schema.fields}
+        if old not in names:
+            raise ValueError(f"no column {old!r} (have {sorted(names)})")
+        if old == self.key_column:
+            raise ValueError(
+                f"cannot rename the key column {old!r}: delete files, "
+                "bloom sidecars and key envelopes are addressed by it"
+            )
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        if new in self._reserved_names(meta):
+            raise ValueError(
+                f"name {new!r} was previously used (renamed away or "
+                "dropped); older data files still carry bytes under it "
+                "— pick a fresh name"
+            )
+        mapping = {k: list(v) for k, v in (meta.get("name_mapping") or {}).items()}
+        aliases = mapping.pop(old, [])
+        mapping[new] = [old, *aliases]
+        fields = [
+            T.StructField(new, f.dataType, f.nullable, f.metadata)
+            if f.name == old
+            else f
+            for f in schema.fields
+        ]
+        return self._publish_schema_change(
+            meta, T.StructType(fields), name_mapping=mapping
+        )
+
+    def drop_column(self, name: str) -> int:
+        """Drop ``name`` — metadata-only; the column disappears from the
+        current snapshot but stays readable via time travel (old
+        versions keep their schema). Old bytes remain until compaction
+        rewrites their files. Re-adding the name later is refused (see
+        class of name-based limitations above)."""
+        meta = self.metadata()
+        schema = self.schema()
+        if name not in {f.name for f in schema.fields}:
+            raise ValueError(f"no column {name!r}")
+        if name == self.key_column:
+            raise ValueError(f"cannot drop the key column {name!r}")
+        mapping = {k: list(v) for k, v in (meta.get("name_mapping") or {}).items()}
+        dropped = list(meta.get("dropped_names") or [])
+        dropped.extend([name, *mapping.pop(name, [])])
+        fields = [f for f in schema.fields if f.name != name]
+        return self._publish_schema_change(
+            meta,
+            T.StructType(fields),
+            name_mapping=mapping,
+            dropped_names=sorted(set(dropped)),
+        )
+
+    def _publish_schema_change(
+        self, meta: dict, new_schema: T.StructType, **extra
+    ) -> int:
+        schemas = meta["schemas"] + [
+            {"schema_id": len(meta["schemas"]), "schema": _schema_to_json(new_schema)}
+        ]
+        new_meta = {
+            **meta,
+            **extra,
+            "version": meta["version"] + 1,
+            "parent_version": meta["version"],
+            "schema_id": len(meta["schemas"]),
+            "schemas": schemas,
+        }
+        self._publish(new_meta)
+        return new_meta["version"]
+
+    # ------------------------------------------------------------------ #
     # table properties (Iceberg-style): write knobs every data-file
     # write path honors. Supported today:
     #   write.parquet.compression-codec  snappy|zstd|gzip|lz4|none
@@ -664,6 +770,10 @@ class IceTable:
                 nv = _stats_norm(val, schema[col], is_max=False)
             norm_filters.append((col, op, val, nv))
 
+        # pre-rename files carry stats under prior names: consult the
+        # mapping so old files stay prunable on renamed columns
+        aliases = self.name_mapping(version)
+
         def keep(entry: dict) -> bool:
             stats = entry.get("stats") or {}
             for col, op, raw, nv in norm_filters:
@@ -671,9 +781,12 @@ class IceTable:
                     lo, hi = entry["min_url"], entry["max_url"]
                     v = raw
                 else:
-                    if col not in stats or nv is None:
+                    scol = col if col in stats else next(
+                        (a for a in aliases.get(col, []) if a in stats), None
+                    )
+                    if scol is None or nv is None:
                         continue  # unprunable column: stay conservative
-                    lo, hi = stats[col]
+                    lo, hi = stats[scol]
                     v = nv
                 if op == "=" and not (lo <= v <= hi):
                     return False
@@ -738,14 +851,35 @@ class IceTable:
             schema = T.StructType(schema.fields + [T.StructField("_lsn", T.LongType(), True)])
         if not files:
             return self.spark.createDataFrame([], schema)
+        # rename support: ONE scan requests current AND prior names (a
+        # column absent in a given file reads as null per file), then a
+        # coalesce folds the generations — no per-file dispatch, no
+        # rewrite. Files written post-rename carry the current name.
+        mapping = {
+            k: v
+            for k, v in self.name_mapping(version).items()
+            if any(f.name == k for f in schema.fields)
+        }
+        read_schema = schema
+        if mapping:
+            by_name = {f.name: f for f in schema.fields}
+            extra = [
+                T.StructField(a, by_name[cur].dataType, True)
+                for cur, aliases in mapping.items()
+                for a in aliases
+            ]
+            read_schema = T.StructType(schema.fields + extra)
 
         def _scan(entries: list[dict]) -> DataFrame:
             # explicit schema → old files lacking evolved columns yield
             # nulls (additive schema evolution on read, ST4) and the scan
             # prunes unrequested columns at the parquet footer level.
-            return self.spark.read.schema(schema).parquet(
+            df = self.spark.read.schema(read_schema).parquet(
                 *[str(self.root / f["path"]) for f in entries]
             )
+            for cur, aliases in mapping.items():
+                df = df.withColumn(cur, F.coalesce(cur, *aliases)).drop(*aliases)
+            return df
 
         deletes = deletes or []
         if not deletes:
@@ -975,8 +1109,19 @@ class IceTable:
 
         cols = [f.name for f in self.schema(to_version).fields]
         vals = [c for c in cols if c != key]
+        # rename boundary: the from-version state carries pre-rename
+        # names — fold them onto to-version names BEFORE the column
+        # compare, so a rename alone yields an EMPTY changelog (it is a
+        # rewrite-only schema event, not row churn)
+        to_mapping = self.name_mapping(to_version)
 
         def _align(df: DataFrame, side: str) -> DataFrame:
+            for cur, aliases in to_mapping.items():
+                if cur not in df.columns:
+                    for al in aliases:
+                        if al in df.columns:
+                            df = df.withColumnRenamed(al, cur)
+                            break
             for f in self.schema(to_version).fields:
                 if f.name not in df.columns:
                     df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
@@ -2563,6 +2708,20 @@ class IceTable:
         schemas = meta["schemas"]
         schema_id = meta["schema_id"]
         if new_schema is not None and _schema_to_json(new_schema) != schemas[schema_id]["schema"]:
+            old_names = {
+                f["name"] for f in schemas[schema_id]["schema"]["fields"]
+            }
+            clash = {
+                f.name for f in new_schema.fields if f.name not in old_names
+            } & self._reserved_names(meta)
+            if clash:
+                raise ValueError(
+                    f"cannot add column(s) {sorted(clash)}: the name(s) "
+                    "were previously renamed away or dropped and older "
+                    "data files still carry bytes under them (name-based "
+                    "format — a re-add would resurrect old values); use "
+                    "a fresh name"
+                )
             schema_id = len(schemas)
             schemas = schemas + [{"schema_id": schema_id, "schema": _schema_to_json(new_schema)}]
         total_rows = (

@@ -676,6 +676,23 @@ def _write_batch_output(spark: SparkSession, df: DataFrame, writer: dict[str, An
                 lsn_col=writer.get("lsnCol", "lsn"),
                 op_col=writer.get("opCol", "op"),
             ).write.mode(mode).text(str(writer["path"]))
+        elif wtype == "webdataset":
+            # training-loader egress: deterministic tar shards + a
+            # printed manifest row per shard (operators/export.py)
+            import json
+
+            from datax_spark.operators.export import export_webdataset
+
+            man = export_webdataset(
+                df,
+                str(writer["path"]),
+                key_col=writer.get("keyCol", "doc_id"),
+                n_shards=int(writer["nShards"]),
+                text_col=writer.get("textCol", "text"),
+                meta_cols=writer.get("metaCols"),
+            )
+            for r in man.toLocalIterator():
+                print(json.dumps(r.asDict(), sort_keys=True))
         elif wtype == "jdbc":
             # DataX RDBMS writer (S1-S4/S7 write side; executable — see
             # tests/test_jdbc_exec.py against embedded Derby);

@@ -45,6 +45,98 @@ def export_jsonl(
     out.write.mode("overwrite").partitionBy("shard").json(path)
 
 
+def export_webdataset(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_shards: int,
+    text_col: str = "text",
+    meta_cols: list[str] | None = None,
+) -> DataFrame:
+    """WebDataset-style tar shards — the training-loader-native layout
+    (one ``shard-{K:05d}.tar`` per shard; per example a ``{key}.txt``
+    payload member and, when ``meta_cols`` is given, a ``{key}.json``
+    sidecar member; loaders stream members sequentially, which is the
+    point of the format at 100 TB: pure sequential I/O, no per-example
+    object-store requests).
+
+    Determinism: shard membership is the md5 gate (``shard_id``),
+    members are written in key order with zeroed tar metadata
+    (mtime/uid/gid/uname/gname, USTAR), so re-exporting identical data
+    is BYTE-identical per shard — a loader can cache by shard checksum.
+
+    Scale shape: one exchange on the shard id, then each shard's tar is
+    streamed out by the executor that owns the whole group
+    (applyInPandas); no driver collect. A shard must fit an executor's
+    memory budget — pick ``n_shards`` so shards land at the usual
+    0.1-1 GB (same sizing rule every tar/webdataset writer has).
+
+    Returns the manifest: (shard, n_examples, n_bytes, sha256) — one
+    row per written tar, computed from the bytes actually written."""
+    import pandas as pd
+
+    from pathlib import Path
+
+    out_dir = Path(path)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    meta_cols = list(meta_cols or [])
+    cols = [key_col, text_col, *meta_cols]
+
+    def _write_shard(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import hashlib
+        import io
+        import json as _json
+        import tarfile
+
+        shard = int(pdf["shard"].iloc[0])
+        pdf = pdf.sort_values(key_col, kind="mergesort")
+        buf = io.BytesIO()
+        n = 0
+        with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tar:
+            for _, row in pdf.iterrows():
+                key = str(row[key_col])
+                payload = ("" if row[text_col] is None else str(row[text_col])).encode()
+                members = [(f"{key}.txt", payload)]
+                if meta_cols:
+                    meta = {
+                        c: (None if pd.isna(row[c]) else row[c]) for c in meta_cols
+                    }
+                    members.append(
+                        (f"{key}.json", _json.dumps(meta, sort_keys=True).encode())
+                    )
+                for name, data in members:
+                    info = tarfile.TarInfo(name)
+                    info.size = len(data)
+                    info.mtime = 0
+                    info.uid = info.gid = 0
+                    info.uname = info.gname = ""
+                    tar.addfile(info, io.BytesIO(data))
+                n += 1
+        blob = buf.getvalue()
+        dest = out_dir / f"shard-{shard:05d}.tar"
+        tmp = out_dir / f".tmp-{shard:05d}.tar"
+        tmp.write_bytes(blob)
+        tmp.replace(dest)
+        return pd.DataFrame(
+            {
+                "shard": [shard],
+                "n_examples": [n],
+                "n_bytes": [len(blob)],
+                "sha256": [hashlib.sha256(blob).hexdigest()],
+            }
+        )
+
+    keyed = df.select(*cols).withColumn("shard", shard_id(key_col, n_shards))
+    return (
+        keyed.groupBy("shard")
+        .applyInPandas(
+            _write_shard,
+            "shard long, n_examples long, n_bytes long, sha256 string",
+        )
+        .orderBy("shard")
+    )
+
+
 def manifest(df: DataFrame, key_col: str, n_shards: int) -> DataFrame:
     """(shard, n_rows, n_bytes, content_hash): the verification record.
     content_hash is an order-insensitive sum of per-row md5 prefixes —

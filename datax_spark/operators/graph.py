@@ -108,6 +108,123 @@ def triangle_stats(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """(node, component) over the undirected graph, component = the
+    minimum node id of the component — via ALTERNATING LARGE-STAR /
+    SMALL-STAR contraction (Kiveris et al. 2014, "Connected Components
+    in MapReduce and Beyond").
+
+    Why not min-label propagation (operators/dedup.near-dup clusters):
+    label propagation needs diameter-many rounds — right for near-dup
+    clusters (diameter ≲ 4 by construction), wrong for a WEB graph,
+    where chains of redirects/paginated archives give long paths. Star
+    contraction halves path lengths every pair of rounds and provably
+    converges in O(log² n) rounds on ANY topology, each round being two
+    bounded shuffles (a groupBy(min) and an explode-join — never an
+    adjacency matrix, never all-pairs).
+
+    large-star(u): every neighbor v > u re-attaches to m(u) = min of
+    u's closed neighborhood. small-star(u): every neighbor v ≤ u (and u
+    itself) attaches to that minimum. Both preserve connectivity; their
+    alternation contracts every component to a star whose center is the
+    component minimum. Convergence is detected by an edge-set checksum
+    (order-independent sum of pair hashes + count — one tiny aggregate
+    per round), so the loop stops as soon as the graph is all stars
+    rather than running a worst-case round budget."""
+    e0 = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+    )
+    nodes = (
+        e0.select(F.col("u").alias("node"))
+        .unionByName(e0.select(F.col("v").alias("node")))
+        .distinct()
+        .persist()
+    )
+
+    def _checksum(pairs: DataFrame):
+        row = pairs.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: an int64 hash sum overflows ANSI long math
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    def _large_star(pairs: DataFrame) -> DataFrame:
+        b = pairs.select("u", "v").unionByName(
+            pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = (
+            b.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", F.col("u")).alias("m"))
+        )
+        return (
+            b.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("u"), F.col("v").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+            .distinct()
+        )
+
+    def _small_star(pairs: DataFrame) -> DataFrame:
+        # orient every edge high → low, then each node links its ≤-self
+        # neighborhood (self included) to that neighborhood's minimum
+        b = pairs.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m = b.groupBy("u").agg(F.min("v").alias("m"))
+        out = (
+            b.join(m, "u")
+            .select(F.col("m").alias("nu"), F.col("v").alias("nv"))
+            .unionByName(
+                m.select(F.col("m").alias("nu"), F.col("u").alias("nv"))
+            )
+            .filter(F.col("nu") != F.col("nv"))
+            .select(
+                F.least("nu", "nv").alias("u"), F.greatest("nu", "nv").alias("v")
+            )
+            .distinct()
+        )
+        return out
+
+    # localCheckpoint (not persist): persist truncates EXECUTION but the
+    # logical plan still nests per round — by ~15 rounds the driver OOMs
+    # analyzing it. Checkpointing cuts the lineage so every round plans
+    # against a materialized edge set.
+    cur = e0.localCheckpoint(eager=True)
+    prev_sum = _checksum(cur)
+    for _ in range(max_rounds):
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        new_sum = _checksum(nxt)
+        cur = nxt
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    # at fixpoint every edge is (root, member): a member's single
+    # neighbor is its component minimum; roots label themselves
+    labels = (
+        cur.select(F.col("v").alias("node"), F.col("u").alias("label"))
+        .unionByName(cur.select(F.col("u").alias("node"), F.col("u").alias("label")))
+        .groupBy("node")
+        .agg(F.min("label").alias("component"))
+    )
+    out = nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("component", "node").alias("component")
+    )
+    res = out.localCheckpoint(eager=True)
+    nodes.unpersist()
+    return res
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 10,

@@ -122,6 +122,17 @@ def apply_epoch(
         stats.skipped = True
         return stats
 
+    # CDC sources lag table schema changes: a batch still carrying a
+    # pre-rename column name folds onto the current name (metadata-only
+    # projection; table.name_mapping) before anything else looks at it
+    mapping = table.name_mapping()
+    for cur, aliases in mapping.items():
+        if cur not in events.columns:
+            for al in aliases:
+                if al in events.columns:
+                    events = events.withColumnRenamed(al, cur)
+                    break
+
     clean, dirty = split_dirty(events, key)
     do_extract = extract and "html" in clean.columns
 

@@ -76,3 +76,73 @@ def test_manifest_order_insensitive_and_counts(spark):
     m3 = {r["shard"]: r["content_hash"] for r in manifest(d2, "doc_id", 4).collect()}
     changed = [s for s in m1 if m1[s][1] != m3[s]]
     assert len(changed) == 1
+
+
+def test_webdataset_deterministic_and_round_trips(spark, tmp_path):
+    import hashlib
+    import json
+    import tarfile
+
+    from datax_spark.operators.export import export_webdataset
+
+    d = _docs(spark).withColumn("lang", F.lit("en"))
+    p1, p2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+    m1 = {
+        r["shard"]: (r["n_examples"], r["sha256"])
+        for r in export_webdataset(d, p1, "doc_id", 4, meta_cols=["lang"]).collect()
+    }
+    m2 = {
+        r["shard"]: (r["n_examples"], r["sha256"])
+        for r in export_webdataset(
+            d.repartition(13), p2, "doc_id", 4, meta_cols=["lang"]
+        ).collect()
+    }
+    assert m1 == m2  # byte-identical shards regardless of input layout
+    assert sum(v[0] for v in m1.values()) == 200
+
+    seen = {}
+    for shard, (_, sha) in m1.items():
+        blob = (tmp_path / "w1" / f"shard-{shard:05d}.tar").read_bytes()
+        assert hashlib.sha256(blob).hexdigest() == sha  # manifest is real
+        with tarfile.open(tmp_path / "w1" / f"shard-{shard:05d}.tar") as tar:
+            names = tar.getnames()
+            # key order, payload then sidecar per example
+            ks = [int(n.split(".")[0]) for n in names]
+            assert ks == sorted(ks)
+            assert all(n.endswith(".txt") for n in names[0::2])
+            assert all(n.endswith(".json") for n in names[1::2])
+            assert ks[0::2] == ks[1::2]
+            for mem in tar.getmembers():
+                data = tar.extractfile(mem).read()
+                key, ext = mem.name.rsplit(".", 1)
+                if ext == "txt":
+                    seen[int(key)] = data.decode()
+                else:
+                    assert json.loads(data) == {"lang": "en"}
+    assert seen == {i: f"text-{i}" for i in range(200)}
+
+
+def test_jobspec_webdataset_writer(spark, sf_dir, tmp_path):
+    import glob as _glob
+
+    from datax_spark.jobspec import run_batch_job
+
+    run_batch_job(
+        spark,
+        {
+            "reader": {
+                "type": "parquet",
+                "path": f"{sf_dir}/documents.parquet",
+                "column": ["doc_id", "text", "lang"],
+                "where": "lang = 'en'",
+            },
+            "writer": {
+                "type": "webdataset",
+                "path": str(tmp_path / "wds"),
+                "keyCol": "doc_id",
+                "nShards": 3,
+                "metaCols": ["lang"],
+            },
+        },
+    )
+    assert len(_glob.glob(str(tmp_path / "wds" / "shard-*.tar"))) == 3

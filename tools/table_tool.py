@@ -15,10 +15,23 @@ Commands:
                                  lines, or parquet when [out] is given
                                  (a change-event feed another table
                                  ingests: lake-to-lake sync)
-    delete <predicate>           DELETE FROM … WHERE (GDPR purge): emits
-                                 D events through the exactly-once merge
+    delete <predicate>           DELETE FROM … WHERE: emits D events
+                                 through the exactly-once merge (next
+                                 snapshot onward; history retained)
     update <col=expr[,…]> <pred> UPDATE … SET … WHERE; assigning a new
                                  column name backfills it table-wide
+    rename <old> <new>           rename a column (metadata-only; reads
+                                 coalesce through the name mapping)
+    dropcol <name>               drop a column (metadata-only; time
+                                 travel keeps it; re-add refused)
+    purge <key> [key …]          right-to-be-forgotten: hard-delete the
+                                 keys from EVERY retained snapshot,
+                                 delete files and quarantine included
+    clone <target_root>          zero-copy clone (hard links): full
+                                 history/tags/ledger, independent lives
+    health                       per-epoch pipeline report from lineage;
+                                 exit 1 + anomaly JSON on stderr when
+                                 something needs paging
 
 Every command prints machine-readable JSON on stdout; exit 0 on success.
 """
@@ -93,6 +106,34 @@ def main(argv: list[str]) -> int:
         stats = update_where(table, sets, args[1] if len(args) > 1 else "true")
         print(json.dumps({"updated": stats.rows_in, "skipped": stats.skipped,
                           "version": table.current_version()}))
+    elif cmd == "rename":
+        v = table.rename_column(args[0], args[1])
+        print(json.dumps({"renamed": [args[0], args[1]], "version": v,
+                          "name_mapping": table.name_mapping()}))
+    elif cmd == "dropcol":
+        v = table.drop_column(args[0])
+        print(json.dumps({"dropped": args[0], "version": v}))
+    elif cmd == "purge":
+        # hard-delete from RETAINED HISTORY too (vs `delete`, which only
+        # removes from the next snapshot): the erasure-request command
+        res = table.purge_keys(args)
+        print(json.dumps(res, sort_keys=True))
+    elif cmd == "clone":
+        cloned = table.clone(args[0])
+        print(json.dumps({"target": args[0], "version": cloned.current_version()}))
+    elif cmd == "health":
+        from datax_spark.operators.ops_report import (
+            pipeline_report,
+            report_anomalies,
+        )
+
+        rep = pipeline_report(table)
+        anomalies = [r.asDict() for r in report_anomalies(rep).collect()]
+        for r in rep.toLocalIterator():
+            print(json.dumps(r.asDict(), sort_keys=True, default=str))
+        print(json.dumps({"anomalies": anomalies}, sort_keys=True, default=str),
+              file=sys.stderr)
+        return 0 if not anomalies else 1
     elif cmd == "report":
         meta = table.metadata()
         print(json.dumps(
