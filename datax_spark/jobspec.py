@@ -171,7 +171,23 @@ def _scan_filter(tbl, f) -> tuple:
     return (col, op, val)
 
 
+def _resolve_catalog_path(spark: SparkSession, spec: dict[str, Any]) -> dict[str, Any]:
+    """Name-addressed endpoints: ``{"catalog": <warehouse>, "table":
+    "ns.tbl"}`` resolves to the storage path so jobs reference names,
+    not locations (the metastore pattern). No-op when "path" is given
+    directly."""
+    if "path" not in spec and "catalog" in spec and "table" in spec:
+        from datax_spark.icetable.catalog import Catalog
+
+        spec = dict(spec)
+        spec["path"] = str(
+            Catalog(spark, spec["catalog"]).table_path(spec["table"])
+        )
+    return spec
+
+
 def compile_reader(spark: SparkSession, reader: dict[str, Any]) -> DataFrame:
+    reader = _resolve_catalog_path(spark, reader)
     rtype = reader.get("type", "parquet")
     if rtype == "jdbc":
         df = compile_jdbc_reader(reader).load(spark)
@@ -647,6 +663,7 @@ def _write_batch_output(spark: SparkSession, df: DataFrame, writer: dict[str, An
     """Writer dispatch shared by the plain and errorLimit paths;
     runs postSql after a successful write."""
     if writer:
+        writer = _resolve_catalog_path(spark, writer)
         wtype = writer.get("type", "parquet")
         mode = writer.get("mode", "error")
         if wtype == "parquet":
@@ -1173,7 +1190,7 @@ def _run_batch_job_body(
     if channel is not None:
         # cap write fan-out without forcing a shuffle on narrow plans
         df = df.coalesce(int(channel))
-    writer = spec.get("writer") or {}
+    writer = _resolve_catalog_path(spark, spec.get("writer") or {})
     if err is not None and CAST_OK_COL in df.columns:
         # one source pass: the budget count, the quarantine write and the
         # main write all read the persisted frame (a JDBC/CSV source
