@@ -3256,6 +3256,17 @@ def q_link_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(_synthetic_edges(_t(spark, sf_dir, "events")))
 
 
+def q_masked_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-masked serving view (functions/mask.py): source
+    referentially-stable-hashed (joins still work), text masked to its
+    last 4 chars — pure codegen projection over the unmasked plan, the
+    share-with-less-privileged-consumers read."""
+    from datax_spark.functions.mask import masked_view
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source", "lang")
+    return masked_view(docs, {"source": "hash", "text": "last4"})
+
+
 def q_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch (operators/sketches.py): k smallest
     distinct md5 hashes of the document text → (k-1)/f(kth) estimate.
@@ -3390,6 +3401,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_kmv": q_distinct_kmv,
     "drift_psi_events": q_drift_psi_events,
     "link_graph_components": q_link_graph_components,
+    "masked_documents": q_masked_documents,
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,
     "order_priority_exists": q_order_priority_exists,
@@ -6107,6 +6119,15 @@ SELECT 256 AS k, k_rows, kth_hash,
              ELSE 255.0 / ((('0x' || substr(kth_hash, 1, 13))::BIGINT)
                            / 4503599627370496.0) END, 4) AS est_distinct
 FROM agg"""
+
+ORACLES["masked_documents"] = """
+SELECT doc_id,
+       CASE WHEN length(text) <= 4 THEN text
+            ELSE repeat('*', length(text) - 4)
+                 || substr(text, length(text) - 3) END AS text,
+       md5(source) AS source,
+       lang
+FROM documents"""
 
 # fixpoint reachability closure: fine at the 200-node board scale; the
 # engine side runs star contraction, which is the 10^9-node form

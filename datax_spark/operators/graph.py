@@ -250,7 +250,11 @@ def pagerank(
     out_d = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     for _ in range(iterations):
-        ranks = ranks.persist()
+        # localCheckpoint, not persist: persist leaves the logical plan
+        # nesting per iteration (driver analysis OOMs at high iteration
+        # counts — same failure the CC loop hit); checkpointing replans
+        # each iteration against materialized ranks
+        ranks = ranks.localCheckpoint(eager=True)
         with_out = ranks.join(
             out_d, ranks["node"] == out_d["src"], "left"
         ).select("node", "rank", "out_deg")
@@ -267,7 +271,6 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
-        prev = ranks
         base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
         ranks = (
             nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
@@ -279,9 +282,6 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        ranks = ranks.persist()
-        ranks.count()
-        prev.unpersist()
     out = ranks
     if round_to is not None:
         out = out.select("node", F.round("rank", round_to).alias("rank"))
