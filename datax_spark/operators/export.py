@@ -137,6 +137,57 @@ def export_webdataset(
     )
 
 
+def export_incremental(
+    table,
+    out_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+    n_shards: int = 8,
+    text_col: str = "text",
+    meta_cols: list[str] | None = None,
+) -> DataFrame:
+    """Delta export between two table snapshots — re-exporting 100 TB
+    because 0.1% of pages re-crawled is the waste this kills. The
+    changelog (semantic diff: cost scales with CHANGED partitions, see
+    IceTable.read_changes) drives two artifacts under
+    ``<out>/delta-v{from}-v{to}/``:
+
+    * upserts (I/U rows) as the same byte-deterministic WebDataset
+      shards the full export writes — a consumer merges by key;
+    * ``tombstones.jsonl`` — the deleted keys, so the consumer can
+      drop them (an incremental format without deletes silently
+      resurrects removed training data).
+
+    Returns the shard manifest plus one ``shard = -1`` row counting
+    tombstones. Consumer contract (tested): full_export(v0) + deltas
+    applied in order ≡ full_export(vN), byte-for-byte per document."""
+    import json as _json
+
+    from pathlib import Path
+
+    to_version = table.current_version() if to_version is None else to_version
+    key_col = table.key_column
+    dest = Path(out_dir) / f"delta-v{from_version}-v{to_version}"
+    dest.mkdir(parents=True, exist_ok=True)
+    feed = table.read_changes(from_version, to_version)
+    ups = feed.filter(F.col("_op").isin("I", "U"))
+    man = export_webdataset(
+        ups, str(dest), key_col, n_shards, text_col=text_col, meta_cols=meta_cols
+    )
+    dels = sorted(
+        r[key_col] for r in feed.filter(F.col("_op") == "D").select(key_col).collect()
+    )
+    (dest / "tombstones.jsonl").write_text(
+        "".join(_json.dumps({key_col: k}, sort_keys=True) + "\n" for k in dels)
+    )
+    spark = feed.sparkSession
+    tomb = spark.createDataFrame(
+        [(-1, len(dels), (dest / "tombstones.jsonl").stat().st_size, "tombstones")],
+        "shard long, n_examples long, n_bytes long, sha256 string",
+    )
+    return man.unionByName(tomb)
+
+
 def manifest(df: DataFrame, key_col: str, n_shards: int) -> DataFrame:
     """(shard, n_rows, n_bytes, content_hash): the verification record.
     content_hash is an order-insensitive sum of per-row md5 prefixes —

@@ -146,3 +146,69 @@ def test_jobspec_webdataset_writer(spark, sf_dir, tmp_path):
         },
     )
     assert len(_glob.glob(str(tmp_path / "wds" / "shard-*.tar"))) == 3
+
+
+def test_incremental_export_replays_to_full(spark, tmp_path):
+    """full(v0) + deltas applied in order == full(vN), per document."""
+    import datetime as dt
+    import json
+    import tarfile
+
+    from pyspark.sql import types as T
+
+    from datax_spark.icetable.table import IceTable
+    from datax_spark.operators.export import export_incremental, export_webdataset
+    from datax_spark.operators.merge import apply_epoch
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("html", T.BinaryType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    EV = "lsn long, op string, url string, warc_ts timestamp, html binary, lang string"
+    TS = dt.datetime(2026, 1, 1)
+    t = IceTable.create(spark, tmp_path / "t", schema, num_partitions=4)
+    apply_epoch(
+        t,
+        spark.createDataFrame(
+            [(i + 1, "I", f"https://d/{i}", TS, f"<p>v1 {i}</p>".encode(), "en") for i in range(12)],
+            EV,
+        ),
+        0,
+    )
+    v1 = t.current_version()
+    apply_epoch(
+        t,
+        spark.createDataFrame(
+            [(50, "U", "https://d/0", TS, b"<p>v2 zero</p>", "en"),
+             (51, "D", "https://d/5", TS, None, None),
+             (52, "I", "https://d/99", TS, b"<p>new</p>", "en")],
+            EV,
+        ),
+        1,
+    )
+
+    def _members(path):
+        out = {}
+        for tar_p in sorted(path.glob("shard-*.tar")):
+            with tarfile.open(tar_p) as tar:
+                for m in tar.getmembers():
+                    if m.name.endswith(".txt"):
+                        out[m.name[:-4]] = tar.extractfile(m).read()
+        return out
+
+    export_webdataset(t.read(version=v1), str(tmp_path / "full_v1"), "url", 4)
+    export_webdataset(t.read(), str(tmp_path / "full_v2"), "url", 4)
+    export_incremental(t, str(tmp_path / "inc"), v1, n_shards=4)
+
+    delta_dir = next((tmp_path / "inc").glob("delta-*"))
+    state = _members(tmp_path / "full_v1")
+    state.update(_members(delta_dir))
+    for line in (delta_dir / "tombstones.jsonl").read_text().splitlines():
+        state.pop(json.loads(line)["url"], None)
+    assert state == _members(tmp_path / "full_v2")
+    assert json.loads((delta_dir / "tombstones.jsonl").read_text()) == {"url": "https://d/5"}

@@ -20,6 +20,11 @@ Commands:
                                  snapshot onward; history retained)
     update <col=expr[,…]> <pred> UPDATE … SET … WHERE; assigning a new
                                  column name backfills it table-wide
+    files|partitions|snapshots|tags
+                                 metadata tables (Iceberg's .files /
+                                 .partitions / .snapshots / refs) as
+                                 JSON lines — file sizes, per-partition
+                                 delete-debt, per-version operations
     rename <old> <new>           rename a column (metadata-only; reads
                                  coalesce through the name mapping)
     dropcol <name>               drop a column (metadata-only; time
@@ -106,6 +111,13 @@ def main(argv: list[str]) -> int:
         stats = update_where(table, sets, args[1] if len(args) > 1 else "true")
         print(json.dumps({"updated": stats.rows_in, "skipped": stats.skipped,
                           "version": table.current_version()}))
+    elif cmd in ("files", "partitions", "snapshots", "tags"):
+        from datax_spark.icetable import meta_tables as M
+
+        fn = {"files": M.files, "partitions": M.partitions,
+              "snapshots": M.snapshots, "tags": M.refs}[cmd]
+        for r in fn(table).toLocalIterator():
+            print(json.dumps(r.asDict(), sort_keys=True, default=str))
     elif cmd == "rename":
         v = table.rename_column(args[0], args[1])
         print(json.dumps({"renamed": [args[0], args[1]], "version": v,
