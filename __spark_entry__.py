@@ -3256,6 +3256,17 @@ def q_link_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(_synthetic_edges(_t(spark, sf_dir, "events")))
 
 
+def q_trigram_like_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexed substring search (operators/trigram_index.py): pattern
+    3-grams AND-intersected over the posting lists, exact contains
+    verify on candidates only — the corpus is never scanned (the
+    oracle IS the honest scan; results must be identical)."""
+    from datax_spark.operators.trigram_index import like_search, trigram_postings
+
+    docs = _t(spark, sf_dir, "documents")
+    return like_search(docs, "merge batch", postings=trigram_postings(docs))
+
+
 def q_masked_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Policy-masked serving view (functions/mask.py): source
     referentially-stable-hashed (joins still work), text masked to its
@@ -3402,6 +3413,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "drift_psi_events": q_drift_psi_events,
     "link_graph_components": q_link_graph_components,
     "masked_documents": q_masked_documents,
+    "trigram_like_search": q_trigram_like_search,
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,
     "order_priority_exists": q_order_priority_exists,
@@ -6119,6 +6131,9 @@ SELECT 256 AS k, k_rows, kth_hash,
              ELSE 255.0 / ((('0x' || substr(kth_hash, 1, 13))::BIGINT)
                            / 4503599627370496.0) END, 4) AS est_distinct
 FROM agg"""
+
+ORACLES["trigram_like_search"] = """
+SELECT doc_id FROM documents WHERE contains(lower(text), 'merge batch')"""
 
 ORACLES["masked_documents"] = """
 SELECT doc_id,

@@ -1190,6 +1190,30 @@ class IceTable:
             .alias("_lsn"),
         )
 
+    def version_as_of(self, ts) -> int:
+        """Newest retained version committed at or before ``ts`` (unix
+        seconds or datetime) — SQL's ``FOR SYSTEM_TIME AS OF`` / Iceberg
+        ``snapshot_at``. Versions predating the stamp field (or written
+        by purge's in-place rewrite) fall back to file mtime."""
+        import datetime as _dt
+
+        if isinstance(ts, _dt.datetime):
+            ts = ts.timestamp()
+        best = None
+        for p in self.meta_dir.glob("v*.metadata.json"):
+            v = int(p.name[1:].split(".")[0])
+            at = self.metadata(v).get("committed_at")
+            if at is None:
+                at = p.stat().st_mtime
+            if at <= ts and (best is None or v > best):
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no retained snapshot at or before {ts} "
+                f"(oldest retained may have been expired)"
+            )
+        return best
+
     def history(self) -> list[dict]:
         """Snapshot log, oldest → newest (Iceberg's table.history()):
         one row per still-retained version with its summary. Expired
@@ -2749,6 +2773,14 @@ class IceTable:
         return new_version
 
     def _publish(self, meta: dict) -> None:
+        import time as _time
+
+        # wall-clock commit stamp: powers AS-OF time travel
+        # (version_as_of). Stamped at publish, so a rollback/tag gets
+        # its own stamp while purge's in-place history rewrites keep
+        # the original ones. Metadata was never bit-deterministic
+        # (uuid file names); replay equivalence is about TABLE STATE.
+        meta = {**meta, "committed_at": _time.time()}
         v = meta["version"]
         final = self.meta_dir / f"v{v}.metadata.json"
         tmp = self.meta_dir / f".tmp-{uuid.uuid4().hex}.json"

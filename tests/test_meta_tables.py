@@ -90,3 +90,29 @@ def test_refs_relation(spark, tmp_path):
     t = _mk(spark, tmp_path / "t")
     r = {row["name"]: row["version"] for row in M.refs(t).collect()}
     assert r == t.refs()
+
+
+def test_version_as_of(spark, tmp_path):
+    import time
+
+    t = IceTable.create(spark, tmp_path / "t2", PAGE_SCHEMA, num_partitions=2)
+    apply_epoch(
+        t,
+        spark.createDataFrame([(1, "I", "https://a/1", TS, b"<p>1</p>", "en")], EV),
+        0,
+    )
+    v1 = t.current_version()
+    mid = time.time()
+    time.sleep(0.05)
+    apply_epoch(
+        t,
+        spark.createDataFrame([(2, "I", "https://a/2", TS, b"<p>2</p>", "en")], EV),
+        1,
+    )
+    assert t.version_as_of(mid) == v1
+    assert t.version_as_of(time.time()) == t.current_version()
+    assert t.read(version=t.version_as_of(mid)).count() == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no retained snapshot"):
+        t.version_as_of(0.0)
