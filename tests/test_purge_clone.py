@@ -221,3 +221,58 @@ def test_clone_metadata_is_rewritten_not_shared(spark, tmp_path):
     b = json.loads((clone.meta_dir / "v1.metadata.json").read_text())
     assert a["table_uuid"] != b["table_uuid"]
     assert a["manifests"] == b["manifests"]  # same root-relative layout
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.integers(0, 7),                      # which url
+            st.sampled_from(["I", "U", "D"]),
+        ),
+        min_size=3, max_size=14,
+    ),
+    purge_picks=st.sets(st.integers(0, 9), min_size=1, max_size=3),
+    strategies=st.lists(st.sampled_from(["cow", "mor"]), min_size=3, max_size=3),
+    do_compact=st.booleans(),
+)
+def test_purge_property_every_version_scrubbed(
+    spark, tmp_path_factory, ops, purge_picks, strategies, do_compact
+):
+    """Random upsert/delete history (CoW and MoR epochs interleaved,
+    optional compaction), then purge a random key set: every retained
+    version reads exactly its pre-purge state minus the purged keys."""
+    path = tmp_path_factory.mktemp("purgeprop") / "t"
+    t = IceTable.create(spark, path, PAGE_SCHEMA, num_partitions=4)
+    urls = [f"https://d{i % 3}.example.com/p{i}" for i in range(10)]
+    lsn = 0
+    batches = [[], [], []]
+    for i, (u, op) in enumerate(ops):
+        lsn += 1
+        batches[i % 3].append(
+            (lsn, op, urls[u],
+             None if op == "D" else f"<p>v{lsn}</p>".encode())
+        )
+    for e, (batch, strat) in enumerate(zip(batches, strategies)):
+        if batch:
+            apply_epoch(t, _batch(spark, batch), e, merge_strategy=strat)
+    if do_compact:
+        t.compact()
+    versions = [
+        int(p.name[1:].split(".")[0])
+        for p in t.meta_dir.glob("v*.metadata.json")
+    ]
+    before = {v: _state(t, v) for v in versions}
+    targets = sorted({urls[i] for i in purge_picks})
+    t.purge_keys(targets)
+    for v in versions:
+        expect = {k: x for k, x in before[v].items() if k not in targets}
+        assert _state(t, v) == expect, f"v{v} drifted"
+    for p in t.meta_dir.rglob("*.json"):
+        txt = p.read_text()
+        assert not any(u in txt for u in targets)

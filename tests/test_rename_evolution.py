@@ -160,3 +160,16 @@ def test_scan_pruning_survives_rename(spark, tmp_path):
     assert total > 0 and len(kept) == 0  # old-name stats still prune
     kept_en, _ = t.plan_scan([("language", "=", "en")])
     assert len(kept_en) == total
+
+
+def test_purge_on_renamed_table(spark, tmp_path):
+    """Purge is key-addressed; a payload-column rename must not confuse
+    it — candidate pruning, rewrite and changelog silence all hold on a
+    table whose files span both name generations."""
+    t = _mk(spark, tmp_path / "t")
+    t.rename_column("lang", "language")
+    target = "https://d2.example.com/5"
+    res = t.purge_keys([target])
+    assert res["rows_purged"] >= 1
+    for v in range(1, t.current_version() + 1):
+        assert all(r["url"] != target for r in t.read(version=v).collect())
