@@ -3267,6 +3267,25 @@ def q_trigram_like_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return like_search(docs, "merge batch", postings=trigram_postings(docs))
 
 
+def q_trigram_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted trigram index (operators/trigram_index.TrigramIndex),
+    built incrementally — half the corpus at build, half via add() —
+    then probed: only the pattern grams' bucket partitions are read,
+    and union-of-adds must equal the honest scan (the shared oracle)."""
+    from datax_spark.operators.trigram_index import TrigramIndex
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def _build(path):
+        idx = TrigramIndex.build(
+            docs.where(F.col("doc_id") % 2 == 0), path, n_buckets=32
+        )
+        idx.add(docs.where(F.col("doc_id") % 2 == 1))
+
+    root = _ensure_diff_table(spark, sf_dir, "tgidx", _build)
+    return TrigramIndex(spark, root).search(docs, "merge batch")
+
+
 def q_masked_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Policy-masked serving view (functions/mask.py): source
     referentially-stable-hashed (joins still work), text masked to its
@@ -3414,6 +3433,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_graph_components": q_link_graph_components,
     "masked_documents": q_masked_documents,
     "trigram_like_search": q_trigram_like_search,
+    "trigram_index_search": q_trigram_index_search,
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,
     "order_priority_exists": q_order_priority_exists,
@@ -6134,6 +6154,8 @@ FROM agg"""
 
 ORACLES["trigram_like_search"] = """
 SELECT doc_id FROM documents WHERE contains(lower(text), 'merge batch')"""
+
+ORACLES["trigram_index_search"] = ORACLES["trigram_like_search"]
 
 ORACLES["masked_documents"] = """
 SELECT doc_id,

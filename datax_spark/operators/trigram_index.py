@@ -54,6 +54,118 @@ def pattern_grams(pattern: str) -> list[str]:
     return sorted({p[i : i + 3] for i in range(len(p) - 2)})
 
 
+class TrigramIndex:
+    """Persisted trigram index — same artifact pattern as Bm25Index
+    (operators/text_index.py): postings laid out as parquet partitioned
+    by ``bucket = pmod(xxhash64(gram), B)``, so a query reads ONLY its
+    pattern's grams' buckets (partition-pruned scan, cost tracks the
+    pattern, not the corpus). ``add(new_docs)`` appends fresh ids —
+    gram postings are purely additive, so search(after adds) ≡ search
+    of a one-shot build over the union (differential-tested). Updates/
+    deletes: rebuild, same contract as the BM25/IVF artifacts.
+
+    ``meta.json`` is written last — a crashed build leaves no loadable
+    index."""
+
+    FORMAT = "trigram-postings-v1"
+
+    def __init__(self, spark, root):
+        import json
+        from pathlib import Path
+
+        self.spark = spark
+        self.root = Path(root)
+        meta_path = self.root / "meta.json"
+        if not meta_path.exists():
+            raise FileNotFoundError(f"no trigram index at {self.root}")
+        self.meta = json.loads(meta_path.read_text())
+        if self.meta.get("format") != self.FORMAT:
+            raise ValueError(f"unknown index format {self.meta.get('format')!r}")
+
+    @staticmethod
+    def build(
+        docs: DataFrame,
+        root,
+        n_buckets: int = 64,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> "TrigramIndex":
+        import json
+        from pathlib import Path
+
+        root = Path(root)
+        rows = trigram_postings(docs, id_col, text_col).withColumn(
+            "bucket", F.pmod(F.xxhash64("gram"), F.lit(n_buckets))
+        )
+        rows.write.mode("overwrite").partitionBy("bucket").parquet(
+            str(root / "postings")
+        )
+        (root / "meta.json").write_text(
+            json.dumps(
+                {
+                    "format": TrigramIndex.FORMAT,
+                    "n_buckets": n_buckets,
+                    "id_col": id_col,
+                    "text_col": text_col,
+                },
+                indent=2,
+            )
+        )
+        return TrigramIndex(docs.sparkSession, root)
+
+    def add(self, new_docs: DataFrame) -> None:
+        """Append postings for NEW document ids (a re-added id would
+        duplicate its postings; the count-based AND-intersection then
+        over-counts — ids must be fresh, like Bm25Index.add)."""
+        rows = trigram_postings(
+            new_docs, self.meta["id_col"], self.meta["text_col"]
+        ).withColumn(
+            "bucket", F.pmod(F.xxhash64("gram"), F.lit(self.meta["n_buckets"]))
+        )
+        rows.write.mode("append").partitionBy("bucket").parquet(
+            str(self.root / "postings")
+        )
+
+    def search(self, docs: DataFrame, pattern: str) -> DataFrame:
+        """doc_ids of ``docs`` matching ``pattern``, candidates from the
+        PERSISTED postings (only the pattern grams' buckets are read),
+        verify against ``docs`` text. Falls back to the honest scan for
+        patterns < 3 chars."""
+        grams = pattern_grams(pattern)
+        id_col, text_col = self.meta["id_col"], self.meta["text_col"]
+        if not grams:
+            return like_search(docs, pattern, id_col=id_col, text_col=text_col)
+        n_buckets = int(self.meta["n_buckets"])
+        spark = self.spark
+        g = spark.createDataFrame([(x,) for x in grams], "gram string")
+        buckets = sorted(
+            {
+                r["bucket"]
+                for r in g.withColumn(
+                    "bucket", F.pmod(F.xxhash64("gram"), F.lit(n_buckets))
+                ).collect()
+            }
+        )
+        post = spark.read.parquet(str(self.root / "postings")).filter(
+            F.col("bucket").isin(buckets)
+        )
+        cands = (
+            post.join(F.broadcast(g), "gram")
+            .select("doc_id", "gram")
+            .distinct()  # append-mode adds may duplicate (gram, doc) pairs
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") == len(grams))
+            .select("doc_id")
+        )
+        contains = F.contains(_norm(F.col(text_col)), F.lit(pattern.lower()))
+        return (
+            docs.join(cands, docs[id_col] == cands["doc_id"], "left_semi")
+            .filter(contains)
+            .select(F.col(id_col).alias("doc_id"))
+        )
+
+
 def like_search(
     docs: DataFrame,
     pattern: str,

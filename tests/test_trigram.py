@@ -63,3 +63,28 @@ def test_pruning_actually_prunes(spark):
         for r in post.filter(post.gram.isin(grams)).collect()
     }
     assert 3 not in cand_ids
+
+
+def test_persisted_index_matches_scan_and_adds_compose(spark, tmp_path):
+    from datax_spark.operators.trigram_index import TrigramIndex
+
+    a = _docs(spark)
+    b = spark.createDataFrame(
+        [(10, "late merge batch arrival"), (11, "unrelated doc")],
+        "doc_id long, text string",
+    )
+    both = a.unionByName(b)
+
+    idx = TrigramIndex.build(a, tmp_path / "tg", n_buckets=8)
+    idx.add(b)
+    one_shot = TrigramIndex.build(both, tmp_path / "tg2", n_buckets=8)
+    for pat in ("merge batch", "batch", "zzz", "me"):
+        via_adds = _ids(idx.search(both, pat))
+        assert via_adds == _ids(one_shot.search(both, pat)), pat
+        assert via_adds == _ids(like_search(both, pat)), pat
+    assert _ids(idx.search(both, "merge batch")) == [1, 4, 7, 10]
+
+    import pytest as _p
+
+    with _p.raises(FileNotFoundError):
+        TrigramIndex(spark, tmp_path / "nope")
