@@ -109,6 +109,8 @@ HEADLINE = [
     "distinct_kmv",
     "drift_psi_events",
     "link_graph_components",
+    "trigram_like_search",
+    "trigram_index_search",
 ]
 
 CDC_EVENTS = int(os.environ.get("DATAX_BENCH_EVENTS", "1000000"))

@@ -1382,7 +1382,8 @@ def run_cdc_job(spark: SparkSession, spec: dict[str, Any]):
     from datax_spark.streaming.driver import EpochDriver
     from datax_spark.streaming.source import ChangeTailSource
 
-    reader, writer = spec["reader"], spec["writer"]
+    reader = _resolve_catalog_path(spark, spec["reader"])
+    writer = _resolve_catalog_path(spark, spec["writer"])
     if reader.get("type") != "change_tail" or writer.get("type") != "icetable":
         raise ValueError("cdc job needs reader.type=change_tail, writer.type=icetable")
     source = ChangeTailSource(spark, reader["path"])
