@@ -3256,6 +3256,33 @@ def q_link_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(_synthetic_edges(_t(spark, sf_dir, "events")))
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus overview — the first query a data owner runs:
+    doc/source/lang counts, whitespace-token budget, and the KMV
+    estimate of distinct texts (the scale-safe dedup-rate signal: at
+    100 TB the exact distinct is the cost this sketch avoids). Single
+    scan + the k-row sketch fold."""
+    from datax_spark.operators.sketches import kmv_distinct
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum(TXT.ws_token_count(F.col("text")).cast("bigint")).alias("total_ws_tokens"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
+    est = kmv_distinct(docs, "text", k=256).select(
+        F.col("est_distinct").alias("distinct_text_est")
+    )
+    return base.crossJoin(est).select(
+        "n_docs", "n_sources", "n_langs", "total_ws_tokens", "avg_chars",
+        "distinct_text_est",
+        F.round(F.lit(1.0) - F.col("distinct_text_est") / F.col("n_docs"), 4)
+        .alias("dup_rate_est"),
+    )
+
+
 def q_trigram_like_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Indexed substring search (operators/trigram_index.py): pattern
     3-grams AND-intersected over the posting lists, exact contains
@@ -3434,6 +3461,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "masked_documents": q_masked_documents,
     "trigram_like_search": q_trigram_like_search,
     "trigram_index_search": q_trigram_index_search,
+    "corpus_report": q_corpus_report,
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,
     "order_priority_exists": q_order_priority_exists,
@@ -6151,6 +6179,30 @@ SELECT 256 AS k, k_rows, kth_hash,
              ELSE 255.0 / ((('0x' || substr(kth_hash, 1, 13))::BIGINT)
                            / 4503599627370496.0) END, 4) AS est_distinct
 FROM agg"""
+
+ORACLES["corpus_report"] = """
+WITH s AS (
+  SELECT DISTINCT md5(text) AS h FROM documents ORDER BY h LIMIT 256
+),
+agg AS (SELECT count(*) AS k_rows, max(h) AS kth_hash FROM s),
+est AS (
+  SELECT round(CASE WHEN k_rows < 256 THEN CAST(k_rows AS DOUBLE)
+               ELSE 255.0 / ((('0x' || substr(kth_hash, 1, 13))::BIGINT)
+                             / 4503599627370496.0) END, 4) AS distinct_text_est
+  FROM agg
+),
+base AS (
+  SELECT count(*) AS n_docs,
+         count(DISTINCT source) AS n_sources,
+         count(DISTINCT lang) AS n_langs,
+         CAST(sum(length(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS total_ws_tokens,
+         round(avg(n_chars), 2) AS avg_chars
+  FROM documents
+)
+SELECT n_docs, n_sources, n_langs, total_ws_tokens, avg_chars,
+       distinct_text_est,
+       round(1.0 - distinct_text_est / n_docs, 4) AS dup_rate_est
+FROM base, est"""
 
 ORACLES["trigram_like_search"] = """
 SELECT doc_id FROM documents WHERE contains(lower(text), 'merge batch')"""
