@@ -1110,9 +1110,65 @@ def q_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         idx.add(docs.where(F.col("doc_id") % 2 == 1))
 
-    root = _ensure_diff_table(spark, sf_dir, "bm25idx", _build)
+    root = _ensure_diff_table(spark, sf_dir, "bm25idx2", _build)
     queries = spark.createDataFrame(_BM25_QUERIES, "query_id long, query string")
     return Bm25Index(spark, root).probe(queries, k=5)
+
+
+def q_bm25_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-MAINTAINED inverted index (text_index.py v2: segments +
+    tombstones): documents bulk-loaded into an IceTable, the index
+    built from that state with a version cursor, then one I/U/D epoch
+    through the real merge path (updates append a suffix to every
+    doc_id%7==0 text, doc_id%7==3 rows are deleted, three fresh docs
+    inserted) and ``sync`` consumes the table CHANGELOG — maintenance
+    cost scales with the changed docs, not the corpus. The probe must
+    equal a one-shot rebuild on the final state, which is exactly what
+    the oracle computes (the bm25_retrieval SQL over the same modified
+    corpus)."""
+    from datax_spark.icetable.table import IceTable
+    from datax_spark.operators.merge import apply_epoch
+    from datax_spark.operators.text_index import Bm25Index
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://doc/"), F.col("doc_id")).alias("url"),
+        "doc_id",
+        "text",
+    )
+
+    def _build(path):
+        tbl = IceTable.create(
+            spark, path / "t", docs.schema, num_partitions=8, key_column="url"
+        )
+        tbl.bulk_overwrite(docs, epoch=0)
+        idx = Bm25Index.build_from_table(
+            tbl, path / "idx", n_buckets=64, id_col="doc_id"
+        )
+        lsn = F.lit(10_000_000) + F.col("doc_id")
+        upd = docs.filter(F.col("doc_id") % 7 == 0).select(
+            "url", "doc_id",
+            F.concat("text", F.lit(" refreshed retrieval section")).alias("text"),
+            F.lit("U").alias("op"), lsn.alias("lsn"),
+        )
+        dels = docs.filter(F.col("doc_id") % 7 == 3).select(
+            "url", "doc_id", F.lit(None).cast("string").alias("text"),
+            F.lit("D").alias("op"), lsn.alias("lsn"),
+        )
+        ins = spark.createDataFrame(
+            [
+                ("https://doc/-1", -1, "spark merge window planning", "I", 20_000_001),
+                ("https://doc/-2", -2, "fast hash join probe build", "I", 20_000_002),
+                ("https://doc/-3", -3, "slow scan filter vector pipeline", "I", 20_000_003),
+            ],
+            "url string, doc_id long, text string, op string, lsn long",
+        )
+        apply_epoch(tbl, upd.unionByName(dels).unionByName(ins), epoch=1,
+                    extract=False)
+        idx.sync(tbl)
+
+    root = _ensure_diff_table(spark, sf_dir, "bm25sync", _build)
+    queries = spark.createDataFrame(_BM25_QUERIES, "query_id long, query string")
+    return Bm25Index(spark, root / "idx").probe(queries, k=5)
 
 
 def q_patch_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3411,6 +3467,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_documents": q_pack_documents,
     "bm25_retrieval": q_bm25_retrieval,
     "bm25_index_topk": q_bm25_index_topk,
+    "bm25_index_sync": q_bm25_index_sync,
     "duplicate_span_stats": q_duplicate_span_stats,
     "duplicate_span_removal": q_duplicate_span_removal,
     "frequency_quality_buckets": q_frequency_quality_buckets,
@@ -5337,6 +5394,62 @@ FROM s LEFT JOIN t ON s.url = t.url
 WHERE t.url IS NULL AND s.lang <> 'de'"""
 # the persisted-index probe must equal the one-shot scorer exactly
 ORACLES["bm25_index_topk"] = ORACLES["bm25_retrieval"]
+
+# the maintained index must equal a one-shot rebuild on the FINAL table
+# state, so its oracle is the bm25_retrieval SQL over the same modified
+# corpus (suffix-updated %7==0 docs, %7==3 deleted, three inserts)
+ORACLES["bm25_index_sync"] = """
+WITH docs2(doc_id, text) AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' refreshed retrieval section'
+              ELSE text END
+  FROM documents WHERE doc_id % 7 <> 3
+  UNION ALL
+  SELECT * FROM (VALUES (CAST(-1 AS BIGINT), 'spark merge window planning'),
+                        (-2, 'fast hash join probe build'),
+                        (-3, 'slow scan filter vector pipeline'))
+),
+q(query_id, query) AS (
+  VALUES (CAST(0 AS BIGINT), 'spark merge window'),
+         (1, 'fast hash join'),
+         (2, 'slow scan filter vector')),
+tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS tk
+  FROM docs2
+),
+dterm AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM tok),
+qterm AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id,
+           unnest(list_filter(string_split_regex(lower(query), '[^a-z0-9]+'),
+                              t -> t <> '')) AS term
+    FROM q)
+),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM dterm
+  WHERE term IN (SELECT term FROM qterm)
+  GROUP BY 1, 2, 3
+),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(tk)) AS avgdl FROM tok),
+idf AS (
+  SELECT term, ln(1 + (n - df + 0.5) / (df + 0.5)) AS idf, avgdl
+  FROM (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1)
+  CROSS JOIN stats
+),
+scored AS (
+  SELECT query_id, doc_id,
+         round(sum(idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+  FROM tf JOIN idf USING (term) JOIN qterm USING (term)
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+       ) AS BIGINT) AS rank
+FROM scored QUALIFY rank <= 5"""
 
 ORACLES["time_travel_read"] = """
 SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,

@@ -1094,6 +1094,59 @@ def _run_batch_job_body(
     reader = spec["reader"]
     cursor = None  # (source table, tag name, version to pin on success)
     df = None
+    if (spec.get("writer") or {}).get("type") == "bm25_index":
+        # CDC-maintained inverted-index artifact as a re-runnable job:
+        # the first run builds from the source table's current state
+        # and records a version cursor in the index meta; every re-run
+        # consumes ONLY the table changelog since that cursor
+        # (operators/text_index.sync — tombstone dead generations,
+        # one fresh postings segment for the changed docs). The reader
+        # must be the icetable itself: the cursor is a version against
+        # that table's history, so a transformed/projected feed would
+        # desynchronize index and cursor.
+        from datax_spark.icetable.table import IceTable
+        from datax_spark.operators.text_index import Bm25Index
+
+        writer = _resolve_catalog_path(spark, spec["writer"])
+        rd = _resolve_catalog_path(spark, reader)
+        if rd.get("type") != "icetable" or "path" not in rd:
+            raise ValueError(
+                "bm25_index writer requires reader.type icetable with a "
+                "path — the sync cursor is a version of that table"
+            )
+        if spec.get("transforms"):
+            raise ValueError(
+                "bm25_index writer does not accept transforms: the index "
+                "must mirror the table state its cursor names"
+            )
+        tbl = IceTable.load(spark, rd["path"])
+        root = Path(writer["path"])
+        if (root / "meta.json").exists():
+            out = Bm25Index(spark, root).sync(
+                tbl, to_version=rd.get("toVersion")
+            )
+            action = "sync"
+        else:
+            idx = Bm25Index.build_from_table(
+                tbl,
+                root,
+                n_buckets=int(writer.get("numBuckets", 64)),
+                id_col=writer.get("idColumn", "doc_id"),
+                text_col=writer.get("textColumn", "text"),
+            )
+            out = {
+                "removed": 0,
+                "added": int(idx.meta["n_docs"]),
+                "from": 0,
+                "to": int(idx.meta["source"]["version"]),
+            }
+            action = "build"
+        return spark.createDataFrame(
+            [(action, out["removed"], out["added"], out.get("from"),
+              out.get("to"))],
+            "action string, removed long, added long, from_version long, "
+            "to_version long",
+        )
     if reader.get("type") == "icetable_reprocess":
         # dead-letter repair as a self-contained maintenance job: the
         # spec's transforms ARE the repair rule, applied to the table's

@@ -12,21 +12,39 @@ ONLY the probed terms' bucket directories — a partition-pruned scan
 whose cost tracks the query's term set, not the corpus (plan-asserted
 in tests/test_text_index.py).
 
-Layout at ``root/``:
+Layout at ``root/`` (format v2 — segmented, CDC-maintainable):
 
-- ``postings/bucket=*/``  (term, doc_id, tf, dl) rows — the whole
+- ``postings/bucket=*/seg=*/``  (term, doc_id, tf, dl) rows — the whole
   posting list of a term lives in exactly one bucket, so per-term
-  document frequency is computable from the pruned read alone.
+  document frequency is computable from the pruned read alone. ``seg``
+  is the add-generation: ``build`` writes seg=0, each maintenance
+  transaction writes one fresh segment.
+- ``tombstones/``  append-only (doc_id, before_seg) rows: the doc's
+  postings in segments < before_seg are dead. An update tombstones the
+  old generation and re-adds the doc in the new segment (Lucene's
+  delete-and-readd, re-expressed as parquet + a join); a delete only
+  tombstones.
 - ``meta.json``  n_docs + sum_dl (the ONLY corpus-global stats BM25
-  needs; written LAST — a crashed build leaves no loadable index).
+  needs, kept exact under adds AND removals), next_seg, and — when the
+  index tracks an IceTable — the source path + version cursor. Written
+  LAST via atomic rename: meta is the commit point, so a crashed
+  transaction is invisible (its orphan segment sits at seg >= next_seg,
+  which probes filter out, and the retry rewrites that segment via
+  dynamic partition overwrite).
 
 Incremental growth: ``add(new_docs)`` appends the new documents'
-postings to their buckets and bumps n_docs/sum_dl — BM25 depends only
-on additive aggregates (tf, df, N, Σdl), so probe(after adds) is
-result-identical to an index built from the union in one shot
-(differential-tested). Document UPDATES/DELETES are not supported (ids
-must be fresh); rebuild on churn — same contract as the IVF index's
-frozen centroids.
+postings — BM25 depends only on additive aggregates (tf, df, N, Σdl),
+so probe(after adds) is result-identical to an index built from the
+union in one shot (differential-tested). Updates/deletes go through
+``apply_changes`` (tombstone + re-add), and ``sync(table)`` drives that
+straight from an IceTable changelog (``read_changes`` with pre-images):
+maintenance cost scales with the CHANGED documents, not the corpus —
+the index is a CDC consumer, same contract as the incremental
+materialized views. probe(synced index) == probe(one-shot rebuild at
+the same table version), differential-tested across arbitrary I/U/D
+histories. ``compact()`` rewrites only the live rows (original seg
+values kept, so stale tombstones can never kill a survivor) and clears
+the tombstone log.
 
 Determinism: scores round to 4 decimals with ascending-doc-id
 tie-break, identical to bm25_topk, so the two paths and the DuckDB
@@ -36,6 +54,10 @@ oracle agree row for row.
 from __future__ import annotations
 
 import json
+import os
+import shutil
+import tempfile
+import uuid
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -43,26 +65,37 @@ from pyspark.sql import functions as F
 
 from datax_spark.operators.retrieval import _tokens
 
-FORMAT = "bm25-postings-v1"
+FORMAT = "bm25-postings-v2"
 
 
 def _postings(docs: DataFrame, id_col: str, text_col: str, n_buckets: int):
     """(term, doc_id, tf, dl, bucket) rows plus the (n_docs, sum_dl)
-    stats row — one tokenize pass."""
+    stats row — one tokenize pass. A null/empty text contributes 0 to
+    sum_dl and no posting rows, but still counts in n_docs (it is a
+    document; it just matches nothing)."""
     base = docs.select(F.col(id_col), _tokens(F.col(text_col)).alias("_toks"))
+    dl = F.greatest(F.coalesce(F.size("_toks"), F.lit(0)), F.lit(0))
     rows = (
-        base.select(
-            id_col, F.size("_toks").alias("dl"), F.explode("_toks").alias("term")
-        )
+        base.select(id_col, dl.alias("dl"), F.explode("_toks").alias("term"))
         .groupBy(id_col, "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
     )
     stats = base.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size("_toks")).alias("sum_dl"),
+        F.count(F.lit(1)).alias("n_docs"), F.sum(dl).alias("sum_dl")
     )
     return rows, stats
+
+
+def _doc_stats(docs: DataFrame, id_col: str, text_col: str):
+    """(n_docs, sum_dl) of a document set — what removal must subtract.
+    Tokenizes with the SAME _tokens as indexing, so the subtracted dl
+    is exactly the dl that was added when the doc was indexed."""
+    toks = _tokens(F.col(text_col))
+    dl = F.greatest(F.coalesce(F.size(toks), F.lit(0)), F.lit(0))
+    return docs.select(F.col(id_col), dl.alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
 
 
 class Bm25Index:
@@ -74,7 +107,10 @@ class Bm25Index:
             raise FileNotFoundError(f"no BM25 index at {self.root}")
         self.meta = json.loads(meta_path.read_text())
         if self.meta.get("format") != FORMAT:
-            raise ValueError(f"unknown index format {self.meta.get('format')!r}")
+            raise ValueError(
+                f"unknown index format {self.meta.get('format')!r} — "
+                f"pre-v2 (unsegmented) indexes must be rebuilt"
+            )
 
     # ---------------- build ---------------- #
     @staticmethod
@@ -84,52 +120,213 @@ class Bm25Index:
         n_buckets: int = 64,
         id_col: str = "doc_id",
         text_col: str = "text",
+        source: dict | None = None,
     ) -> "Bm25Index":
         root = Path(root)
         spark = docs.sparkSession
         rows, stats = _postings(docs, id_col, text_col, n_buckets)
-        rows.write.mode("overwrite").partitionBy("bucket").parquet(
-            str(root / "postings")
-        )
+        rows.withColumn("seg", F.lit(0)).write.mode("overwrite").partitionBy(
+            "bucket", "seg"
+        ).parquet(str(root / "postings"))
         s = stats.collect()[0]
-        (root / "meta.json").write_text(
-            json.dumps(
-                {
-                    "format": FORMAT,
-                    "n_buckets": n_buckets,
-                    "id_col": id_col,
-                    "text_col": text_col,
-                    "n_docs": int(s["n_docs"]),
-                    "sum_dl": int(s["sum_dl"] or 0),
-                },
-                indent=2,
-            )
-        )
+        meta = {
+            "format": FORMAT,
+            "n_buckets": n_buckets,
+            "id_col": id_col,
+            "text_col": text_col,
+            "n_docs": int(s["n_docs"]),
+            "sum_dl": int(s["sum_dl"] or 0),
+            "next_seg": 1,
+        }
+        if source:
+            meta["source"] = source
+        _write_meta(root, meta)
         return Bm25Index(spark, root)
+
+    @staticmethod
+    def build_from_table(
+        table,
+        root: str | Path,
+        n_buckets: int = 64,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> "Bm25Index":
+        """Build from an IceTable's CURRENT state and remember the
+        (path, version) cursor so ``sync`` can maintain the index from
+        the table's changelog instead of rebuilding."""
+        v = table.current_version()
+        docs = table.read(v).select(id_col, text_col)
+        return Bm25Index.build(
+            docs,
+            root,
+            n_buckets=n_buckets,
+            id_col=id_col,
+            text_col=text_col,
+            source={"path": str(table.root), "version": v},
+        )
+
+    def _commit_meta(self) -> None:
+        _write_meta(self.root, self.meta)
 
     def add(self, new_docs: DataFrame) -> int:
         """Append NEW documents' postings (ids must not already be
         indexed — BM25's aggregates are additive, so union-of-adds is
         one-shot-equal, but a re-added id would double-count its tf).
-        Returns the number of documents added."""
-        rows, stats = _postings(
-            new_docs, self.meta["id_col"], self.meta["text_col"],
-            self.meta["n_buckets"],
+        Returns the number of documents added. Updates/deletes go
+        through apply_changes/sync."""
+        return self.apply_changes(None, new_docs)["added"]
+
+    def apply_changes(
+        self,
+        removed_docs: DataFrame | None,
+        added_docs: DataFrame | None,
+        meta_extra: dict | None = None,
+    ) -> dict:
+        """One maintenance transaction: tombstone ``removed_docs``
+        (which must carry their PRE-change text — the changelog's
+        pre-image — so the global stats can be decremented exactly
+        without reading the index back) and index ``added_docs`` under
+        one fresh segment. An updated doc appears on both sides.
+
+        Crash-safe around the meta.json commit point: the new segment
+        is written with dynamic partition overwrite (a retry replaces
+        the orphan, never duplicates it), tombstones are append-only
+        and idempotent under max-aggregation, and stats/next_seg/cursor
+        move only in the final atomic meta write. ``meta_extra`` rides
+        in that SAME commit (sync's cursor — a separate write would let
+        a crash between the two replay the span and double-apply the
+        stats)."""
+        id_col, text_col = self.meta["id_col"], self.meta["text_col"]
+        seg = int(self.meta.get("next_seg", 1))
+        n_rm = dl_rm = 0
+        if removed_docs is not None:
+            s = _doc_stats(removed_docs, id_col, text_col).collect()[0]
+            n_rm, dl_rm = int(s["n_docs"]), int(s["sum_dl"] or 0)
+            if n_rm:
+                removed_docs.select(
+                    F.col(id_col), F.lit(seg).alias("before_seg")
+                ).write.mode("append").parquet(str(self.root / "tombstones"))
+        n_add = dl_add = 0
+        if added_docs is not None:
+            rows, stats = _postings(
+                added_docs, id_col, text_col, self.meta["n_buckets"]
+            )
+            (
+                rows.withColumn("seg", F.lit(seg))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket", "seg")
+                .parquet(str(self.root / "postings"))
+            )
+            s = stats.collect()[0]
+            n_add, dl_add = int(s["n_docs"]), int(s["sum_dl"] or 0)
+        self.meta["n_docs"] = int(self.meta["n_docs"]) - n_rm + n_add
+        self.meta["sum_dl"] = int(self.meta["sum_dl"]) - dl_rm + dl_add
+        self.meta["next_seg"] = seg + 1
+        if meta_extra:
+            self.meta.update(meta_extra)
+        self._commit_meta()
+        return {"removed": n_rm, "added": n_add, "seg": seg}
+
+    def sync(self, table, to_version: int | None = None) -> dict:
+        """Advance the index to the table's state at ``to_version`` by
+        consuming the CHANGELOG since the stored cursor — cost scales
+        with the changed documents, not the corpus. After sync, probe()
+        is row-identical to an index rebuilt from
+        ``table.read(to_version)`` in one shot (differential-tested in
+        tests/test_text_index.py, including delete-then-reinsert and
+        repeated updates of one key)."""
+        src = self.meta.get("source")
+        if not src:
+            raise ValueError(
+                "index was not built with build_from_table — no cursor"
+            )
+        if str(table.root) != src["path"]:
+            raise ValueError(
+                f"index tracks {src['path']}, got table at {table.root}"
+            )
+        id_col, text_col = self.meta["id_col"], self.meta["text_col"]
+        frm = int(src["version"])
+        to = table.current_version() if to_version is None else int(to_version)
+        if to < frm:
+            raise ValueError(f"cursor at v{frm} is past requested v{to}")
+        if to == frm:
+            return {"removed": 0, "added": 0, "from": frm, "to": to}
+        ch = table.read_changes(frm, to, pre_images=True).select(
+            "_op", id_col, text_col
         )
-        rows.write.mode("append").partitionBy("bucket").parquet(
-            str(self.root / "postings")
+        removed = ch.filter(F.col("_op").isin("D", "UB")).drop("_op")
+        added = ch.filter(F.col("_op").isin("I", "UA")).drop("_op")
+        out = self.apply_changes(
+            removed, added, meta_extra={"source": {**src, "version": to}}
         )
-        s = stats.collect()[0]
-        self.meta["n_docs"] = int(self.meta["n_docs"]) + int(s["n_docs"])
-        self.meta["sum_dl"] = int(self.meta["sum_dl"]) + int(s["sum_dl"] or 0)
-        (self.root / "meta.json").write_text(json.dumps(self.meta, indent=2))
-        return int(s["n_docs"])
+        return {**out, "from": frm, "to": to}
+
+    def compact(self) -> dict:
+        """Fold tombstones into the postings: rewrite ONLY the live
+        rows (original seg values kept — a stale tombstone can never
+        kill a survivor, since survivors satisfy seg >= before_seg by
+        definition) and clear the tombstone log. Bounds the probe-side
+        anti-work at churn-proportional intervals."""
+        live = self._live_postings(None)
+        tmp = self.root / f".postings-{uuid.uuid4().hex}"
+        live.select("term", self.meta["id_col"], "tf", "dl", "bucket", "seg") \
+            .write.mode("overwrite").partitionBy("bucket", "seg") \
+            .parquet(str(tmp))
+        old = self.root / f".postings-old-{uuid.uuid4().hex}"
+        os.rename(self.root / "postings", old)
+        os.rename(tmp, self.root / "postings")
+        shutil.rmtree(self.root / "tombstones", ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        return {"n_docs": self.meta["n_docs"]}
 
     # ---------------- read side ---------------- #
     def postings(self, buckets: list[int] | None = None) -> DataFrame:
         df = self.spark.read.parquet(str(self.root / "postings"))
         if buckets is not None:
             df = df.filter(F.col("bucket").isin([int(b) for b in buckets]))
+        return df
+
+    def _tombstones(self) -> DataFrame | None:
+        """Aggregated kill map: (id_col, before_seg=max) — idempotent
+        under replayed appends. Gated on next_seg exactly like the
+        postings: a committed transaction's tombstones carry
+        before_seg < next_seg, so a crashed (unpublished) transaction's
+        tombstones are invisible until its retry commits — and the
+        retry must replay the SAME change span, the system-wide
+        deterministic-replay contract the table's epoch ledger already
+        imposes."""
+        tdir = self.root / "tombstones"
+        if not tdir.exists():
+            return None
+        id_col = self.meta["id_col"]
+        return (
+            self.spark.read.parquet(str(tdir))
+            .filter(F.col("before_seg") < F.lit(int(self.meta.get("next_seg", 1))))
+            .groupBy(id_col)
+            .agg(F.max("before_seg").alias("before_seg"))
+        )
+
+    def _live_postings(self, buckets: list[int] | None) -> DataFrame:
+        """Postings minus dead generations: committed segments only
+        (seg < next_seg filters a crashed transaction's orphan segment
+        — it's also a partition filter, so orphan dirs aren't even
+        read), then the tombstone join keeps a doc's rows only at or
+        past its latest re-add."""
+        df = self.postings(buckets).filter(
+            F.col("seg") < F.lit(int(self.meta.get("next_seg", 1)))
+        )
+        tomb = self._tombstones()
+        if tomb is not None:
+            id_col = self.meta["id_col"]
+            df = (
+                df.join(tomb, id_col, "left")
+                .filter(
+                    F.col("before_seg").isNull()
+                    | (F.col("seg") >= F.col("before_seg"))
+                )
+                .drop("before_seg")
+            )
         return df
 
     def probe(
@@ -165,9 +362,9 @@ class Bm25Index:
         needed = self.spark.createDataFrame(
             [(r["term"],) for r in term_rows] or [(None,)], "term string"
         ).filter(F.col("term").isNotNull())
-        tf = self.postings(buckets).join(F.broadcast(needed), "term").select(
-            "term", F.col(id_col), "tf", "dl"
-        )
+        tf = self._live_postings(buckets).join(
+            F.broadcast(needed), "term"
+        ).select("term", F.col(id_col), "tf", "dl")
         n = float(self.meta["n_docs"])
         avgdl = self.meta["sum_dl"] / self.meta["n_docs"]
         df_t = tf.groupBy("term").agg(
@@ -205,3 +402,14 @@ class Bm25Index:
             .filter(F.col("rank") <= k)
             .select(query_id_col, id_col, "score", "rank")
         )
+
+
+def _write_meta(root: Path, meta: dict) -> None:
+    """Atomic publish: temp file + rename, the same pattern as the
+    MinHash index artifact — readers see the old or new meta, never a
+    torn one."""
+    root.mkdir(parents=True, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=root, prefix=".meta-", suffix=".json")
+    with os.fdopen(fd, "w") as f:
+        json.dump(meta, f, indent=2)
+    os.replace(tmp, root / "meta.json")

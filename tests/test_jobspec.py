@@ -621,3 +621,73 @@ def test_icetable_merge_into_writer(spark, tmp_path):
         "b": 20,
         "c": 5,
     }
+
+
+def test_bm25_index_writer_builds_then_syncs(spark, tmp_path):
+    """writer.type bm25_index is the index-maintenance consumer as a
+    re-runnable DataX-style job: first run builds from the table state
+    and records a version cursor, the re-run consumes only the
+    changelog, and the probe equals a one-shot rebuild on the final
+    state. A cursor already current makes the re-run a no-op."""
+    from pyspark.sql import types as T
+
+    from datax_spark.icetable.table import IceTable
+    from datax_spark.operators.merge import apply_epoch
+    from datax_spark.operators.text_index import Bm25Index
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    t = IceTable.create(
+        spark, tmp_path / "t", schema, num_partitions=2, key_column="url"
+    )
+    t.bulk_overwrite(
+        spark.createDataFrame(
+            [("u0", 0, "quick brown fox"), ("u1", 1, "lazy dog naps"),
+             ("u2", 2, "spark shuffles data")],
+            schema,
+        ),
+        epoch=0,
+    )
+    spec = {
+        "reader": {"type": "icetable", "path": str(tmp_path / "t")},
+        "writer": {"type": "bm25_index", "path": str(tmp_path / "idx"),
+                   "numBuckets": 8, "idColumn": "doc_id"},
+    }
+    out = run_batch_job(spark, spec).collect()[0]
+    assert out["action"] == "build" and out["added"] == 3
+
+    apply_epoch(
+        t,
+        spark.createDataFrame(
+            [("u1", 1, None, "D", 10),
+             ("u3", 3, "a quick spark dog", "I", 11)],
+            "url string, doc_id long, text string, op string, lsn long",
+        ),
+        epoch=1,
+        extract=False,
+    )
+    out = run_batch_job(spark, spec).collect()[0]
+    assert out["action"] == "sync" and out["removed"] == 1 and out["added"] == 1
+
+    q = spark.createDataFrame(
+        [(0, "quick spark")], "query_id long, query string"
+    )
+    want = Bm25Index.build(
+        t.read().select("doc_id", "text"), tmp_path / "want", n_buckets=8
+    )
+    got = Bm25Index(spark, tmp_path / "idx")
+    assert sorted(map(tuple, got.probe(q, k=3).collect())) == sorted(
+        map(tuple, want.probe(q, k=3).collect())
+    )
+
+    # cursor current: no-op
+    out = run_batch_job(spark, spec).collect()[0]
+    assert out["action"] == "sync" and out["removed"] == 0 and out["added"] == 0
+
+    with pytest.raises(ValueError, match="transforms"):
+        run_batch_job(spark, {**spec, "transforms": [{"type": "dx_filter"}]})

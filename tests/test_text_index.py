@@ -100,3 +100,180 @@ def test_empty_query_terms(spark, tmp_path, docs):
         [(9, "!!! ???")], "query_id long, query string"
     )
     assert idx.probe(q, k=3).count() == 0
+
+
+# ---------- CDC-maintained index (v2: segments + tombstones) ---------- #
+
+EVENT_SCHEMA = "url string, doc_id long, text string, op string, lsn long"
+
+
+def _mk_table(spark, path):
+    from pyspark.sql import types as T
+
+    from datax_spark.icetable.table import IceTable
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    t = IceTable.create(spark, path, schema, num_partitions=2, key_column="url")
+    t.bulk_overwrite(
+        spark.createDataFrame(
+            [(f"u{i}", i, txt) for i, txt in DOCS],
+            "url string, doc_id long, text string",
+        ),
+        epoch=0,
+    )
+    return t
+
+
+def _one_shot(spark, table, tmp_path, tag):
+    return Bm25Index.build(
+        table.read().select("doc_id", "text"), tmp_path / f"oneshot-{tag}",
+        n_buckets=8,
+    )
+
+
+def test_sync_matches_rebuild_across_iud_epochs(spark, tmp_path, queries):
+    """The maintained index is a CDC consumer: after arbitrary
+    insert/update/delete epochs through the REAL merge path, sync()
+    makes probe() row-identical to an index rebuilt one-shot from the
+    table's current state — including delete-then-reinsert and repeated
+    updates of one key — and the global stats stay exact."""
+    from datax_spark.operators.merge import apply_epoch
+
+    t = _mk_table(spark, tmp_path / "t")
+    idx = Bm25Index.build_from_table(
+        t, tmp_path / "idx", n_buckets=8, id_col="doc_id"
+    )
+
+    apply_epoch(
+        t,
+        spark.createDataFrame(
+            [
+                ("u0", 0, DOCS[0][1] + " refreshed crawl section", "U", 10),
+                ("u3", 3, None, "D", 11),
+                ("u8", 8, "fresh spark document about shuffle data", "I", 12),
+            ],
+            EVENT_SCHEMA,
+        ),
+        epoch=1,
+        extract=False,
+    )
+    out = idx.sync(t)
+    assert out["removed"] == 2 and out["added"] == 2  # D + UB, I + UA
+    want = _one_shot(spark, t, tmp_path, "a")
+    assert _rows(idx.probe(queries, k=4)) == _rows(want.probe(queries, k=4))
+    assert idx.meta["n_docs"] == want.meta["n_docs"] == 8
+    assert idx.meta["sum_dl"] == want.meta["sum_dl"]
+
+    # churn again: reinsert a deleted key, delete the fresh one, update
+    # u0 a second time (its first-generation tombstone must not shadow
+    # the second re-add)
+    apply_epoch(
+        t,
+        spark.createDataFrame(
+            [
+                ("u3", 3, "the fox returns with quick brown snacks", "I", 20),
+                ("u8", 8, None, "D", 21),
+                ("u0", 0, "a dog and a fox share lazy afternoons", "U", 22),
+            ],
+            EVENT_SCHEMA,
+        ),
+        epoch=2,
+        extract=False,
+    )
+    assert idx.sync(t)["removed"] == 2
+    want = _one_shot(spark, t, tmp_path, "b")
+    assert _rows(idx.probe(queries, k=4)) == _rows(want.probe(queries, k=4))
+    assert idx.meta["n_docs"] == want.meta["n_docs"]
+    assert idx.meta["sum_dl"] == want.meta["sum_dl"]
+
+    # idempotent no-op when the cursor is current
+    assert idx.sync(t) == {
+        "removed": 0, "added": 0,
+        "from": t.current_version(), "to": t.current_version(),
+    }
+
+
+def test_compact_folds_tombstones(spark, tmp_path, queries):
+    """compact() drops dead generations and clears the tombstone log
+    without changing any probe result; a post-compact sync still
+    works."""
+    from datax_spark.operators.merge import apply_epoch
+
+    t = _mk_table(spark, tmp_path / "t")
+    idx = Bm25Index.build_from_table(
+        t, tmp_path / "idx", n_buckets=8, id_col="doc_id"
+    )
+    apply_epoch(
+        t,
+        spark.createDataFrame(
+            [("u1", 1, "an updated dog document", "U", 10),
+             ("u5", 5, None, "D", 11)],
+            EVENT_SCHEMA,
+        ),
+        epoch=1,
+        extract=False,
+    )
+    idx.sync(t)
+    before = _rows(idx.probe(queries, k=4))
+    idx.compact()
+    assert not (tmp_path / "idx" / "tombstones").exists()
+    assert _rows(idx.probe(queries, k=4)) == before
+    # dead rows physically gone: live count == postings count
+    assert idx.postings(None).count() == idx._live_postings(None).count()
+
+    apply_epoch(
+        t,
+        spark.createDataFrame(
+            [("u2", 2, "executors shuffle quick data", "U", 20)], EVENT_SCHEMA
+        ),
+        epoch=2,
+        extract=False,
+    )
+    idx.sync(t)
+    want = _one_shot(spark, t, tmp_path, "c")
+    assert _rows(idx.probe(queries, k=4)) == _rows(want.probe(queries, k=4))
+
+
+def test_crashed_transaction_is_invisible_and_retry_converges(
+    spark, tmp_path, docs, queries
+):
+    """meta.json is the commit point: a transaction that wrote its
+    segment and tombstones but died before the meta publish changes NO
+    probe result, and re-running the same transaction converges (the
+    retry dynamic-overwrites the orphan segment; replayed tombstones
+    fold idempotently)."""
+    idx = Bm25Index.build(docs, tmp_path / "idx", n_buckets=8)
+    meta_bytes = (tmp_path / "idx" / "meta.json").read_bytes()
+    baseline = _rows(idx.probe(queries, k=4))
+
+    removed = docs.filter(F.col("doc_id") == 0)
+    added = spark.createDataFrame(
+        [(0, "the slow red fox naps"), (9, "brand new quick corpus entry")],
+        "doc_id long, text string",
+    )
+    idx.apply_changes(removed, added)
+
+    # "crash before commit": restore the old meta, reload
+    (tmp_path / "idx" / "meta.json").write_bytes(meta_bytes)
+    crashed = Bm25Index(spark, tmp_path / "idx")
+    assert _rows(crashed.probe(queries, k=4)) == baseline
+
+    # retry the SAME transaction on the crashed index
+    crashed.apply_changes(removed, added)
+    final_docs = docs.filter(F.col("doc_id") != 0).unionByName(added)
+    want = Bm25Index.build(final_docs, tmp_path / "want", n_buckets=8)
+    assert _rows(crashed.probe(queries, k=4)) == _rows(want.probe(queries, k=4))
+    assert crashed.meta["n_docs"] == want.meta["n_docs"]
+    assert crashed.meta["sum_dl"] == want.meta["sum_dl"]
+
+
+def test_sync_requires_matching_table(spark, tmp_path, docs):
+    idx = Bm25Index.build(docs, tmp_path / "idx", n_buckets=8)
+    with pytest.raises(ValueError, match="no cursor"):
+        idx.sync(object())
