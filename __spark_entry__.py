@@ -3365,8 +3365,62 @@ def q_trigram_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         idx.add(docs.where(F.col("doc_id") % 2 == 1))
 
-    root = _ensure_diff_table(spark, sf_dir, "tgidx", _build)
+    root = _ensure_diff_table(spark, sf_dir, "tgidx2", _build)
     return TrigramIndex(spark, root).search(docs, "merge batch")
+
+
+def q_trigram_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-MAINTAINED trigram index: same I/U/D epoch as
+    bm25_index_sync (suffix-updated %7==0 docs, %7==3 deleted, three
+    inserts — one of which matches the pattern), synced from the table
+    changelog, then searched. The oracle is the honest contains-scan
+    over the modified corpus — sync must neither miss the inserted
+    match nor resurrect the deleted ones."""
+    from datax_spark.icetable.table import IceTable
+    from datax_spark.operators.merge import apply_epoch
+    from datax_spark.operators.trigram_index import TrigramIndex
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://doc/"), F.col("doc_id")).alias("url"),
+        "doc_id",
+        "text",
+    )
+
+    def _build(path):
+        tbl = IceTable.create(
+            spark, path / "t", docs.schema, num_partitions=8, key_column="url"
+        )
+        tbl.bulk_overwrite(docs, epoch=0)
+        idx = TrigramIndex.build_from_table(
+            tbl, path / "idx", n_buckets=32, id_col="doc_id"
+        )
+        lsn = F.lit(10_000_000) + F.col("doc_id")
+        upd = docs.filter(F.col("doc_id") % 7 == 0).select(
+            "url", "doc_id",
+            F.concat("text", F.lit(" refreshed retrieval section")).alias("text"),
+            F.lit("U").alias("op"), lsn.alias("lsn"),
+        )
+        dels = docs.filter(F.col("doc_id") % 7 == 3).select(
+            "url", "doc_id", F.lit(None).cast("string").alias("text"),
+            F.lit("D").alias("op"), lsn.alias("lsn"),
+        )
+        ins = spark.createDataFrame(
+            [
+                ("https://doc/-1", -1, "a fresh merge batch arrival", "I", 20_000_001),
+                ("https://doc/-2", -2, "fast hash join probe build", "I", 20_000_002),
+                ("https://doc/-3", -3, "slow scan filter vector pipeline", "I", 20_000_003),
+            ],
+            "url string, doc_id long, text string, op string, lsn long",
+        )
+        apply_epoch(tbl, upd.unionByName(dels).unionByName(ins), epoch=1,
+                    extract=False)
+        idx.sync(tbl)
+
+    root = _ensure_diff_table(spark, sf_dir, "tgsync", _build)
+    tbl = IceTable.load(spark, root / "t")
+    return TrigramIndex(spark, root / "idx").search(
+        tbl.read().select("doc_id", "text"), "merge batch"
+    )
 
 
 def q_masked_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3518,6 +3572,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "masked_documents": q_masked_documents,
     "trigram_like_search": q_trigram_like_search,
     "trigram_index_search": q_trigram_index_search,
+    "trigram_index_sync": q_trigram_index_sync,
     "corpus_report": q_corpus_report,
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,
@@ -6321,6 +6376,20 @@ ORACLES["trigram_like_search"] = """
 SELECT doc_id FROM documents WHERE contains(lower(text), 'merge batch')"""
 
 ORACLES["trigram_index_search"] = ORACLES["trigram_like_search"]
+
+ORACLES["trigram_index_sync"] = """
+WITH docs2(doc_id, text) AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' refreshed retrieval section'
+              ELSE text END
+  FROM documents WHERE doc_id % 7 <> 3
+  UNION ALL
+  SELECT * FROM (VALUES (CAST(-1 AS BIGINT), 'a fresh merge batch arrival'),
+                        (-2, 'fast hash join probe build'),
+                        (-3, 'slow scan filter vector pipeline'))
+)
+SELECT doc_id FROM docs2 WHERE contains(lower(text), 'merge batch')"""
 
 ORACLES["masked_documents"] = """
 SELECT doc_id,

@@ -56,18 +56,24 @@ def pattern_grams(pattern: str) -> list[str]:
 
 class TrigramIndex:
     """Persisted trigram index — same artifact pattern as Bm25Index
-    (operators/text_index.py): postings laid out as parquet partitioned
-    by ``bucket = pmod(xxhash64(gram), B)``, so a query reads ONLY its
-    pattern's grams' buckets (partition-pruned scan, cost tracks the
-    pattern, not the corpus). ``add(new_docs)`` appends fresh ids —
-    gram postings are purely additive, so search(after adds) ≡ search
-    of a one-shot build over the union (differential-tested). Updates/
-    deletes: rebuild, same contract as the BM25/IVF artifacts.
+    (operators/text_index.py v2): postings laid out as parquet
+    partitioned by ``(bucket = pmod(xxhash64(gram), B), seg)``, so a
+    query reads ONLY its pattern's grams' buckets (partition-pruned
+    scan, cost tracks the pattern, not the corpus), and the index is a
+    CDC CONSUMER — ``sync(table)`` tombstones changed/deleted docs'
+    postings and writes the changed docs into one fresh segment, so
+    maintenance cost scales with churn, not corpus. Candidate sets
+    after sync equal a one-shot rebuild (differential-tested); even
+    stale postings could never produce a wrong RESULT (the mandatory
+    contains-verify runs against the live corpus), tombstones keep the
+    PRUNING sharp and the artifact bounded on a churning corpus.
 
-    ``meta.json`` is written last — a crashed build leaves no loadable
-    index."""
+    Crash safety mirrors Bm25Index: meta.json (atomic rename) is the
+    commit point; an unpublished transaction's segment and tombstones
+    sit at >= next_seg and are invisible; the retry dynamic-overwrites
+    its own segment and re-appends tombstones idempotently."""
 
-    FORMAT = "trigram-postings-v1"
+    FORMAT = "trigram-postings-v2"
 
     def __init__(self, spark, root):
         import json
@@ -80,7 +86,10 @@ class TrigramIndex:
             raise FileNotFoundError(f"no trigram index at {self.root}")
         self.meta = json.loads(meta_path.read_text())
         if self.meta.get("format") != self.FORMAT:
-            raise ValueError(f"unknown index format {self.meta.get('format')!r}")
+            raise ValueError(
+                f"unknown index format {self.meta.get('format')!r} — "
+                f"pre-v2 (unsegmented) indexes must be rebuilt"
+            )
 
     @staticmethod
     def build(
@@ -89,42 +98,182 @@ class TrigramIndex:
         n_buckets: int = 64,
         id_col: str = "doc_id",
         text_col: str = "text",
+        source: dict | None = None,
     ) -> "TrigramIndex":
-        import json
         from pathlib import Path
+
+        from datax_spark.operators.text_index import _write_meta
 
         root = Path(root)
         rows = trigram_postings(docs, id_col, text_col).withColumn(
             "bucket", F.pmod(F.xxhash64("gram"), F.lit(n_buckets))
         )
-        rows.write.mode("overwrite").partitionBy("bucket").parquet(
-            str(root / "postings")
-        )
-        (root / "meta.json").write_text(
-            json.dumps(
-                {
-                    "format": TrigramIndex.FORMAT,
-                    "n_buckets": n_buckets,
-                    "id_col": id_col,
-                    "text_col": text_col,
-                },
-                indent=2,
-            )
-        )
+        rows.withColumn("seg", F.lit(0)).write.mode("overwrite").partitionBy(
+            "bucket", "seg"
+        ).parquet(str(root / "postings"))
+        meta = {
+            "format": TrigramIndex.FORMAT,
+            "n_buckets": n_buckets,
+            "id_col": id_col,
+            "text_col": text_col,
+            "next_seg": 1,
+        }
+        if source:
+            meta["source"] = source
+        _write_meta(root, meta)
         return TrigramIndex(docs.sparkSession, root)
+
+    @staticmethod
+    def build_from_table(
+        table, root, n_buckets: int = 64, id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> "TrigramIndex":
+        """Build from an IceTable's current state with a version cursor
+        for ``sync`` — the Bm25Index.build_from_table contract."""
+        v = table.current_version()
+        return TrigramIndex.build(
+            table.read(v).select(id_col, text_col),
+            root,
+            n_buckets=n_buckets,
+            id_col=id_col,
+            text_col=text_col,
+            source={"path": str(table.root), "version": v},
+        )
 
     def add(self, new_docs: DataFrame) -> None:
         """Append postings for NEW document ids (a re-added id would
-        duplicate its postings; the count-based AND-intersection then
-        over-counts — ids must be fresh, like Bm25Index.add)."""
-        rows = trigram_postings(
-            new_docs, self.meta["id_col"], self.meta["text_col"]
-        ).withColumn(
-            "bucket", F.pmod(F.xxhash64("gram"), F.lit(self.meta["n_buckets"]))
+        duplicate its postings and blunt the AND-intersection pruning —
+        ids must be fresh, like Bm25Index.add). Updates/deletes go
+        through apply_changes/sync."""
+        self.apply_changes(None, new_docs)
+
+    def apply_changes(
+        self,
+        removed_ids: DataFrame | None,
+        added_docs: DataFrame | None,
+        meta_extra: dict | None = None,
+    ) -> dict:
+        """One maintenance transaction: tombstone ``removed_ids``
+        (id column only — trigram postings carry no corpus-global
+        stats, so removal needs no pre-image text) and post
+        ``added_docs`` under one fresh segment. An updated doc appears
+        on both sides."""
+        from datax_spark.operators.text_index import _write_meta
+
+        id_col = self.meta["id_col"]
+        seg = int(self.meta.get("next_seg", 1))
+        n_rm = 0
+        if removed_ids is not None:
+            # postings alias the id to "doc_id" (trigram_postings);
+            # tombstones match that, whatever the corpus id column is
+            tomb = removed_ids.select(
+                F.col(id_col).alias("doc_id"), F.lit(seg).alias("before_seg")
+            )
+            n_rm = tomb.count()
+            if n_rm:
+                tomb.write.mode("append").parquet(str(self.root / "tombstones"))
+        n_add = 0
+        if added_docs is not None:
+            rows = trigram_postings(
+                added_docs, id_col, self.meta["text_col"]
+            ).withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("gram"), F.lit(self.meta["n_buckets"])),
+            )
+            (
+                rows.withColumn("seg", F.lit(seg))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket", "seg")
+                .parquet(str(self.root / "postings"))
+            )
+            n_add = added_docs.count()
+        self.meta["next_seg"] = seg + 1
+        if meta_extra:
+            self.meta.update(meta_extra)
+        _write_meta(self.root, self.meta)
+        return {"removed": n_rm, "added": n_add, "seg": seg}
+
+    def sync(self, table, to_version: int | None = None) -> dict:
+        """Advance the index to the table state at ``to_version`` from
+        the changelog since the stored cursor — cost scales with the
+        changed documents. search(synced) ≡ search(one-shot rebuild)."""
+        src = self.meta.get("source")
+        if not src:
+            raise ValueError(
+                "index was not built with build_from_table — no cursor"
+            )
+        if str(table.root) != src["path"]:
+            raise ValueError(
+                f"index tracks {src['path']}, got table at {table.root}"
+            )
+        id_col, text_col = self.meta["id_col"], self.meta["text_col"]
+        frm = int(src["version"])
+        to = table.current_version() if to_version is None else int(to_version)
+        if to < frm:
+            raise ValueError(f"cursor at v{frm} is past requested v{to}")
+        if to == frm:
+            return {"removed": 0, "added": 0, "from": frm, "to": to}
+        ch = table.read_changes(frm, to, pre_images=True).select(
+            "_op", id_col, text_col
         )
-        rows.write.mode("append").partitionBy("bucket").parquet(
-            str(self.root / "postings")
+        out = self.apply_changes(
+            ch.filter(F.col("_op").isin("D", "UB")).select(id_col),
+            ch.filter(F.col("_op").isin("I", "UA")).drop("_op"),
+            meta_extra={"source": {**src, "version": to}},
         )
+        return {**out, "from": frm, "to": to}
+
+    def compact(self) -> None:
+        """Fold tombstones into the postings (rewrite live rows only,
+        original seg values kept) and clear the tombstone log."""
+        import os
+        import shutil
+        import uuid
+
+        live = self._live_postings(None)
+        tmp = self.root / f".postings-{uuid.uuid4().hex}"
+        live.select("gram", "doc_id", "bucket", "seg").write.mode(
+            "overwrite"
+        ).partitionBy("bucket", "seg").parquet(str(tmp))
+        old = self.root / f".postings-old-{uuid.uuid4().hex}"
+        os.rename(self.root / "postings", old)
+        os.rename(tmp, self.root / "postings")
+        shutil.rmtree(self.root / "tombstones", ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def _tombstones(self) -> DataFrame | None:
+        """Aggregated kill map gated on next_seg (committed transactions
+        only) — the Bm25Index._tombstones contract."""
+        tdir = self.root / "tombstones"
+        if not tdir.exists():
+            return None
+        return (
+            self.spark.read.parquet(str(tdir))
+            .filter(
+                F.col("before_seg") < F.lit(int(self.meta.get("next_seg", 1)))
+            )
+            .groupBy("doc_id")
+            .agg(F.max("before_seg").alias("before_seg"))
+        )
+
+    def _live_postings(self, buckets: list[int] | None) -> DataFrame:
+        df = self.spark.read.parquet(str(self.root / "postings")).filter(
+            F.col("seg") < F.lit(int(self.meta.get("next_seg", 1)))
+        )
+        if buckets is not None:
+            df = df.filter(F.col("bucket").isin(buckets))
+        tomb = self._tombstones()
+        if tomb is not None:
+            df = (
+                df.join(tomb, "doc_id", "left")
+                .filter(
+                    F.col("before_seg").isNull()
+                    | (F.col("seg") >= F.col("before_seg"))
+                )
+                .drop("before_seg")
+            )
+        return df
 
     def search(self, docs: DataFrame, pattern: str) -> DataFrame:
         """doc_ids of ``docs`` matching ``pattern``, candidates from the
@@ -146,9 +295,7 @@ class TrigramIndex:
                 ).collect()
             }
         )
-        post = spark.read.parquet(str(self.root / "postings")).filter(
-            F.col("bucket").isin(buckets)
-        )
+        post = self._live_postings(buckets)
         cands = (
             post.join(F.broadcast(g), "gram")
             .select("doc_id", "gram")

@@ -88,3 +88,90 @@ def test_persisted_index_matches_scan_and_adds_compose(spark, tmp_path):
 
     with _p.raises(FileNotFoundError):
         TrigramIndex(spark, tmp_path / "nope")
+
+
+def test_sync_matches_rebuild_and_compact(spark, tmp_path):
+    """The persisted trigram index is a CDC consumer: after I/U/D
+    epochs through the real merge path, sync() makes search() —
+    AND its candidate pruning — equal a one-shot rebuild on the
+    table's current state; compact() folds the tombstones without
+    changing results."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from datax_spark.icetable.table import IceTable
+    from datax_spark.operators.merge import apply_epoch
+    from datax_spark.operators.trigram_index import TrigramIndex
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    t = IceTable.create(
+        spark, tmp_path / "t", schema, num_partitions=2, key_column="url"
+    )
+    t.bulk_overwrite(
+        spark.createDataFrame(
+            [(f"u{i}", i, txt) for i, txt in [
+                (1, "Merge Batch value table"),
+                (2, "the batch merges rows"),
+                (3, "no match here at all"),
+                (4, "MERGE BATCH upper case"),
+            ]],
+            schema,
+        ),
+        epoch=0,
+    )
+    idx = TrigramIndex.build_from_table(
+        t, tmp_path / "idx", n_buckets=8, id_col="doc_id"
+    )
+    # update doc 1 so it STOPS matching, delete doc 4 (matched), insert
+    # doc 8 that matches
+    apply_epoch(
+        t,
+        spark.createDataFrame(
+            [
+                ("u1", 1, "now entirely different words", "U", 10),
+                ("u4", 4, None, "D", 11),
+                ("u8", 8, "fresh merge batch arrival", "I", 12),
+            ],
+            "url string, doc_id long, text string, op string, lsn long",
+        ),
+        epoch=1,
+        extract=False,
+    )
+    out = idx.sync(t)
+    assert out["removed"] == 2 and out["added"] == 2
+    docs = t.read().select("doc_id", "text")
+    assert _ids(idx.search(docs, "merge batch")) == [8]
+
+    # candidate-level equivalence with a one-shot rebuild: the updated
+    # doc's OLD grams must not make it a candidate
+    want = TrigramIndex.build(docs, tmp_path / "want", n_buckets=8)
+    from datax_spark.operators.trigram_index import pattern_grams as pg
+
+    def _cands(i, pat):
+        g = spark.createDataFrame([(x,) for x in pg(pat)], "gram string")
+        return sorted(
+            r["doc_id"]
+            for r in i._live_postings(None)
+            .join(F.broadcast(g), "gram")
+            .select("doc_id", "gram")
+            .distinct()
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") == len(pg(pat)))
+            .collect()
+        )
+
+    assert _cands(idx, "merge batch") == _cands(want, "merge batch")
+
+    before = _ids(idx.search(docs, "merge batch"))
+    idx.compact()
+    assert not (tmp_path / "idx" / "tombstones").exists()
+    assert _ids(idx.search(docs, "merge batch")) == before
+    # cursor no-op
+    assert idx.sync(t)["added"] == 0
