@@ -48,7 +48,7 @@ from datax_spark.operators.similarity import (
     train_kmeans_cells,
 )
 
-FORMAT = "ivf-index/1"
+FORMAT = "ivf-index/2"
 
 
 class IvfIndex:
@@ -91,6 +91,7 @@ class IvfIndex:
         pq_m: int | None = None,
         pq_codes: int = 8,
         pq_dim: int | None = None,
+        source: dict | None = None,
     ) -> "IvfIndex":
         """Train + tag + persist. The meta.json write is last (publish
         point): a crashed build leaves no loadable index. ``pq_m`` turns
@@ -113,31 +114,63 @@ class IvfIndex:
             cb.write.mode("overwrite").parquet(str(root / "pq_codebook"))
             codes = pq_encode(corpus, cb, pq_m, pq_dim, id_col, vec_col)
             tagged = tagged.join(codes, id_col)
-        tagged.write.mode("overwrite").partitionBy("cell").parquet(
-            str(root / "corpus")
-        )
+        tagged.withColumn("seg", F.lit(0)).write.mode("overwrite").partitionBy(
+            "cell", "seg"
+        ).parquet(str(root / "corpus"))
         tagged_back = spark.read.parquet(str(root / "corpus"))
         cents = cell_centroids(tagged_back, "cell", vec_col)
         cents.coalesce(1).write.mode("overwrite").parquet(str(root / "centroids"))
         n_rows = tagged_back.count()
-        (root / "meta.json").write_text(
-            json.dumps(
-                {
-                    "format": FORMAT,
-                    "n_cells": n_cells,
-                    "n_iter": n_iter,
-                    "train_fraction": train_fraction,
-                    "id_col": id_col,
-                    "vec_col": vec_col,
-                    "rows": n_rows,
-                    "pq": None if pq_m is None else {
-                        "m": pq_m, "k_codes": pq_codes, "dim": pq_dim,
-                    },
-                },
-                indent=2,
-            )
-        )
+        from datax_spark.operators.text_index import _write_meta
+
+        meta = {
+            "format": FORMAT,
+            "n_cells": n_cells,
+            "n_iter": n_iter,
+            "train_fraction": train_fraction,
+            "id_col": id_col,
+            "vec_col": vec_col,
+            "rows": n_rows,
+            "next_seg": 1,
+            "pq": None if pq_m is None else {
+                "m": pq_m, "k_codes": pq_codes, "dim": pq_dim,
+            },
+        }
+        if source:
+            meta["source"] = source
+        _write_meta(root, meta)
         return IvfIndex(spark, root)
+
+    @staticmethod
+    def build_from_table(
+        table,
+        root: str | Path,
+        n_cells: int = 8,
+        n_iter: int = 2,
+        train_fraction: float = 1.0,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        pq_m: int | None = None,
+        pq_codes: int = 8,
+        pq_dim: int | None = None,
+    ) -> "IvfIndex":
+        """Build from an IceTable's current state with a version cursor
+        for ``sync`` — the Bm25Index.build_from_table contract, for
+        vector corpora under CDC (embedding upserts/deletes)."""
+        v = table.current_version()
+        return IvfIndex.build(
+            table.read(v).select(id_col, vec_col),
+            root,
+            n_cells=n_cells,
+            n_iter=n_iter,
+            train_fraction=train_fraction,
+            id_col=id_col,
+            vec_col=vec_col,
+            pq_m=pq_m,
+            pq_codes=pq_codes,
+            pq_dim=pq_dim,
+            source={"path": str(table.root), "version": v},
+        )
 
     def add(self, new_vectors: DataFrame) -> int:
         """Incremental index growth: assign new vectors to their nearest
@@ -146,45 +179,133 @@ class IvfIndex:
         valid) and append them to exactly their cells' partition
         directories. Returns the number of rows added. Rebuild when
         drift makes frozen cells unbalanced — the meta row count vs
-        build-time count is the drift signal."""
-        id_col, vec_col = self.meta["id_col"], self.meta["vec_col"]
-        cents = F.broadcast(
-            self.centroids().select("cell", "centroid")
-        )
-        aw = Window.partitionBy(id_col).orderBy(
-            F.round(F.col("ccs"), 6).desc(), F.col("cell").asc()
-        )
-        tagged = (
-            new_vectors.select(
-                F.col(id_col), _as_double(F.col(vec_col)).alias(vec_col)
-            )
-            .crossJoin(cents)
-            .select(
-                id_col, vec_col, "cell",
-                cosine(F.col(vec_col), F.col("centroid")).alias("ccs"),
-            )
-            .withColumn("rn", F.row_number().over(aw))
-            .filter(F.col("rn") == 1)
-            .select(id_col, vec_col, "cell")
-        )
-        if self.meta.get("pq"):
-            from datax_spark.operators.pq import pq_encode
+        build-time count is the drift signal. Updates/deletes go
+        through apply_changes/sync."""
+        return self.apply_changes(None, new_vectors)["added"]
 
-            pq = self.meta["pq"]
-            codes = pq_encode(
-                new_vectors, F.broadcast(self.pq_codebook()),
-                pq["m"], pq["dim"], id_col, vec_col,
+    def apply_changes(
+        self,
+        removed_ids: DataFrame | None,
+        added_vectors: DataFrame | None,
+        meta_extra: dict | None = None,
+    ) -> dict:
+        """One maintenance transaction, the Bm25Index contract: dead
+        vectors tombstoned by id (their cell need not be known — the
+        probe-side join is on id), changed/new vectors assigned to the
+        FROZEN centroids (and PQ-encoded with the frozen codebooks) in
+        one fresh segment. meta.json (atomic rename) is the commit
+        point; a crashed transaction's segment+tombstones sit at
+        >= next_seg and are invisible until the retry commits."""
+        from datax_spark.operators.text_index import _write_meta
+
+        id_col, vec_col = self.meta["id_col"], self.meta["vec_col"]
+        seg = int(self.meta.get("next_seg", 1))
+        n_rm = 0
+        if removed_ids is not None:
+            tomb = removed_ids.select(
+                F.col(id_col), F.lit(seg).alias("before_seg")
             )
-            tagged = tagged.join(codes, id_col)
-        tagged = tagged.persist()  # count + write: one assignment job, not two
-        n = tagged.count()
-        tagged.write.mode("append").partitionBy("cell").parquet(
-            str(self.root / "corpus")
+            n_rm = tomb.count()
+            if n_rm:
+                tomb.write.mode("append").parquet(str(self.root / "tombstones"))
+        n_add = 0
+        if added_vectors is not None:
+            cents = F.broadcast(self.centroids().select("cell", "centroid"))
+            aw = Window.partitionBy(id_col).orderBy(
+                F.round(F.col("ccs"), 6).desc(), F.col("cell").asc()
+            )
+            tagged = (
+                added_vectors.select(
+                    F.col(id_col), _as_double(F.col(vec_col)).alias(vec_col)
+                )
+                .crossJoin(cents)
+                .select(
+                    id_col, vec_col, "cell",
+                    cosine(F.col(vec_col), F.col("centroid")).alias("ccs"),
+                )
+                .withColumn("rn", F.row_number().over(aw))
+                .filter(F.col("rn") == 1)
+                .select(id_col, vec_col, "cell")
+            )
+            if self.meta.get("pq"):
+                from datax_spark.operators.pq import pq_encode
+
+                pq = self.meta["pq"]
+                codes = pq_encode(
+                    added_vectors, F.broadcast(self.pq_codebook()),
+                    pq["m"], pq["dim"], id_col, vec_col,
+                )
+                tagged = tagged.join(codes, id_col)
+            # count + write: one assignment job, not two
+            tagged = tagged.persist()
+            n_add = tagged.count()
+            (
+                tagged.withColumn("seg", F.lit(seg))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("cell", "seg")
+                .parquet(str(self.root / "corpus"))
+            )
+            tagged.unpersist()
+        self.meta["rows"] = int(self.meta["rows"]) - n_rm + n_add
+        self.meta["next_seg"] = seg + 1
+        if meta_extra:
+            self.meta.update(meta_extra)
+        _write_meta(self.root, self.meta)
+        return {"removed": n_rm, "added": n_add, "seg": seg}
+
+    def sync(self, table, to_version: int | None = None) -> dict:
+        """Advance the index to the vector table's state at
+        ``to_version`` from the changelog since the stored cursor —
+        maintenance cost scales with the changed vectors, not the
+        corpus. probe(synced) ≡ probe(one-shot rebuild with the same
+        frozen quantizer) is differential-tested; note the QUANTIZER
+        stays the build-time one (standard IVF), so heavy drift still
+        warrants a rebuild."""
+        src = self.meta.get("source")
+        if not src:
+            raise ValueError(
+                "index was not built with build_from_table — no cursor"
+            )
+        if str(table.root) != src["path"]:
+            raise ValueError(
+                f"index tracks {src['path']}, got table at {table.root}"
+            )
+        id_col, vec_col = self.meta["id_col"], self.meta["vec_col"]
+        frm = int(src["version"])
+        to = table.current_version() if to_version is None else int(to_version)
+        if to < frm:
+            raise ValueError(f"cursor at v{frm} is past requested v{to}")
+        if to == frm:
+            return {"removed": 0, "added": 0, "from": frm, "to": to}
+        ch = table.read_changes(frm, to, pre_images=True).select(
+            "_op", id_col, vec_col
         )
-        tagged.unpersist()
-        self.meta["rows"] = int(self.meta["rows"]) + n
-        (self.root / "meta.json").write_text(json.dumps(self.meta, indent=2))
-        return n
+        out = self.apply_changes(
+            ch.filter(F.col("_op").isin("D", "UB")).select(id_col),
+            ch.filter(F.col("_op").isin("I", "UA")).drop("_op"),
+            meta_extra={"source": {**src, "version": to}},
+        )
+        return {**out, "from": frm, "to": to}
+
+    def compact(self) -> None:
+        """Fold tombstones into the cell lists (rewrite live rows only,
+        original seg values kept so stale tombstones can never kill a
+        survivor) and clear the tombstone log."""
+        import os
+        import shutil
+        import uuid
+
+        live = self._live_corpus(None)
+        tmp = self.root / f".corpus-{uuid.uuid4().hex}"
+        live.write.mode("overwrite").partitionBy("cell", "seg").parquet(
+            str(tmp)
+        )
+        old = self.root / f".corpus-old-{uuid.uuid4().hex}"
+        os.rename(self.root / "corpus", old)
+        os.rename(tmp, self.root / "corpus")
+        shutil.rmtree(self.root / "tombstones", ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
 
     # ---------------- read side ---------------- #
     def centroids(self) -> DataFrame:
@@ -201,6 +322,42 @@ class IvfIndex:
             # partition filter on the Hive layout: only cell=<c> dirs
             # are listed/scanned
             df = df.filter(F.col("cell").isin([int(c) for c in cells]))
+        return df
+
+    def _tombstones(self) -> DataFrame | None:
+        """Aggregated kill map gated on next_seg (committed transactions
+        only) — the Bm25Index._tombstones contract."""
+        tdir = self.root / "tombstones"
+        if not tdir.exists():
+            return None
+        return (
+            self.spark.read.parquet(str(tdir))
+            .filter(
+                F.col("before_seg") < F.lit(int(self.meta.get("next_seg", 1)))
+            )
+            .groupBy(self.meta["id_col"])
+            .agg(F.max("before_seg").alias("before_seg"))
+        )
+
+    def _live_corpus(self, cells: list[int] | None) -> DataFrame:
+        """Corpus minus dead generations: committed segments only (the
+        seg < next_seg predicate is ALSO a partition filter, so a
+        crashed transaction's orphan segment dirs aren't even listed),
+        then the tombstone join keeps a vector's rows only at or past
+        its latest re-add."""
+        df = self.corpus(cells).filter(
+            F.col("seg") < F.lit(int(self.meta.get("next_seg", 1)))
+        )
+        tomb = self._tombstones()
+        if tomb is not None:
+            df = (
+                df.join(tomb, self.meta["id_col"], "left")
+                .filter(
+                    F.col("before_seg").isNull()
+                    | (F.col("seg") >= F.col("before_seg"))
+                )
+                .drop("before_seg")
+            )
         return df
 
     def probe(
@@ -238,7 +395,7 @@ class IvfIndex:
         probed = sorted(
             r["probe_cell"] for r in assign.select("probe_cell").distinct().collect()
         )
-        c = self.corpus(cells=probed).select(
+        c = self._live_corpus(cells=probed).select(
             F.col("cell").alias("probe_cell"),
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("cv"),
@@ -311,7 +468,7 @@ class IvfIndex:
             queries, F.broadcast(self.pq_codebook()), m, pq["dim"], id_col, vec_col
         )
         # codes-only scan of the probed cells: vec_col stays unread
-        coded = self.corpus(cells=probed).select(
+        coded = self._live_corpus(cells=probed).select(
             F.col("cell").alias("probe_cell"),
             F.col(id_col).alias("neighbor_id"),
             F.posexplode("codes").alias("sub", "code"),
@@ -330,7 +487,7 @@ class IvfIndex:
         if rerank < k:
             raise ValueError(f"rerank={rerank} must be >= k={k}")
         shortlist = adc_rank(joined, m, rerank).select("query_id", "neighbor_id")
-        floats = self.corpus(cells=probed).select(
+        floats = self._live_corpus(cells=probed).select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
         )
         rw = Window.partitionBy("query_id").orderBy(

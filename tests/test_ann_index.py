@@ -80,3 +80,87 @@ def test_incremental_add_probes_find_new_vectors(spark, emb, tmp_path):
     )
     top = idx.probe(q, k=1, n_probe=2).first()
     assert top["neighbor_id"] == 3 and top["cos_sim"] >= 0.9999
+
+
+# ---------- CDC-maintained index (v2: segments + tombstones) ---------- #
+
+
+def test_sync_matches_bruteforce_and_compact(spark, tmp_path):
+    """The IVF index is a CDC consumer: after I/U/D epochs on the
+    vector table through the real merge path, sync() keeps the index at
+    the table state — probed with n_probe=n_cells (every cell scanned,
+    so the frozen quantizer cannot mask a stale row) the result equals
+    exact brute force over the CURRENT table. compact() folds the
+    tombstones without changing results."""
+    from pyspark.sql import types as T
+
+    from datax_spark.icetable.table import IceTable
+    from datax_spark.operators.merge import apply_epoch
+    from datax_spark.operators.similarity import bruteforce_topk
+
+    dim = 4
+    base = [
+        (i, [float((i * 7 + j * 3) % 11 - 5) for j in range(dim)])
+        for i in range(20)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    t = IceTable.create(
+        spark, tmp_path / "t", schema, num_partitions=2, key_column="url"
+    )
+    t.bulk_overwrite(
+        spark.createDataFrame([(f"u{i}", i, v) for i, v in base], schema),
+        epoch=0,
+    )
+    idx = IvfIndex.build_from_table(t, tmp_path / "idx", n_cells=2, n_iter=2)
+
+    # update vec 0 (negate — cosine-visible), delete vec 3, insert 21
+    apply_epoch(
+        t,
+        spark.createDataFrame(
+            [
+                ("u0", 0, [-x for x in base[0][1]], "U", 10),
+                ("u3", 3, None, "D", 11),
+                ("u21", 21, [1.0, -2.0, 3.0, -4.0], "I", 12),
+            ],
+            "url string, vec_id long, embedding array<double>, op string, lsn long",
+        ),
+        epoch=1,
+        extract=False,
+    )
+    out = idx.sync(t)
+    assert out["removed"] == 2 and out["added"] == 2
+    assert idx.meta["rows"] == 20  # 20 - 1 del - 1 upd + 1 upd + 1 ins
+
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0, -1.0, 2.0]), (101, [0.5, 2.0, 0.0, -1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = idx.probe(queries, k=5, n_probe=2).select(
+        "query_id", "neighbor_id", "cos_sim", "rank"
+    )
+    want = bruteforce_topk(t.read().select("vec_id", "embedding"), queries, k=5)
+    gr = sorted(map(tuple, got.collect()))
+    wr = sorted(map(tuple, want.collect()))
+    assert gr == wr and len(gr) == 10
+
+    # the deleted and pre-update generations are really invisible
+    live_ids = {r["vec_id"] for r in idx._live_corpus(None).collect()}
+    assert 3 not in live_ids and 21 in live_ids and len(live_ids) == 20
+
+    idx.compact()
+    assert not (tmp_path / "idx" / "tombstones").exists()
+    got2 = idx.probe(queries, k=5, n_probe=2).select(
+        "query_id", "neighbor_id", "cos_sim", "rank"
+    )
+    assert sorted(map(tuple, got2.collect())) == wr
+    # physical fold: corpus now holds exactly the live rows
+    assert idx.corpus(None).count() == 20
+
+    # cursor no-op
+    assert idx.sync(t)["added"] == 0
