@@ -1094,49 +1094,76 @@ def _run_batch_job_body(
     reader = spec["reader"]
     cursor = None  # (source table, tag name, version to pin on success)
     df = None
-    if (spec.get("writer") or {}).get("type") == "bm25_index":
-        # CDC-maintained inverted-index artifact as a re-runnable job:
-        # the first run builds from the source table's current state
-        # and records a version cursor in the index meta; every re-run
-        # consumes ONLY the table changelog since that cursor
-        # (operators/text_index.sync — tombstone dead generations,
-        # one fresh postings segment for the changed docs). The reader
-        # must be the icetable itself: the cursor is a version against
-        # that table's history, so a transformed/projected feed would
-        # desynchronize index and cursor.
+    _INDEX_WRITERS = {"bm25_index", "trigram_index", "ivf_index"}
+    if (spec.get("writer") or {}).get("type") in _INDEX_WRITERS:
+        # CDC-maintained index artifacts as re-runnable jobs: the first
+        # run builds from the source table's current state and records
+        # a version cursor in the index meta; every re-run consumes
+        # ONLY the table changelog since that cursor (sync — tombstone
+        # dead generations, one fresh segment for the changed docs).
+        # The reader must be the icetable itself: the cursor is a
+        # version against that table's history, so a transformed/
+        # projected feed would desynchronize index and cursor.
         from datax_spark.icetable.table import IceTable
-        from datax_spark.operators.text_index import Bm25Index
 
         writer = _resolve_catalog_path(spark, spec["writer"])
+        wtype = writer["type"]
         rd = _resolve_catalog_path(spark, reader)
         if rd.get("type") != "icetable" or "path" not in rd:
             raise ValueError(
-                "bm25_index writer requires reader.type icetable with a "
-                "path — the sync cursor is a version of that table"
+                f"{wtype} writer requires reader.type icetable with a "
+                f"path — the sync cursor is a version of that table"
             )
         if spec.get("transforms"):
             raise ValueError(
-                "bm25_index writer does not accept transforms: the index "
-                "must mirror the table state its cursor names"
+                f"{wtype} writer does not accept transforms: the index "
+                f"must mirror the table state its cursor names"
             )
         tbl = IceTable.load(spark, rd["path"])
         root = Path(writer["path"])
-        if (root / "meta.json").exists():
-            out = Bm25Index(spark, root).sync(
-                tbl, to_version=rd.get("toVersion")
-            )
-            action = "sync"
-        else:
-            idx = Bm25Index.build_from_table(
-                tbl,
-                root,
+        if wtype == "bm25_index":
+            from datax_spark.operators.text_index import Bm25Index as IndexCls
+
+            build_kwargs = dict(
                 n_buckets=int(writer.get("numBuckets", 64)),
                 id_col=writer.get("idColumn", "doc_id"),
                 text_col=writer.get("textColumn", "text"),
             )
+        elif wtype == "trigram_index":
+            from datax_spark.operators.trigram_index import (
+                TrigramIndex as IndexCls,
+            )
+
+            build_kwargs = dict(
+                n_buckets=int(writer.get("numBuckets", 64)),
+                id_col=writer.get("idColumn", "doc_id"),
+                text_col=writer.get("textColumn", "text"),
+            )
+        else:
+            from datax_spark.operators.ann_index import IvfIndex as IndexCls
+
+            build_kwargs = dict(
+                n_cells=int(writer.get("numCells", 8)),
+                n_iter=int(writer.get("numIter", 2)),
+                id_col=writer.get("idColumn", "vec_id"),
+                vec_col=writer.get("vecColumn", "embedding"),
+            )
+            if writer.get("pqM") is not None:
+                build_kwargs.update(
+                    pq_m=int(writer["pqM"]),
+                    pq_codes=int(writer.get("pqCodes", 8)),
+                    pq_dim=int(writer["pqDim"]),
+                )
+        if (root / "meta.json").exists():
+            out = IndexCls(spark, root).sync(
+                tbl, to_version=rd.get("toVersion")
+            )
+            action = "sync"
+        else:
+            idx = IndexCls.build_from_table(tbl, root, **build_kwargs)
             out = {
                 "removed": 0,
-                "added": int(idx.meta["n_docs"]),
+                "added": int(idx.meta.get("n_docs", idx.meta.get("rows", 0))),
                 "from": 0,
                 "to": int(idx.meta["source"]["version"]),
             }

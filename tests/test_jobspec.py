@@ -691,3 +691,69 @@ def test_bm25_index_writer_builds_then_syncs(spark, tmp_path):
 
     with pytest.raises(ValueError, match="transforms"):
         run_batch_job(spark, {**spec, "transforms": [{"type": "dx_filter"}]})
+
+
+def test_trigram_and_ivf_index_writers(spark, tmp_path):
+    """The other two maintained artifacts share the job surface:
+    build on first run, changelog-sync on re-run."""
+    from pyspark.sql import types as T
+
+    from datax_spark.icetable.table import IceTable
+    from datax_spark.operators.ann_index import IvfIndex
+    from datax_spark.operators.merge import apply_epoch
+    from datax_spark.operators.trigram_index import TrigramIndex
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    t = IceTable.create(
+        spark, tmp_path / "t", schema, num_partitions=2, key_column="url"
+    )
+    t.bulk_overwrite(
+        spark.createDataFrame(
+            [
+                ("u0", 0, "merge batch alpha", [1.0, 0.0]),
+                ("u1", 1, "nothing here", [0.0, 1.0]),
+                ("u2", 2, "merge batch beta", [1.0, 1.0]),
+            ],
+            schema,
+        ),
+        epoch=0,
+    )
+    tg_spec = {
+        "reader": {"type": "icetable", "path": str(tmp_path / "t")},
+        "writer": {"type": "trigram_index", "path": str(tmp_path / "tg"),
+                   "numBuckets": 8},
+    }
+    ivf_spec = {
+        "reader": {"type": "icetable", "path": str(tmp_path / "t")},
+        "writer": {"type": "ivf_index", "path": str(tmp_path / "ivf"),
+                   "numCells": 2, "idColumn": "doc_id"},
+    }
+    assert run_batch_job(spark, tg_spec).collect()[0]["action"] == "build"
+    assert run_batch_job(spark, ivf_spec).collect()[0]["action"] == "build"
+
+    apply_epoch(
+        t,
+        spark.createDataFrame(
+            [("u1", 1, "a merge batch too", [0.5, -1.0], "U", 10)],
+            "url string, doc_id long, text string, "
+            "embedding array<double>, op string, lsn long",
+        ),
+        epoch=1,
+        extract=False,
+    )
+    out = run_batch_job(spark, tg_spec).collect()[0]
+    assert out["action"] == "sync" and out["removed"] == 1 and out["added"] == 1
+    out = run_batch_job(spark, ivf_spec).collect()[0]
+    assert out["action"] == "sync" and out["removed"] == 1 and out["added"] == 1
+
+    docs = t.read().select("doc_id", "text")
+    got = TrigramIndex(spark, tmp_path / "tg").search(docs, "merge batch")
+    assert sorted(r["doc_id"] for r in got.collect()) == [0, 1, 2]
+    assert IvfIndex(spark, tmp_path / "ivf").meta["rows"] == 3
