@@ -842,6 +842,61 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return first.unionByName(second)
 
 
+def q_dedup_minhash_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-MAINTAINED near-dup index (operators/dedup_index.py):
+    documents bulk-loaded into an IceTable, the MinHash index created
+    from that state with a version cursor, then one I/U/D epoch
+    (suffix-updated %7==0 docs, %7==3 deleted, %101==5 docs duplicated
+    under fresh negative ids) and ``sync`` consumes the changelog —
+    returning exactly the NEW near-dup pairs: the one-shot LSH pairs
+    over the live modified corpus that involve at least one changed
+    doc. Deleted docs' pairs must go silent; an updated doc must not
+    pair against its own previous generation."""
+    from datax_spark.icetable.table import IceTable
+    from datax_spark.operators.dedup_index import MinHashIndex
+    from datax_spark.operators.merge import apply_epoch
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://doc/"), F.col("doc_id")).alias("url"),
+        "doc_id",
+        "text",
+    )
+
+    def _build(path):
+        tbl = IceTable.create(
+            spark, path / "t", docs.schema, num_partitions=8, key_column="url"
+        )
+        tbl.bulk_overwrite(docs, epoch=0)
+        idx, _ = MinHashIndex.create_from_table(
+            spark, tbl, path / "idx", k=8, bands=4, jaccard_threshold=0.7
+        )
+        lsn = F.lit(10_000_000) + F.col("doc_id")
+        upd = docs.filter(F.col("doc_id") % 7 == 0).select(
+            "url", "doc_id",
+            F.concat("text", F.lit(" refreshed retrieval section")).alias("text"),
+            F.lit("U").alias("op"), lsn.alias("lsn"),
+        )
+        dels = docs.filter(F.col("doc_id") % 7 == 3).select(
+            "url", "doc_id", F.lit(None).cast("string").alias("text"),
+            F.lit("D").alias("op"), lsn.alias("lsn"),
+        )
+        ins = docs.filter(F.col("doc_id") % 101 == 5).select(
+            F.concat(F.lit("https://doc/"), (-F.col("doc_id") - 1)).alias("url"),
+            (-F.col("doc_id") - 1).alias("doc_id"),
+            "text",
+            F.lit("I").alias("op"),
+            (F.lit(20_000_000) + F.col("doc_id")).alias("lsn"),
+        )
+        apply_epoch(tbl, upd.unionByName(dels).unionByName(ins), epoch=1,
+                    extract=False)
+        idx.sync(tbl).write.parquet(str(path / "pairs"))
+
+    root = _ensure_diff_table(spark, sf_dir, "mhsync", _build)
+    return spark.read.parquet(str(root / "pairs")).select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"), "est_jaccard"
+    )
+
+
 def q_full_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE prep flow in production order (curation.full_prep):
     Gopher gate → annotate → lang/quality → exact dedup → near-dup drop
@@ -3512,6 +3567,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_quality": q_gopher_quality,
     "decontamination": q_decontamination,
     "dedup_minhash_incremental": q_dedup_minhash_incremental,
+    "dedup_minhash_sync": q_dedup_minhash_sync,
     "url_canonicalize": q_url_canonicalize,
     "sample_deterministic": q_sample_deterministic,
     "token_budget_mix": q_token_budget_mix,
@@ -3707,10 +3763,12 @@ SELECT id_a, id_b, CAST({ham} AS INTEGER) AS hamming
 FROM cand WHERE {ham} <= {max_hamming}"""
 
 
-def _minhash_pair_parts() -> tuple[str, str]:
+def _minhash_pair_parts(src: str = "documents") -> tuple[str, str]:
     """(CTE chain, final pair SELECT) for the MinHash-LSH pair search —
     consumed whole by _minhash_oracle and as a prs CTE by the
-    connected-components oracle (no string surgery on finished SQL)."""
+    connected-components oracle (no string surgery on finished SQL).
+    ``src`` swaps the corpus relation (the sync oracle tokenizes a
+    modified-corpus CTE instead of the raw table)."""
     mins = ",\n    ".join(
         f"min(md5('{i}:' || tok)) AS mh{i}" for i in range(8)
     )
@@ -3721,7 +3779,7 @@ def _minhash_pair_parts() -> tuple[str, str]:
     matches = " + ".join(
         f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(8)
     )
-    ctes = f"""{_TOK_CTE.strip()},
+    ctes = f"""{_TOK_CTE.strip().replace("FROM documents,", f"FROM {src},")},
 sig AS (SELECT doc_id, {mins} FROM tok GROUP BY doc_id),
 banded AS (SELECT doc_id, {bands} FROM sig),
 bucket AS (
@@ -3743,6 +3801,31 @@ WHERE CAST({matches} AS DOUBLE) / 8 >= 0.7"""
 def _minhash_oracle() -> str:
     ctes, select = _minhash_pair_parts()
     return f"\nWITH {ctes}\n{select}"
+
+
+def _minhash_sync_oracle() -> str:
+    """One-shot LSH pairs over the MODIFIED corpus, restricted to pairs
+    involving at least one changed doc — exactly what sync() returns."""
+    ctes, select = _minhash_pair_parts(src="docs2")
+    return f"""
+WITH docs2(doc_id, text) AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' refreshed retrieval section'
+              ELSE text END
+  FROM documents WHERE doc_id % 7 <> 3
+  UNION ALL
+  SELECT -doc_id - 1, text FROM documents WHERE doc_id % 101 = 5
+),
+changed(id) AS (
+  SELECT doc_id FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT -doc_id - 1 FROM documents WHERE doc_id % 101 = 5
+),
+{ctes}
+{select}
+  AND (c.id_a IN (SELECT id FROM changed)
+       OR c.id_b IN (SELECT id FROM changed))"""
 
 
 def _cc_parts(n_iter: int = 4) -> list[str]:
@@ -4627,6 +4710,7 @@ FROM documents GROUP BY 1""",
     "dedup_minhash_lsh": _minhash_oracle(),
     # the incremental index's contract IS one-shot equivalence: same SQL
     "dedup_minhash_incremental": _minhash_oracle(),
+    "dedup_minhash_sync": _minhash_sync_oracle(),
     "near_dup_clusters": _near_dup_clusters_oracle(),
     "simhash_hamming": _simhash_hamming_oracle(),
     "gopher_quality": _gopher_oracle(),

@@ -20,10 +20,24 @@ atomic replace, so a crashed add() leaves an orphan dir that the next
 load ignores):
 
     path/meta.json                      k, bands, threshold, hash_fn,
-                                        id_col, committed batch list
+                                        id_col, committed batch lists,
+                                        optional IceTable sync cursor
     path/sigs/batch=N/                  (_sig, mh0..mh{k-1}) distinct
     path/buckets/batch=N/               (bucket, _sig)
     path/members/batch=N/               (_sig, doc_id)
+    path/tombstones/batch=N/            (doc_id, before_batch) — the
+                                        doc's membership in data
+                                        batches < before_batch is dead
+                                        (generation-scoped, so re-adds
+                                        stay live); written by remove()
+                                        and sync() for deleted/updated
+                                        docs, so probes stop pairing
+                                        against dead generations
+
+``sync(table)`` makes this the CDC consumer the other index artifacts
+are (text_index/trigram_index/ann_index): one atomic meta commit per
+changelog span covering tombstones + the fresh batch + the cursor,
+returning exactly the new pairs the span introduces.
 """
 
 from __future__ import annotations
@@ -73,6 +87,7 @@ class MinHashIndex:
         hash_fn: str = "md5",
         id_col: str = "doc_id",
         text_col: str = "text",
+        source: dict | None = None,
     ) -> "MinHashIndex":
         if k % bands:
             raise ValueError(f"bands={bands} must divide k={k}")
@@ -92,9 +107,30 @@ class MinHashIndex:
             "text_col": text_col,
             "batches": [],
         }
+        if source:
+            meta["source"] = source
         idx = cls(spark, path, meta)
         idx._write_meta()
         return idx
+
+    @classmethod
+    def create_from_table(
+        cls, spark: SparkSession, table, path: str | Path, **kwargs
+    ) -> tuple["MinHashIndex", DataFrame]:
+        """Create with a version cursor against an IceTable and index
+        its current state as batch 0 — the Bm25Index.build_from_table
+        contract for the near-dup index. Returns (index, the corpus's
+        initial within-pairs); later ``sync(table)`` calls consume only
+        the changelog."""
+        v = table.current_version()
+        idx = cls.create(
+            spark, path, source={"path": str(table.root), "version": v},
+            **kwargs,
+        )
+        docs = table.read(v).select(
+            idx.meta["id_col"], idx.meta["text_col"]
+        )
+        return idx, idx.add(docs)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str | Path) -> "MinHashIndex":
@@ -115,20 +151,140 @@ class MinHashIndex:
             json.dump(self.meta, f, indent=1)
         os.replace(tmp.name, self.path / "meta.json")
 
-    def _read_committed(self, kind: str) -> DataFrame | None:
-        dirs = [
-            str(self.path / kind / f"batch={n}") for n in self.meta["batches"]
-        ]
+    def _read_committed(
+        self, kind: str, batches: list[int] | None = None, with_batch: bool = False
+    ) -> DataFrame | None:
+        if batches is None:
+            batches = self.meta["batches"]
+        dirs = [str(self.path / kind / f"batch={n}") for n in batches]
         if not dirs:
             return None
+        if with_batch:
+            # basePath keeps the batch=N partition column visible —
+            # tombstones are generation-scoped (kill batches < before),
+            # so a re-added id's NEW membership must stay live
+            return self.spark.read.option(
+                "basePath", str(self.path / kind)
+            ).parquet(*dirs)
         return self.spark.read.parquet(*dirs)
+
+    def _tombstone_map(self, staged: DataFrame | None = None) -> DataFrame | None:
+        """Aggregated (doc_id, before_batch=max) over the COMMITTED
+        tombstone batches plus optionally one staged (uncommitted)
+        frame — sync probes with its own removals already in force."""
+        frames = []
+        committed = self._read_committed(
+            "tombstones", self.meta.get("tombstone_batches", [])
+        )
+        if committed is not None:
+            frames.append(committed)
+        if staged is not None:
+            frames.append(staged)
+        if not frames:
+            return None
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out.groupBy("doc_id").agg(
+            F.max("before_batch").alias("before_batch")
+        )
 
     # ------------------------------------------------------------ the op
     def add(self, docs: DataFrame) -> DataFrame:
         """Probe ``docs`` against the index, append their signatures, and
         return every near-dup pair involving at least one new doc:
         (id_a, id_b, est_jaccard) with id_a < id_b. Doc ids must be
-        globally unique across adds (the CDC key contract)."""
+        fresh (never live in the index — the CDC key contract); a
+        previously REMOVED id may be re-added. Updates/deletes go
+        through remove()/sync()."""
+        pairs, n = self._stage_batch(docs, None)
+        self.meta["batches"].append(n)
+        self._write_meta()
+        return pairs
+
+    def remove(self, ids: DataFrame) -> int:
+        """Tombstone documents: their stored signatures stop producing
+        pairs in every later probe. Generation-scoped (kills membership
+        in batches < the next batch number), so a later re-add of the
+        same id is live. Returns the number of ids tombstoned."""
+        tn = self._next_batch("tombstone_batches")
+        before = self._next_batch("batches")
+        tomb = ids.select(
+            F.col(self.meta["id_col"]).alias("doc_id"),
+            F.lit(before).alias("before_batch"),
+        )
+        n = tomb.count()
+        if n:
+            tomb.write.mode("overwrite").parquet(
+                str(self.path / "tombstones" / f"batch={tn}")
+            )
+            self.meta.setdefault("tombstone_batches", []).append(tn)
+            self._write_meta()
+        return n
+
+    def sync(self, table, to_version: int | None = None) -> DataFrame:
+        """Advance the index to the table's state from the changelog
+        since the stored cursor (the Bm25Index contract) and return the
+        NEW near-dup pairs: every pair of the one-shot run over the
+        live corpus that involves at least one doc changed in the span.
+        One atomic meta commit covers the tombstone batch, the data
+        batch, and the cursor — a crash anywhere before it leaves only
+        overwritable orphan dirs, so the deterministic retry converges."""
+        src = self.meta.get("source")
+        if not src:
+            raise ValueError("index has no source cursor — create it with "
+                             "source= or set meta['source']")
+        if str(table.root) != src["path"]:
+            raise ValueError(
+                f"index tracks {src['path']}, got table at {table.root}"
+            )
+        m = self.meta
+        id_col, text_col = m["id_col"], m["text_col"]
+        frm = int(src["version"])
+        to = table.current_version() if to_version is None else int(to_version)
+        if to < frm:
+            raise ValueError(f"cursor at v{frm} is past requested v{to}")
+        empty = self.spark.createDataFrame(
+            [], "id_a long, id_b long, est_jaccard double"
+        )
+        if to == frm:
+            return empty
+        ch = table.read_changes(frm, to, pre_images=True).select(
+            "_op", id_col, text_col
+        )
+        removed = ch.filter(F.col("_op").isin("D", "UB"))
+        added = ch.filter(F.col("_op").isin("I", "UA")).drop("_op")
+
+        tn = self._next_batch("tombstone_batches")
+        before = self._next_batch("batches")
+        tomb = removed.select(
+            F.col(id_col).alias("doc_id"), F.lit(before).alias("before_batch")
+        )
+        n_rm = tomb.count()
+        if n_rm:
+            tomb.write.mode("overwrite").parquet(
+                str(self.path / "tombstones" / f"batch={tn}")
+            )
+        pairs, n = self._stage_batch(added, tomb if n_rm else None)
+        if n_rm:
+            m.setdefault("tombstone_batches", []).append(tn)
+        m["batches"].append(n)
+        m["source"] = {**src, "version": to}
+        self._write_meta()
+        return pairs
+
+    def _next_batch(self, key: str) -> int:
+        lst = self.meta.get(key, [])
+        return (max(lst) + 1) if lst else 0
+
+    def _stage_batch(
+        self, docs: DataFrame, staged_tombstones: DataFrame | None
+    ) -> tuple[DataFrame, int]:
+        """Probe + write one batch's sigs/buckets/members dirs WITHOUT
+        committing meta (the caller owns the single atomic commit).
+        ``staged_tombstones`` lets sync probe with its own removals
+        already dead — an updated doc must not pair against its own
+        previous generation."""
         m = self.meta
         k, bands, thr = m["k"], m["bands"], m["jaccard_threshold"]
         id_col = m["id_col"]
@@ -147,7 +303,20 @@ class MinHashIndex:
         stored_reps = self._read_committed("sigs")
         if stored_reps is not None:
             stored_buckets = self._read_committed("buckets")
-            stored_members = self._read_committed("members")
+            stored_members = self._read_committed("members", with_batch=True)
+            tomb = self._tombstone_map(staged_tombstones)
+            if tomb is not None:
+                # generation-scoped kill: a doc's membership in batches
+                # before its tombstone is dead; a later re-add is live
+                stored_members = (
+                    stored_members.join(tomb, "doc_id", "left")
+                    .filter(
+                        F.col("before_batch").isNull()
+                        | (F.col("batch") >= F.col("before_batch"))
+                    )
+                    .drop("before_batch")
+                )
+            stored_members = stored_members.drop("batch")
             # candidates: stored sig × new sig sharing any band bucket.
             # No _sig ordering constraint — the sides are different sets;
             # identical cross-batch signatures co-bucket in every band and
@@ -181,6 +350,9 @@ class MinHashIndex:
                     "_sa",
                 )
                 .join(new_members.select(F.col("_sig").alias("_sb"), F.col("doc_id").alias("_idb")), "_sb")
+                # a re-added id whose OLD generation still matches its
+                # bucket must not pair with itself
+                .filter(F.col("_ida") != F.col("_idb"))
                 .select(
                     F.least("_ida", "_idb").alias("id_a"),
                     F.greatest("_ida", "_idb").alias("id_b"),
@@ -195,11 +367,11 @@ class MinHashIndex:
         # stored parquet lazily, and the append below must not race it.
         pairs = pairs.localCheckpoint(eager=True)
 
-        # overwrite: a previous add() that crashed after writing data
-        # dirs but before committing meta leaves orphans under the same
-        # batch number — replacing them (instead of erroring) is what
-        # makes the documented crash-recovery story true
-        n = (max(m["batches"]) + 1) if m["batches"] else 0
+        # overwrite: a previous add()/sync() that crashed after writing
+        # data dirs but before committing meta leaves orphans under the
+        # same batch number — replacing them (instead of erroring) is
+        # what makes the documented crash-recovery story true
+        n = self._next_batch("batches")
         new_reps.write.mode("overwrite").parquet(str(self.path / "sigs" / f"batch={n}"))
         new_buckets.write.mode("overwrite").parquet(
             str(self.path / "buckets" / f"batch={n}")
@@ -207,6 +379,4 @@ class MinHashIndex:
         new_members.write.mode("overwrite").parquet(
             str(self.path / "members" / f"batch={n}")
         )
-        m["batches"].append(n)
-        self._write_meta()
-        return pairs
+        return pairs, n

@@ -107,3 +107,108 @@ def test_crashed_add_recovers(spark, corpus, tmp_path):
     assert re.meta["batches"] == [0]
     got.update(_pairs(re.add(half2)))  # overwrites the orphan batch=1
     assert got == _pairs(minhash_lsh_pairs(corpus, jaccard_threshold=0.7))
+
+
+# ---------- removals + CDC sync (generation-scoped tombstones) ---------- #
+
+
+def test_remove_kills_pairs_and_readd_is_live(spark, corpus, tmp_path):
+    """A removed doc stops pairing in every later probe; a later re-add
+    of the same id pairs again (tombstones are generation-scoped, not
+    forever)."""
+    from pyspark.sql import functions as F
+
+    idx = MinHashIndex.create(spark, tmp_path / "idx", k=8, bands=4,
+                              jaccard_threshold=0.5)
+    idx.add(corpus.filter(F.col("doc_id").isin(0, 4, 6)))
+    assert idx.remove(
+        spark.createDataFrame([(0,)], "doc_id long")
+    ) == 1
+    # doc 1 is an exact dup of removed doc 0 — no pair now
+    got = _pairs(idx.add(corpus.filter(F.col("doc_id") == 1)))
+    assert got == {}
+    # re-add id 0: pairs against the live doc 1 again
+    got = _pairs(idx.add(corpus.filter(F.col("doc_id") == 0)))
+    assert (0, 1) in got and got[(0, 1)] == 1.0
+
+
+def test_sync_emits_exactly_the_changed_docs_pairs(spark, tmp_path):
+    """sync(table) == the one-shot pairs over the LIVE corpus that
+    involve at least one doc changed in the span: an update that makes
+    a doc a near-dup pairs it; deleting one endpoint of a dup pair goes
+    silent; the updated doc never pairs against its own old
+    generation."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from datax_spark.icetable.table import IceTable
+    from datax_spark.operators.merge import apply_epoch
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    t = IceTable.create(
+        spark, tmp_path / "t", schema, num_partitions=2, key_column="url"
+    )
+    t.bulk_overwrite(
+        spark.createDataFrame(
+            [("u0", 0, BASE), ("u4", 4, OTHER), ("u6", 6, BASE + " x")],
+            schema,
+        ),
+        epoch=0,
+    )
+    idx, seed_pairs = MinHashIndex.create_from_table(
+        spark, t, tmp_path / "idx", k=8, bands=4, jaccard_threshold=0.5
+    )
+    assert (0, 6) in _pairs(seed_pairs)  # initial near-dup found
+
+    # epoch 1: update doc 4 to be a dup of 0; delete doc 6; insert 9
+    # as another copy of BASE
+    apply_epoch(
+        t,
+        spark.createDataFrame(
+            [
+                ("u4", 4, BASE + " now", "U", 10),
+                ("u6", 6, None, "D", 11),
+                ("u9", 9, BASE, "I", 12),
+            ],
+            "url string, doc_id long, text string, op string, lsn long",
+        ),
+        epoch=1,
+        extract=False,
+    )
+    got = _pairs(idx.sync(t))
+    # one-shot over live corpus {0:BASE, 4:BASE+' now', 9:BASE},
+    # changed docs {4, 9}: pairs (0,4), (0,9), (4,9); nothing with the
+    # deleted doc 6, and doc 4 must not pair its own old generation
+    assert set(got) == {(0, 4), (0, 9), (4, 9)}, got
+    # cursor no-op
+    assert idx.sync(t).count() == 0
+
+    # epoch 2: delete doc 0 — future inserts of identical text pair
+    # only against the surviving copies
+    apply_epoch(
+        t,
+        spark.createDataFrame(
+            [("u0", 0, None, "D", 20)],
+            "url string, doc_id long, text string, op string, lsn long",
+        ),
+        epoch=2,
+        extract=False,
+    )
+    assert idx.sync(t).count() == 0  # a removal alone adds no pairs
+    apply_epoch(
+        t,
+        spark.createDataFrame(
+            [("u10", 10, BASE, "I", 30)],
+            "url string, doc_id long, text string, op string, lsn long",
+        ),
+        epoch=3,
+        extract=False,
+    )
+    got = _pairs(idx.sync(t))
+    assert set(got) == {(4, 10), (9, 10)}, got
