@@ -897,6 +897,90 @@ def q_dedup_minhash_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_view_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained JOIN view
+    (operators/incremental_view.sync_join_view): two CDC tables sharing
+    the url key — A carries the doc text (suffix-updated %7==0, %7==3
+    deleted), B the even-doc metadata (%5==1 deleted, lang rewritten to
+    'xx' for %11==0) — churned through the real merge path, then the
+    materialized inner join advances from BOTH changelogs: affected
+    keys only, pruned post-image reads, one apply_epoch merge. The
+    oracle re-joins the two modified relations from scratch."""
+    from datax_spark.icetable.table import IceTable
+    from datax_spark.operators.incremental_view import (
+        create_join_view,
+        sync_join_view,
+    )
+    from datax_spark.operators.merge import apply_epoch
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://doc/"), F.col("doc_id")).alias("url")
+    a_rows = docs.select(url, "doc_id", "text")
+    b_rows = docs.filter(F.col("doc_id") % 2 == 0).select(url, "lang", "source")
+
+    def _build(path):
+        a = IceTable.create(
+            spark, path / "a", a_rows.schema, num_partitions=8,
+            key_column="url",
+        )
+        a.bulk_overwrite(a_rows, epoch=0)
+        b = IceTable.create(
+            spark, path / "b", b_rows.schema, num_partitions=4,
+            key_column="url",
+        )
+        b.bulk_overwrite(b_rows, epoch=0)
+        v = create_join_view(spark, path / "v", a, b, num_partitions=8)
+        sync_join_view(v, a, b)  # bootstrap
+        lsn = F.lit(10_000_000) + F.col("doc_id")
+        apply_epoch(
+            a,
+            a_rows.filter(F.col("doc_id") % 7 == 0)
+            .select(
+                "url", "doc_id",
+                F.concat("text", F.lit(" refreshed retrieval section")).alias("text"),
+                F.lit("U").alias("op"), lsn.alias("lsn"),
+            )
+            .unionByName(
+                a_rows.filter(F.col("doc_id") % 7 == 3).select(
+                    "url", "doc_id",
+                    F.lit(None).cast("string").alias("text"),
+                    F.lit("D").alias("op"), lsn.alias("lsn"),
+                )
+            ),
+            epoch=1,
+            extract=False,
+        )
+        b_src = docs.filter(F.col("doc_id") % 2 == 0)
+        b_lsn = (F.lit(20_000_000) + F.col("doc_id")).alias("lsn")
+        apply_epoch(
+            b,
+            b_src.filter(
+                (F.col("doc_id") % 11 == 0) & (F.col("doc_id") % 5 != 1)
+            )
+            .select(
+                F.concat(F.lit("https://doc/"), F.col("doc_id")).alias("url"),
+                F.lit("xx").alias("lang"), "source",
+                F.lit("U").alias("op"), b_lsn,
+            )
+            .unionByName(
+                b_src.filter(F.col("doc_id") % 5 == 1).select(
+                    F.concat(F.lit("https://doc/"), F.col("doc_id")).alias("url"),
+                    F.lit(None).cast("string").alias("lang"),
+                    F.lit(None).cast("string").alias("source"),
+                    F.lit("D").alias("op"), b_lsn,
+                )
+            ),
+            epoch=1,
+            extract=False,
+        )
+        sync_join_view(v, a, b)  # incremental
+
+    root = _ensure_diff_table(spark, sf_dir, "jvsync", _build)
+    return IceTable.load(spark, root / "v").read().select(
+        "url", "doc_id", "text", "lang", "source"
+    )
+
+
 def q_full_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE prep flow in production order (curation.full_prep):
     Gopher gate → annotate → lang/quality → exact dedup → near-dup drop
@@ -3568,6 +3652,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontamination": q_decontamination,
     "dedup_minhash_incremental": q_dedup_minhash_incremental,
     "dedup_minhash_sync": q_dedup_minhash_sync,
+    "join_view_sync": q_join_view_sync,
     "url_canonicalize": q_url_canonicalize,
     "sample_deterministic": q_sample_deterministic,
     "token_budget_mix": q_token_budget_mix,
@@ -4711,6 +4796,23 @@ FROM documents GROUP BY 1""",
     # the incremental index's contract IS one-shot equivalence: same SQL
     "dedup_minhash_incremental": _minhash_oracle(),
     "dedup_minhash_sync": _minhash_sync_oracle(),
+    "join_view_sync": """
+WITH a2 AS (
+  SELECT 'https://doc/' || doc_id AS url, doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' refreshed retrieval section'
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 3
+),
+b2 AS (
+  SELECT 'https://doc/' || doc_id AS url,
+         CASE WHEN doc_id % 11 = 0 AND doc_id % 5 <> 1
+              THEN 'xx' ELSE lang END AS lang,
+         source
+  FROM documents WHERE doc_id % 2 = 0 AND doc_id % 5 <> 1
+)
+SELECT a2.url, a2.doc_id, a2.text, b2.lang, b2.source
+FROM a2 JOIN b2 USING (url)""",
     "near_dup_clusters": _near_dup_clusters_oracle(),
     "simhash_hamming": _simhash_hamming_oracle(),
     "gopher_quality": _gopher_oracle(),

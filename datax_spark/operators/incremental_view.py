@@ -146,3 +146,153 @@ def maintain_agg_view(
         *[s for s, _ in cols],
         *[nn for _, nn in cols],
     ).filter(F.col("n_rows") > 0)
+
+
+# --------------------------------------------------------------------- #
+# incrementally maintained JOIN views (two CDC tables, shared key)
+# --------------------------------------------------------------------- #
+
+
+def create_join_view(spark, path, table_a, table_b, num_partitions: int = 8):
+    """Create the (empty) materialized inner-join view table for
+    ``V = A ⋈_key B`` where BOTH sources are CDC tables keyed on the
+    SAME key column (the engine's one-live-row-per-key model makes the
+    join 1:1, so V is keyed on that column too and maintains through
+    the ordinary apply_epoch MERGE path).
+
+    Schema = A's columns + B's non-key columns; a non-key name
+    collision raises (a silently renamed column would desynchronize the
+    view from any consumer's expectations)."""
+    from pyspark.sql import types as T
+
+    from datax_spark.icetable.table import IceTable
+
+    key = table_a.key_column
+    if table_b.key_column != key:
+        raise ValueError(
+            f"join view needs a shared key column: A has {key!r}, "
+            f"B has {table_b.key_column!r}"
+        )
+    a_fields = list(table_a.schema().fields)
+    b_fields = [f for f in table_b.schema().fields if f.name != key]
+    clash = {f.name for f in a_fields} & {f.name for f in b_fields}
+    if clash:
+        raise ValueError(
+            f"non-key column collision between the join sides: "
+            f"{sorted(clash)} — rename one side first"
+        )
+    return IceTable.create(
+        spark,
+        path,
+        T.StructType(a_fields + b_fields),
+        num_partitions=num_partitions,
+        key_column=key,
+    )
+
+
+def join_view_events(
+    table_a,
+    table_b,
+    from_a: int,
+    to_a: int,
+    from_b: int,
+    to_b: int,
+    epoch: int,
+) -> DataFrame:
+    """Change events that move the join view from state
+    (A@from_a ⋈ B@from_b) to (A@to_a ⋈ B@to_b) — churn-sized, never a
+    re-join of the full tables.
+
+    Affected keys = keys changed on EITHER side; both sides' post-image
+    rows for those keys come from PRUNED reads (partition-id subset +
+    bloom file skipping via read_partitions), so the maintenance cost
+    scales with churn × the matching slices, not table size. A key with
+    live rows on both sides emits one upsert carrying the joined row; a
+    key with either side missing emits a delete (inner-join semantics).
+    Every event carries lsn = ``epoch``: the view's own epochs strictly
+    increase, which keeps the per-key LSN guard monotone even though
+    the two SOURCE tables' LSN spaces are unrelated."""
+    key = table_a.key_column
+    ch_a = table_a.read_changes(from_a, to_a)
+    ch_b = table_b.read_changes(from_b, to_b)
+    affected = ch_a.select(key).unionByName(ch_b.select(key)).distinct()
+
+    def _pruned_state(table, version):
+        from datax_spark.functions.hashing import url_partition
+
+        pids = {
+            r["_p"]
+            for r in affected.select(
+                url_partition(key, table.num_partitions).alias("_p")
+            )
+            .distinct()
+            .collect()
+        }
+        state, _ = table.read_partitions(pids, version, keys_df=affected)
+        # the pruned read is file-level; restrict to exactly the
+        # affected keys (broadcast — churn-sized)
+        return state.join(F.broadcast(affected), key, "left_semi")
+
+    a = _pruned_state(table_a, to_a)
+    b = _pruned_state(table_b, to_b)
+    joined = a.join(b.drop(*(set(b.columns) & set(a.columns) - {key})), key)
+    payload_cols = [c for c in joined.columns if c != key]
+    upserts = joined.select(
+        key, *payload_cols,
+        F.lit("U").alias("op"), F.lit(int(epoch) + 1).alias("lsn"),
+    )
+    dels = (
+        affected.join(joined.select(key), key, "left_anti")
+        .select(
+            key,
+            *[F.lit(None).cast(joined.schema[c].dataType).alias(c)
+              for c in payload_cols],
+            F.lit("D").alias("op"), F.lit(int(epoch) + 1).alias("lsn"),
+        )
+    )
+    return upserts.unionByName(dels)
+
+
+def sync_join_view(view, table_a, table_b) -> dict:
+    """Advance the materialized join view to the sources' CURRENT
+    states: cursor tags on the source tables (named after the view
+    root, the jobspec sinceTag pattern) record the last synced
+    versions; absent tags bootstrap from 0 (full state as inserts —
+    the empty-v0 changelog contract). The events go through the
+    ordinary apply_epoch exactly-once path, then the tags advance.
+    A crash before the tag moves re-reads the same span; the ledger
+    makes the replay a no-op."""
+    import hashlib
+
+    tag = "joinview_" + hashlib.md5(str(view.root).encode()).hexdigest()[:12]
+
+    def _cursor(table):
+        try:
+            return table.resolve_ref(tag)
+        except KeyError:
+            return 0
+
+    from_a, from_b = _cursor(table_a), _cursor(table_b)
+    to_a, to_b = table_a.current_version(), table_b.current_version()
+    if (from_a, from_b) == (to_a, to_b):
+        return {"epoch": None, "a": (from_a, to_a), "b": (from_b, to_b)}
+    # rewrite-/metadata-only spans (including this function's own tag
+    # publishes) produce an EMPTY semantic changelog: no epoch, and the
+    # tags stay put — moving them would publish yet another version and
+    # chase itself forever
+    if (
+        table_a.read_changes(from_a, to_a).limit(1).count() == 0
+        and table_b.read_changes(from_b, to_b).limit(1).count() == 0
+    ):
+        return {"epoch": None, "a": (from_a, to_a), "b": (from_b, to_b)}
+    committed = view.committed_epochs()
+    epoch = (max(committed) + 1) if committed else 0
+    events = join_view_events(
+        table_a, table_b, from_a, to_a, from_b, to_b, epoch
+    )
+    from datax_spark.operators.merge import apply_epoch
+
+    apply_epoch(view, events, epoch=epoch, extract=False)
+    table_a.tag(tag, to_a)
+    table_b.tag(tag, to_b)
+    return {"epoch": epoch, "a": (from_a, to_a), "b": (from_b, to_b)}

@@ -212,3 +212,140 @@ def test_property_maintain_equals_recompute(spark, tmp_path_factory, seqs):
         )
     expect = agg_view(t.read(version=final_v), ["grp"], ["val"])
     assert _view_rows(view) == _view_rows(expect)
+
+
+# ------------------- maintained JOIN views ------------------- #
+
+
+def _mk_src(spark, path, cols_schema, rows):
+    t = IceTable.create(
+        spark, path, cols_schema, num_partitions=2, key_column="url"
+    )
+    t.bulk_overwrite(spark.createDataFrame(rows, cols_schema), epoch=0)
+    return t
+
+
+def _join_recompute(a, b):
+    key = "url"
+    bb = b.drop(*[c for c in b.columns if c != key and c in a.columns])
+    return a.join(bb, key)
+
+
+def _rows_set(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_join_view_tracks_both_sides(spark, tmp_path):
+    """V = A ⋈ B maintained from churn on EITHER side equals the full
+    re-join at every step: bootstrap, one-side-only keys, update
+    propagation, delete of one side, re-insert resurrection."""
+    from datax_spark.operators.incremental_view import (
+        create_join_view,
+        sync_join_view,
+    )
+
+    a_schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("val", T.LongType()),
+        ]
+    )
+    b_schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("meta", T.StringType()),
+        ]
+    )
+    a = _mk_src(spark, tmp_path / "a", a_schema,
+                [("k1", 1), ("k2", 2), ("k3", 3)])
+    b = _mk_src(spark, tmp_path / "b", b_schema,
+                [("k2", "m2"), ("k3", "m3"), ("k4", "m4")])
+    v = create_join_view(spark, tmp_path / "v", a, b, num_partitions=2)
+
+    def check():
+        want = _rows_set(
+            _join_recompute(a.read(), b.read()).select("url", "val", "meta")
+        )
+        got = _rows_set(v.read().select("url", "val", "meta"))
+        assert got == want, (got, want)
+
+    out = sync_join_view(v, a, b)  # bootstrap: k2, k3 joined
+    assert out["epoch"] == 0
+    check()
+    assert {r["url"] for r in v.read().collect()} == {"k2", "k3"}
+
+    # churn A only: update k2's val, delete k3, insert k4 (now joins)
+    apply_epoch(
+        a,
+        spark.createDataFrame(
+            [("k2", 20, "U", 10), ("k3", None, "D", 11), ("k4", 4, "I", 12)],
+            "url string, val long, op string, lsn long",
+        ),
+        epoch=1,
+        extract=False,
+    )
+    sync_join_view(v, a, b)
+    check()
+    assert {r["url"] for r in v.read().collect()} == {"k2", "k4"}
+
+    # churn B only: delete k2's B side (view row must die), update k4
+    apply_epoch(
+        b,
+        spark.createDataFrame(
+            [("k2", None, "D", 10), ("k4", "m4x", "U", 11)],
+            "url string, meta string, op string, lsn long",
+        ),
+        epoch=1,
+        extract=False,
+    )
+    sync_join_view(v, a, b)
+    check()
+
+    # both sides in one sync + resurrection of k3
+    apply_epoch(
+        a,
+        spark.createDataFrame(
+            [("k3", 30, "I", 20)],
+            "url string, val long, op string, lsn long",
+        ),
+        epoch=2,
+        extract=False,
+    )
+    apply_epoch(
+        b,
+        spark.createDataFrame(
+            [("k3", "m3b", "I", 20), ("k4", None, "D", 21)],
+            "url string, meta string, op string, lsn long",
+        ),
+        epoch=2,
+        extract=False,
+    )
+    sync_join_view(v, a, b)
+    check()
+    assert {r["url"] for r in v.read().collect()} == {"k3"}
+
+    # cursor current: no-op
+    assert sync_join_view(v, a, b)["epoch"] is None
+
+
+def test_join_view_collision_and_key_guards(spark, tmp_path):
+    from datax_spark.operators.incremental_view import create_join_view
+
+    s1 = T.StructType(
+        [T.StructField("url", T.StringType()), T.StructField("x", T.LongType())]
+    )
+    s2 = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("x", T.LongType())]
+    )
+    a = IceTable.create(spark, tmp_path / "a", s1, num_partitions=2,
+                        key_column="url")
+    b = IceTable.create(spark, tmp_path / "b", s1, num_partitions=2,
+                        key_column="url")
+    import pytest
+
+    with pytest.raises(ValueError, match="collision"):
+        create_join_view(spark, tmp_path / "v", a, b)
+    c = IceTable.create(spark, tmp_path / "c", s2, num_partitions=2,
+                        key_column="k")
+    with pytest.raises(ValueError, match="shared key"):
+        create_join_view(spark, tmp_path / "v2", a, c)
