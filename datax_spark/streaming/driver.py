@@ -49,6 +49,8 @@ class EpochDriver:
         expire_keep_last: int | None = None,
         canonicalize_urls: bool = False,
         fence_owner: str | None = None,
+        derived: list | None = None,
+        derived_sync_every: int = 8,
     ):
         self.spark = spark
         self.source = source
@@ -94,6 +96,17 @@ class EpochDriver:
         # endurance drive held ~21k physical files for ~1k live ones).
         # Time travel / incremental reads reach back exactly K snapshots.
         self.expire_keep_last = expire_keep_last
+        # derived-state maintenance INSIDE the ingest loop: anything
+        # with .sync(table) and a version cursor (the CDC-maintained
+        # index artifacts — Bm25Index, TrigramIndex, IvfIndex,
+        # MinHashIndex) catches up from the table changelog every
+        # ``derived_sync_every`` epochs. Each syncable owns its cursor,
+        # so the cadence is purely a cost/freshness knob — a restart,
+        # replay, or missed tick never desynchronizes anything, and
+        # snapshot expiry is EXTENDED to retain the oldest derived
+        # cursor's version (an expired cursor would force a rebuild).
+        self.derived = list(derived or [])
+        self.derived_sync_every = derived_sync_every
         # map the key column through functions/url.canonical_url before
         # every apply: tracking-param/case/port variants of one page
         # collapse onto ONE canonical key (one LSN history, one stored
@@ -227,8 +240,21 @@ class EpochDriver:
 
     def _maybe_maintain(self, epoch: int) -> None:
         self._maybe_compact(epoch)
+        if self.derived and (epoch + 1) % max(self.derived_sync_every, 1) == 0:
+            for d in self.derived:
+                d.sync(self.table)
         if self.expire_keep_last is not None:
-            self.table.expire_snapshots(keep_last=self.expire_keep_last)
+            keep = self.expire_keep_last
+            for d in self.derived:
+                src = getattr(d, "meta", {}).get("source")
+                if src and str(self.table.root) == src["path"]:
+                    # never expire a derived cursor's snapshot: sync
+                    # reads the changelog FROM that version
+                    keep = max(
+                        keep,
+                        self.table.current_version() - int(src["version"]) + 1,
+                    )
+            self.table.expire_snapshots(keep_last=keep)
 
     def _maybe_compact(self, epoch: int) -> None:
         if self.compact_every and (epoch + 1) % self.compact_every == 0:
