@@ -1091,6 +1091,49 @@ def _run_batch_job_body(
 
     for stmt in (spec.get("writer") or {}).get("preSql", []) or []:
         spark.sql(stmt)
+    if (spec.get("writer") or {}).get("type") == "icetable_join_view":
+        # maintained JOIN view as a re-runnable job: first run creates
+        # the view table and bootstraps (full state as inserts via the
+        # empty-v0 changelog), re-runs advance from both sources'
+        # changelogs (cursor tags live on the source tables). The two
+        # sources ride in the WRITER spec — the view is a function of
+        # two tables, which the single-reader job model can't name.
+        from datax_spark.icetable.table import IceTable
+        from datax_spark.operators.incremental_view import (
+            create_join_view,
+            sync_join_view,
+        )
+
+        writer = _resolve_catalog_path(spark, spec["writer"])
+        if spec.get("reader") not in (None, {}):
+            raise ValueError(
+                "icetable_join_view takes its sources from writer.pathA/"
+                "pathB — leave the reader empty"
+            )
+        if spec.get("transforms"):
+            raise ValueError(
+                "icetable_join_view does not accept transforms: the view "
+                "is exactly A JOIN B at the cursor versions"
+            )
+        a = IceTable.load(spark, writer["pathA"])
+        b = IceTable.load(spark, writer["pathB"])
+        root = Path(writer["path"])
+        if (root / "metadata" / "version-hint.text").exists():
+            view = IceTable.load(spark, root)
+        else:
+            view = create_join_view(
+                spark, root, a, b,
+                num_partitions=int(writer.get("numPartitions", 8)),
+            )
+        out = sync_join_view(view, a, b)
+        return spark.createDataFrame(
+            [(
+                out["epoch"],
+                out["a"][0], out["a"][1],
+                out["b"][0], out["b"][1],
+            )],
+            "epoch long, a_from long, a_to long, b_from long, b_to long",
+        )
     reader = spec["reader"]
     cursor = None  # (source table, tag name, version to pin on success)
     df = None

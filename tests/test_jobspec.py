@@ -757,3 +757,58 @@ def test_trigram_and_ivf_index_writers(spark, tmp_path):
     got = TrigramIndex(spark, tmp_path / "tg").search(docs, "merge batch")
     assert sorted(r["doc_id"] for r in got.collect()) == [0, 1, 2]
     assert IvfIndex(spark, tmp_path / "ivf").meta["rows"] == 3
+
+
+def test_icetable_join_view_writer(spark, tmp_path):
+    """The maintained join view as a re-runnable job: create+bootstrap
+    on first run, changelog-advance on re-run, no-op when current."""
+    from pyspark.sql import types as T
+
+    from datax_spark.icetable.table import IceTable
+    from datax_spark.operators.merge import apply_epoch
+
+    a_schema = T.StructType(
+        [T.StructField("url", T.StringType()), T.StructField("val", T.LongType())]
+    )
+    b_schema = T.StructType(
+        [T.StructField("url", T.StringType()), T.StructField("meta", T.StringType())]
+    )
+    a = IceTable.create(spark, tmp_path / "a", a_schema, num_partitions=2,
+                        key_column="url")
+    a.bulk_overwrite(
+        spark.createDataFrame([("k1", 1), ("k2", 2)], a_schema), epoch=0
+    )
+    b = IceTable.create(spark, tmp_path / "b", b_schema, num_partitions=2,
+                        key_column="url")
+    b.bulk_overwrite(
+        spark.createDataFrame([("k2", "m2"), ("k3", "m3")], b_schema), epoch=0
+    )
+    spec = {
+        "writer": {"type": "icetable_join_view", "path": str(tmp_path / "v"),
+                   "pathA": str(tmp_path / "a"), "pathB": str(tmp_path / "b"),
+                   "numPartitions": 2},
+    }
+    out = run_batch_job(spark, spec).collect()[0]
+    assert out["epoch"] == 0
+    v = IceTable.load(spark, tmp_path / "v")
+    assert {(r["url"], r["val"], r["meta"]) for r in v.read().collect()} == {
+        ("k2", 2, "m2")
+    }
+
+    apply_epoch(
+        a,
+        spark.createDataFrame(
+            [("k3", 3, "I", 10)], "url string, val long, op string, lsn long"
+        ),
+        epoch=1,
+        extract=False,
+    )
+    out = run_batch_job(spark, spec).collect()[0]
+    assert out["epoch"] == 1
+    v = IceTable.load(spark, tmp_path / "v")
+    assert {(r["url"], r["val"], r["meta"]) for r in v.read().collect()} == {
+        ("k2", 2, "m2"),
+        ("k3", 3, "m3"),
+    }
+    # current: no epoch
+    assert run_batch_job(spark, spec).collect()[0]["epoch"] is None
