@@ -296,3 +296,123 @@ def sync_join_view(view, table_a, table_b) -> dict:
     table_a.tag(tag, to_a)
     table_b.tag(tag, to_b)
     return {"epoch": epoch, "a": (from_a, to_a), "b": (from_b, to_b)}
+
+
+class AggViewSync:
+    """Driver-registrable maintained AGGREGATE view: wraps the
+    maintain_agg_view delta path behind the ``.sync(table)`` + version
+    cursor protocol the EpochDriver's ``derived`` list expects (the
+    same contract as the CDC-maintained index artifacts). The view is
+    materialized as parquet at ``root`` (|groups| rows — rewriting it
+    whole per sync is metadata-cheap even on a 100 TB source); the
+    cursor rides in a sidecar json committed by atomic rename AFTER the
+    view lands, so a crash replays the span onto the PREVIOUS view
+    (the old parquet is replaced, never merged — replay-safe)."""
+
+    def __init__(self, spark, root, table, group_cols, sum_cols=()):
+        import json
+        from pathlib import Path
+
+        self.spark = spark
+        self.root = Path(root)
+        self.group_cols = list(group_cols)
+        self.sum_cols = list(sum_cols)
+        cur = self.root / "cursor.json"
+        if cur.exists():
+            self.meta = json.loads(cur.read_text())
+        else:
+            self.meta = {"source": {"path": str(table.root), "version": 0}}
+
+    def read(self) -> DataFrame:
+        p = self.root / "view"
+        if not p.exists():
+            raise FileNotFoundError(f"no maintained view at {p} — sync first")
+        return self.spark.read.parquet(str(p))
+
+    def sync(self, table) -> dict:
+        import os
+        import shutil
+        import uuid
+
+        src = self.meta["source"]
+        if str(table.root) != src["path"]:
+            raise ValueError(
+                f"view tracks {src['path']}, got table at {table.root}"
+            )
+        frm = int(src["version"])
+        to = table.current_version()
+        if to == frm:
+            return {"from": frm, "to": to, "changed": 0}
+        changes = table.read_changes(frm, to, pre_images=True)
+        n = changes.limit(1).count()
+        if n == 0:
+            # rewrite-/metadata-only span: advance the cursor only
+            self.meta["source"] = {**src, "version": to}
+            self._commit()
+            return {"from": frm, "to": to, "changed": 0}
+        if (self.root / "view").exists():
+            view = self.read()
+        else:
+            view = agg_view(
+                changes.limit(0).drop("_op", "_lsn"),
+                self.group_cols, self.sum_cols,
+            )
+        maintained = maintain_agg_view(
+            view, changes, self.group_cols, self.sum_cols
+        )
+        tmp = self.root / f".view-{uuid.uuid4().hex}"
+        maintained.write.mode("overwrite").parquet(str(tmp))
+        old = self.root / f".view-old-{uuid.uuid4().hex}"
+        if (self.root / "view").exists():
+            os.rename(self.root / "view", old)
+        os.rename(tmp, self.root / "view")
+        shutil.rmtree(old, ignore_errors=True)
+        self.meta["source"] = {**src, "version": to}
+        self._commit()
+        return {"from": frm, "to": to, "changed": 1}
+
+    def _commit(self) -> None:
+        import json
+        import os
+        import tempfile
+
+        self.root.mkdir(parents=True, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=self.root, prefix=".cur-", suffix=".json")
+        with os.fdopen(fd, "w") as f:
+            json.dump(self.meta, f)
+        os.replace(tmp, self.root / "cursor.json")
+
+
+class JoinViewSync:
+    """Driver-registrable maintained JOIN view: adapts sync_join_view
+    to the ``.sync(table)`` protocol. The driver passes whichever
+    source IT ingests; both sides advance (the other source's changes
+    are picked up too). ``meta`` exposes the cursor of the driver's
+    table so snapshot expiry retains it."""
+
+    def __init__(self, view, table_a, table_b):
+        self.view = view
+        self.a = table_a
+        self.b = table_b
+
+    @property
+    def meta(self) -> dict:
+        import hashlib
+
+        tag = (
+            "joinview_"
+            + hashlib.md5(str(self.view.root).encode()).hexdigest()[:12]
+        )
+        try:
+            v = self.a.resolve_ref(tag)
+        except KeyError:
+            v = 0
+        return {"source": {"path": str(self.a.root), "version": v}}
+
+    def sync(self, table) -> dict:
+        if str(table.root) not in (str(self.a.root), str(self.b.root)):
+            raise ValueError(
+                f"join view sources are {self.a.root} and {self.b.root}; "
+                f"got {table.root}"
+            )
+        return sync_join_view(self.view, self.a, self.b)

@@ -90,3 +90,40 @@ def test_driver_keeps_derived_indexes_at_table_state(spark, tmp_path):
     # re-syncing from the stored cursor (a no-op now) must not raise
     assert bm25.sync(table)["added"] == 0
     assert tg.sync(table)["added"] == 0
+
+
+def test_agg_view_sync_in_driver(spark, tmp_path):
+    """A maintained aggregate view registered as derived state: after
+    the drive plus a final sync, it equals the fresh GROUP BY over the
+    final table — and its cursor survived expiry."""
+    from datax_spark.operators.incremental_view import AggViewSync, agg_view
+
+    spec = EventLogSpec(
+        n_events=1000, n_urls=200, n_domains=8, n_epochs=4,
+        evolve_at_epoch=None, dirty_per_epoch=0, seed=5,
+    )
+    generate_event_log(tmp_path / "events", spec)
+    table = IceTable.create(spark, tmp_path / "t", SCHEMA, num_partitions=4)
+    view = AggViewSync(spark, tmp_path / "view", table, ["lang"])
+    drv = EpochDriver(
+        spark,
+        ChangeTailSource(spark, tmp_path / "events"),
+        table,
+        tmp_path / "ckpt",
+        derived=[view],
+        derived_sync_every=2,
+        expire_keep_last=2,
+    )
+    drv.run()
+    view.sync(table)
+    got = sorted(
+        (r["lang"], r["n_rows"]) for r in view.read().collect()
+    )
+    want = sorted(
+        (r["lang"], r["n_rows"])
+        for r in agg_view(table.read(), ["lang"], []).collect()
+    )
+    assert got == want and len(got) > 0
+    # re-load from disk: cursor persisted; no-op sync
+    view2 = AggViewSync(spark, tmp_path / "view", table, ["lang"])
+    assert view2.sync(table)["changed"] == 0
