@@ -111,6 +111,13 @@ HEADLINE = [
     "link_graph_components",
     "trigram_like_search",
     "trigram_index_search",
+    # CDC-maintained artifacts (round-3 2026-08-21): timing includes
+    # the fixture's table build + churn epoch + changelog sync on a
+    # cold cache — the sync IS the measured work
+    "bm25_index_sync",
+    "trigram_index_sync",
+    "dedup_minhash_sync",
+    "join_view_sync",
 ]
 
 CDC_EVENTS = int(os.environ.get("DATAX_BENCH_EVENTS", "1000000"))

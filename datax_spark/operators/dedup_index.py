@@ -273,6 +273,66 @@ class MinHashIndex:
         self._write_meta()
         return pairs
 
+    def compact(self) -> dict:
+        """Fold the batch chain + tombstones into ONE batch: live
+        members only, signature classes with no remaining live member
+        dropped (their bucket rows too — dead classes would otherwise
+        keep paying candidate-join work forever on a churning corpus).
+        Batch renumbering is safe because tombstones are cleared in the
+        same transaction: the new single batch holds only live rows, so
+        nothing remains for a stale tombstone to mis-kill. meta commit
+        (atomic rename) last."""
+        import shutil
+
+        k = self.meta["k"]
+        members = self._read_committed("members", with_batch=True)
+        if members is None:
+            return {"batches": 0, "members": 0}
+        tomb = self._tombstone_map(None)
+        if tomb is not None:
+            members = (
+                members.join(tomb, "doc_id", "left")
+                .filter(
+                    F.col("before_batch").isNull()
+                    | (F.col("batch") >= F.col("before_batch"))
+                )
+                .drop("before_batch")
+            )
+        members = members.drop("batch")
+        sigs = self._read_committed("sigs").distinct()
+        live_sigs = sigs.join(
+            members.select("_sig").distinct(), "_sig", "left_semi"
+        )
+        live_buckets = _band_buckets(live_sigs, k, self.meta["bands"])
+        # stage the folded batch under a number PAST every old batch,
+        # then commit meta naming ONLY it — a crash mid-stage leaves
+        # the old chain fully intact
+        n = self._next_batch("batches")
+        members = members.localCheckpoint(eager=True)
+        live_sigs = live_sigs.localCheckpoint(eager=True)
+        live_sigs.write.mode("overwrite").parquet(
+            str(self.path / "sigs" / f"batch={n}")
+        )
+        live_buckets.write.mode("overwrite").parquet(
+            str(self.path / "buckets" / f"batch={n}")
+        )
+        members.write.mode("overwrite").parquet(
+            str(self.path / "members" / f"batch={n}")
+        )
+        old_batches = list(self.meta["batches"])
+        old_tombs = list(self.meta.get("tombstone_batches", []))
+        self.meta["batches"] = [n]
+        self.meta["tombstone_batches"] = []
+        self._write_meta()
+        for b in old_batches:
+            for kind in ("sigs", "buckets", "members"):
+                shutil.rmtree(self.path / kind / f"batch={b}",
+                              ignore_errors=True)
+        for b in old_tombs:
+            shutil.rmtree(self.path / "tombstones" / f"batch={b}",
+                          ignore_errors=True)
+        return {"batches": 1, "members": members.count()}
+
     def _next_batch(self, key: str) -> int:
         lst = self.meta.get(key, [])
         return (max(lst) + 1) if lst else 0

@@ -212,3 +212,29 @@ def test_sync_emits_exactly_the_changed_docs_pairs(spark, tmp_path):
     )
     got = _pairs(idx.sync(t))
     assert set(got) == {(4, 10), (9, 10)}, got
+
+
+def test_compact_folds_batches_and_tombstones(spark, corpus, tmp_path):
+    """compact() collapses the batch chain to one live batch: dead
+    members gone, dead signature CLASSES gone (no residual candidate
+    work), results unchanged, and the index keeps accepting adds and
+    removals afterwards."""
+    from pyspark.sql import functions as F
+
+    idx = MinHashIndex.create(spark, tmp_path / "idx", k=8, bands=4,
+                              jaccard_threshold=0.5)
+    idx.add(corpus.filter(F.col("doc_id").isin(0, 4)))
+    idx.add(corpus.filter(F.col("doc_id").isin(1, 6)))
+    idx.remove(spark.createDataFrame([(0,)], "doc_id long"))
+    out = idx.compact()
+    assert out == {"batches": 1, "members": 3}
+    assert idx.meta["batches"] == [2] and idx.meta["tombstone_batches"] == []
+    # doc 0's signature class had no other member: fully gone
+    sigs = idx._read_committed("sigs")
+    members = idx._read_committed("members")
+    assert members.filter(F.col("doc_id") == 0).count() == 0
+    assert sigs.join(members, "_sig", "left_anti").count() == 0
+    # behavior preserved: doc 5 (copy of BASE) pairs with live doc 1,
+    # not the compacted-away doc 0
+    got = _pairs(idx.add(corpus.filter(F.col("doc_id") == 5)))
+    assert (1, 5) in got and not any(0 in p for p in got)

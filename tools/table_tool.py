@@ -37,6 +37,12 @@ Commands:
     health                       per-epoch pipeline report from lineage;
                                  exit 1 + anomaly JSON on stderr when
                                  something needs paging
+    syncindex <kind> <idx_root>  advance a CDC-maintained index
+                                 (bm25|trigram|ivf|minhash) from this
+                                 table's changelog since its cursor
+    syncjoinview <view> <other>  advance the materialized join view at
+                                 <view>; this table and <other> are the
+                                 two sides
 
 Every command prints machine-readable JSON on stdout; exit 0 on success.
 """
@@ -146,6 +152,41 @@ def main(argv: list[str]) -> int:
         print(json.dumps({"anomalies": anomalies}, sort_keys=True, default=str),
               file=sys.stderr)
         return 0 if not anomalies else 1
+    elif cmd == "syncindex":
+        # advance a CDC-maintained index artifact (bm25|trigram|ivf|
+        # minhash) from this table's changelog since its stored cursor
+        kind, idx_root = args[0], args[1]
+        if kind == "bm25":
+            from datax_spark.operators.text_index import Bm25Index
+
+            out = Bm25Index(spark, idx_root).sync(table)
+        elif kind == "trigram":
+            from datax_spark.operators.trigram_index import TrigramIndex
+
+            out = TrigramIndex(spark, idx_root).sync(table)
+        elif kind == "ivf":
+            from datax_spark.operators.ann_index import IvfIndex
+
+            out = IvfIndex(spark, idx_root).sync(table)
+        elif kind == "minhash":
+            from datax_spark.operators.dedup_index import MinHashIndex
+
+            pairs = MinHashIndex.load(spark, idx_root).sync(table)
+            out = {"new_pairs": pairs.count()}
+        else:
+            print(f"unknown index kind {kind!r} "
+                  f"(bm25|trigram|ivf|minhash)", file=sys.stderr)
+            return 2
+        print(json.dumps(out, sort_keys=True))
+    elif cmd == "syncjoinview":
+        # advance the materialized join view <view_root> whose OTHER
+        # side is <other_root>; this table is side A or B — order-free
+        from datax_spark.operators.incremental_view import sync_join_view
+
+        view = IceTable.load(spark, args[0])
+        other = IceTable.load(spark, args[1])
+        out = sync_join_view(view, table, other)
+        print(json.dumps(out, sort_keys=True))
     elif cmd == "report":
         meta = table.metadata()
         print(json.dumps(
