@@ -114,9 +114,10 @@ class IvfIndex:
             cb.write.mode("overwrite").parquet(str(root / "pq_codebook"))
             codes = pq_encode(corpus, cb, pq_m, pq_dim, id_col, vec_col)
             tagged = tagged.join(codes, id_col)
-        tagged.withColumn("seg", F.lit(0)).write.mode("overwrite").partitionBy(
-            "cell", "seg"
-        ).parquet(str(root / "corpus"))
+        tagged = tagged.withColumn("seg", F.lit(0))
+        tagged.write.mode("overwrite").partitionBy("cell", "seg").parquet(
+            str(root / "corpus")
+        )
         tagged_back = spark.read.parquet(str(root / "corpus"))
         cents = cell_centroids(tagged_back, "cell", vec_col)
         cents.coalesce(1).write.mode("overwrite").parquet(str(root / "centroids"))
@@ -125,6 +126,9 @@ class IvfIndex:
 
         meta = {
             "format": FORMAT,
+            # read-side schema: a corpus compacted down to empty has
+            # fileless cell dirs, unreadable by inference
+            "corpus_schema": tagged.schema.json(),
             "n_cells": n_cells,
             "n_iter": n_iter,
             "train_fraction": train_fraction,
@@ -317,7 +321,13 @@ class IvfIndex:
         return self.spark.read.parquet(str(self.root / "pq_codebook"))
 
     def corpus(self, cells: list[int] | None = None) -> DataFrame:
-        df = self.spark.read.parquet(str(self.root / "corpus"))
+        reader = self.spark.read
+        sj = self.meta.get("corpus_schema")
+        if sj:
+            from pyspark.sql import types as T
+
+            reader = reader.schema(T.StructType.fromJson(json.loads(sj)))
+        df = reader.parquet(str(self.root / "corpus"))
         if cells is not None:
             # partition filter on the Hive layout: only cell=<c> dirs
             # are listed/scanned

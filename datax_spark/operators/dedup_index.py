@@ -154,19 +154,27 @@ class MinHashIndex:
     def _read_committed(
         self, kind: str, batches: list[int] | None = None, with_batch: bool = False
     ) -> DataFrame | None:
+        from pyspark.errors.exceptions.captured import AnalysisException
+
         if batches is None:
             batches = self.meta["batches"]
         dirs = [str(self.path / kind / f"batch={n}") for n in batches]
         if not dirs:
             return None
-        if with_batch:
-            # basePath keeps the batch=N partition column visible —
-            # tombstones are generation-scoped (kill batches < before),
-            # so a re-added id's NEW membership must stay live
-            return self.spark.read.option(
-                "basePath", str(self.path / kind)
-            ).parquet(*dirs)
-        return self.spark.read.parquet(*dirs)
+        try:
+            if with_batch:
+                # basePath keeps the batch=N partition column visible —
+                # tombstones are generation-scoped (kill batches <
+                # before), so a re-added id's NEW membership stays live
+                return self.spark.read.option(
+                    "basePath", str(self.path / kind)
+                ).parquet(*dirs)
+            return self.spark.read.parquet(*dirs)
+        except AnalysisException:
+            # every committed batch is fileless (adds of empty frames:
+            # a changelog span of pure deletes) — semantically nothing
+            # is stored
+            return None
 
     def _tombstone_map(self, staged: DataFrame | None = None) -> DataFrame | None:
         """Aggregated (doc_id, before_batch=max) over the COMMITTED

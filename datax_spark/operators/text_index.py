@@ -125,11 +125,16 @@ class Bm25Index:
         root = Path(root)
         spark = docs.sparkSession
         rows, stats = _postings(docs, id_col, text_col, n_buckets)
-        rows.withColumn("seg", F.lit(0)).write.mode("overwrite").partitionBy(
-            "bucket", "seg"
-        ).parquet(str(root / "postings"))
+        rows = rows.withColumn("seg", F.lit(0))
+        rows.write.mode("overwrite").partitionBy("bucket", "seg").parquet(
+            str(root / "postings")
+        )
         s = stats.collect()[0]
         meta = {
+            # the read-side schema: an index built over (or compacted
+            # down to) an EMPTY corpus has fileless postings dirs, which
+            # schema inference cannot read
+            "postings_schema": rows.schema.json(),
             "format": FORMAT,
             "n_buckets": n_buckets,
             "id_col": id_col,
@@ -282,7 +287,13 @@ class Bm25Index:
 
     # ---------------- read side ---------------- #
     def postings(self, buckets: list[int] | None = None) -> DataFrame:
-        df = self.spark.read.parquet(str(self.root / "postings"))
+        reader = self.spark.read
+        sj = self.meta.get("postings_schema")
+        if sj:  # explicit schema: empty dirs readable, no inference pass
+            from pyspark.sql import types as T
+
+            reader = reader.schema(T.StructType.fromJson(json.loads(sj)))
+        df = reader.parquet(str(self.root / "postings"))
         if buckets is not None:
             df = df.filter(F.col("bucket").isin([int(b) for b in buckets]))
         return df
@@ -344,6 +355,17 @@ class Bm25Index:
         one-shot path is the oracle for this artifact."""
         id_col = self.meta["id_col"]
         n_buckets = int(self.meta["n_buckets"])
+        if int(self.meta["n_docs"]) <= 0:
+            # empty index (built over / synced down to zero docs):
+            # nothing can match, and avgdl is undefined
+            return (
+                queries.limit(0)
+                .select(query_id_col)
+                .crossJoin(self.postings([]).select(F.col(id_col)).limit(0))
+                .withColumn("score", F.lit(0.0))
+                .withColumn("rank", F.lit(0).cast("bigint"))
+                .select(query_id_col, id_col, "score", "rank")
+            )
         qterms = (
             queries.select(
                 query_id_col, F.explode(_tokens(F.col(query_col))).alias("term")

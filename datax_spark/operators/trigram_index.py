@@ -107,11 +107,13 @@ class TrigramIndex:
         root = Path(root)
         rows = trigram_postings(docs, id_col, text_col).withColumn(
             "bucket", F.pmod(F.xxhash64("gram"), F.lit(n_buckets))
+        ).withColumn("seg", F.lit(0))
+        rows.write.mode("overwrite").partitionBy("bucket", "seg").parquet(
+            str(root / "postings")
         )
-        rows.withColumn("seg", F.lit(0)).write.mode("overwrite").partitionBy(
-            "bucket", "seg"
-        ).parquet(str(root / "postings"))
         meta = {
+            # empty-corpus dirs are fileless; inference cannot read them
+            "postings_schema": rows.schema.json(),
             "format": TrigramIndex.FORMAT,
             "n_buckets": n_buckets,
             "id_col": id_col,
@@ -258,7 +260,15 @@ class TrigramIndex:
         )
 
     def _live_postings(self, buckets: list[int] | None) -> DataFrame:
-        df = self.spark.read.parquet(str(self.root / "postings")).filter(
+        import json
+
+        reader = self.spark.read
+        sj = self.meta.get("postings_schema")
+        if sj:
+            from pyspark.sql import types as T
+
+            reader = reader.schema(T.StructType.fromJson(json.loads(sj)))
+        df = reader.parquet(str(self.root / "postings")).filter(
             F.col("seg") < F.lit(int(self.meta.get("next_seg", 1)))
         )
         if buckets is not None:

@@ -277,3 +277,95 @@ def test_sync_requires_matching_table(spark, tmp_path, docs):
     idx = Bm25Index.build(docs, tmp_path / "idx", n_buckets=8)
     with pytest.raises(ValueError, match="no cursor"):
         idx.sync(object())
+
+
+# -------- property: sync ≡ one-shot under ANY I/U/D/compact history -------- #
+
+from hypothesis import HealthCheck, given
+from hypothesis import settings as hsettings
+from hypothesis import strategies as st
+
+_KEYS = ["a", "b", "c", "d", "e"]
+_WORDS = ["quick brown fox", "lazy dog naps", "spark shuffle data",
+          "parquet column scan", "fox and dog tales"]
+
+_op = st.one_of(
+    st.dictionaries(st.sampled_from(_KEYS), st.integers(0, 4),
+                    min_size=1, max_size=3),          # upserts: key -> text id
+    st.sets(st.sampled_from(_KEYS), min_size=1, max_size=2),  # deletes
+    st.just("C"),                                      # index compact
+)
+
+
+@hsettings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_op, min_size=1, max_size=5))
+def test_sync_equals_one_shot_property(spark, tmp_path_factory, ops, queries):
+    """Differential: for ANY sequence of upsert/delete epochs through
+    the real merge path, interleaved with index compactions, the synced
+    index's probe AND its global stats equal a one-shot rebuild at
+    every step's end state. Derandomized: green means green."""
+    from pyspark.sql import types as T
+
+    from datax_spark.icetable.table import IceTable
+    from datax_spark.operators.merge import apply_epoch
+
+    base = tmp_path_factory.mktemp("bm25_prop")
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    t = IceTable.create(spark, base / "t", schema, num_partitions=2,
+                        key_column="url")
+    idx = Bm25Index.build_from_table(t, base / "idx", n_buckets=8,
+                                     id_col="doc_id")
+    model: dict[str, int] = {}
+    lsn = 0
+    epoch = 0
+    for op in ops:
+        if op == "C":
+            idx.compact()
+            continue
+        if isinstance(op, dict):
+            lsn += 1
+            rows = [
+                (k, _KEYS.index(k),
+                 f"{_WORDS[v]} about {k}",
+                 "U" if k in model else "I", lsn)
+                for k, v in sorted(op.items())
+            ]
+            model.update({k: v for k, v in op.items()})
+        else:
+            present = sorted(k for k in op if k in model)
+            if not present:
+                continue
+            lsn += 1
+            rows = [(k, _KEYS.index(k), None, "D", lsn) for k in present]
+            for k in present:
+                del model[k]
+        apply_epoch(
+            t,
+            spark.createDataFrame(
+                rows,
+                "url string, doc_id long, text string, op string, lsn long",
+            ),
+            epoch=epoch,
+            extract=False,
+        )
+        epoch += 1
+        idx.sync(t)
+
+    idx.sync(t)  # cursor current: no-op
+    want = Bm25Index.build(
+        t.read().select("doc_id", "text"), base / "want", n_buckets=8
+    )
+    assert idx.meta["n_docs"] == want.meta["n_docs"] == len(model)
+    assert idx.meta["sum_dl"] == want.meta["sum_dl"]
+    assert _rows(idx.probe(queries, k=5)) == _rows(want.probe(queries, k=5))
