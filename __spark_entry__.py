@@ -981,6 +981,35 @@ def q_join_view_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-side point reads (IceTable.lookup): current rows for a
+    small key batch through THREE pruning layers — partition-id subset,
+    key envelopes, bloom sidecars — before any data file opens; cost
+    tracks the looked-up keys' file slices, not the table. One key is
+    absent (no row, not an error). Oracle: the same keys filtered from
+    the raw corpus."""
+    from datax_spark.icetable.table import IceTable
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://doc/"), F.col("doc_id")).alias("url"),
+        "doc_id",
+        "text",
+    )
+
+    def _build(path):
+        tbl = IceTable.create(
+            spark, path, docs.schema, num_partitions=8, key_column="url"
+        )
+        tbl.bulk_overwrite(docs, epoch=0)
+
+    root = _ensure_diff_table(spark, sf_dir, "lookup", _build)
+    tbl = IceTable.load(spark, root)
+    return tbl.lookup(
+        ["https://doc/1", "https://doc/5", "https://doc/9",
+         "https://doc/-12345"]
+    )
+
+
 def q_full_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE prep flow in production order (curation.full_prep):
     Gopher gate → annotate → lang/quality → exact dedup → near-dup drop
@@ -3653,6 +3682,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_incremental": q_dedup_minhash_incremental,
     "dedup_minhash_sync": q_dedup_minhash_sync,
     "join_view_sync": q_join_view_sync,
+    "point_lookup": q_point_lookup,
     "url_canonicalize": q_url_canonicalize,
     "sample_deterministic": q_sample_deterministic,
     "token_budget_mix": q_token_budget_mix,
@@ -4796,6 +4826,9 @@ FROM documents GROUP BY 1""",
     # the incremental index's contract IS one-shot equivalence: same SQL
     "dedup_minhash_incremental": _minhash_oracle(),
     "dedup_minhash_sync": _minhash_sync_oracle(),
+    "point_lookup": """
+SELECT 'https://doc/' || doc_id AS url, doc_id, text
+FROM documents WHERE doc_id IN (1, 5, 9)""",
     "join_view_sync": """
 WITH a2 AS (
   SELECT 'https://doc/' || doc_id AS url, doc_id,

@@ -693,6 +693,45 @@ class IceTable:
             deletes=self.delete_entries(version),
         )
 
+    def lookup(
+        self,
+        keys,
+        version: int | None = None,
+        with_lsn: bool = False,
+    ) -> DataFrame:
+        """Point reads: the CURRENT row for each key (absent keys yield
+        no row) — the serving-side primitive behind "what is this url's
+        latest state". Three pruning layers before any data file opens:
+        the keys' partition-id subset, the per-partition key envelopes,
+        and the bloom sidecars (read_partitions) — so cost tracks the
+        LOOKED-UP keys' file slices, not the table. ``keys`` is a list
+        of key values or a single-column DataFrame named like the key
+        column; the final semi-join is broadcast (a lookup batch is
+        small by definition — use read_partitions directly for bulk
+        probes)."""
+        from datax_spark.functions.hashing import url_partition
+
+        key = self.key_column
+        if isinstance(keys, DataFrame):
+            keys_df = keys.select(key)
+        else:
+            kt = {f.name: f.dataType for f in self.schema(version).fields}[key]
+            keys_df = self.spark.createDataFrame(
+                [(k,) for k in keys], T.StructType([T.StructField(key, kt)])
+            )
+        pids = {
+            r["_p"]
+            for r in keys_df.select(
+                url_partition(key, self.num_partitions).alias("_p")
+            )
+            .distinct()
+            .collect()
+        }
+        df, _ = self.read_partitions(
+            pids, version, with_lsn=with_lsn, keys_df=keys_df
+        )
+        return df.join(F.broadcast(keys_df), key, "left_semi")
+
     def read_partitions(
         self,
         partition_ids: set[int],

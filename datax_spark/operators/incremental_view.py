@@ -217,24 +217,10 @@ def join_view_events(
     ch_b = table_b.read_changes(from_b, to_b)
     affected = ch_a.select(key).unionByName(ch_b.select(key)).distinct()
 
-    def _pruned_state(table, version):
-        from datax_spark.functions.hashing import url_partition
-
-        pids = {
-            r["_p"]
-            for r in affected.select(
-                url_partition(key, table.num_partitions).alias("_p")
-            )
-            .distinct()
-            .collect()
-        }
-        state, _ = table.read_partitions(pids, version, keys_df=affected)
-        # the pruned read is file-level; restrict to exactly the
-        # affected keys (broadcast — churn-sized)
-        return state.join(F.broadcast(affected), key, "left_semi")
-
-    a = _pruned_state(table_a, to_a)
-    b = _pruned_state(table_b, to_b)
+    # pruned point reads of the affected keys' post-images on each side
+    # (IceTable.lookup: pid subset + envelopes + bloom file skipping)
+    a = table_a.lookup(affected, version=to_a)
+    b = table_b.lookup(affected, version=to_b)
     joined = a.join(b.drop(*(set(b.columns) & set(a.columns) - {key})), key)
     payload_cols = [c for c in joined.columns if c != key]
     upserts = joined.select(

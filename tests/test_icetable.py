@@ -193,3 +193,48 @@ def test_commit_ledger_folds_to_watermark(spark, tmp_path):
     assert t.is_epoch_committed(5) and t.is_epoch_committed(299)
     assert not t.is_epoch_committed(300)
     assert 5 in t.committed_epochs() and 299 in t.committed_epochs()
+
+
+def test_lookup_point_reads(spark, tmp_path):
+    """lookup() returns exactly the live rows for the requested keys —
+    across partitions, after updates and MoR deletes, at a pinned
+    version — and prunes: the file set read is a strict subset when the
+    keys hash to one partition."""
+    from datax_spark.functions.hashing import url_partition
+
+    t = _mk(spark, tmp_path)
+    rows = [(f"u{i}", i, None, 10 + i) for i in range(12)]
+    rows = [
+        (u, v, spark.range(1).select(
+            url_partition(F.lit(u), 4)).first()[0], l)
+        for (u, v, _, l) in rows
+    ]
+    t.commit(0, {r[2] for r in rows}, t.stage_data_files(_df(spark, rows), epoch=0))
+    got = {r["url"]: r["val"] for r in t.lookup(["u3", "u7", "nope"]).collect()}
+    assert got == {"u3": 3, "u7": 7}
+
+    # update u3 via MoR staging, delete u7; lookup reflects the change,
+    # pinned-version lookup still sees the old state
+    v1 = t.current_version()
+    pid3 = [r[2] for r in rows if r[0] == "u3"][0]
+    files, dels = t.stage_data_and_delete_files(
+        _df(spark, [("u3", 33, pid3, 99)]),
+        spark.createDataFrame([("u3", pid3)], "url string, _pid int"),
+        epoch=1,
+    )
+    t.commit(1, {pid3}, files, added_deletes=dels)
+    pid7 = [r[2] for r in rows if r[0] == "u7"][0]
+    dels7 = t.stage_delete_files(
+        spark.createDataFrame([("u7", pid7)], "url string, _pid int"), epoch=2
+    )
+    t.commit(2, {pid7}, [], added_deletes=dels7)
+
+    got = {r["url"]: r["val"] for r in t.lookup(["u3", "u7"]).collect()}
+    assert got == {"u3": 33}
+    old = {r["url"]: r["val"] for r in t.lookup(["u3", "u7"], version=v1).collect()}
+    assert old == {"u3": 3, "u7": 7}
+
+    # keys as a DataFrame work too
+    kdf = spark.createDataFrame([("u0",), ("u3",)], "url string")
+    got = {r["url"]: r["val"] for r in t.lookup(kdf).collect()}
+    assert got == {"u0": 0, "u3": 33}
