@@ -359,6 +359,8 @@ def run_structured(
     checkpoint_dir: str | Path,
     lww_strategy: str = "auto",
     extract: bool = True,
+    derived: list | None = None,
+    derived_sync_every: int = 8,
 ) -> None:
     """Drive the same sink through real Structured Streaming.
 
@@ -367,7 +369,11 @@ def run_structured(
     null); the native EpochDriver is the canonical path for mid-stream
     column *appearance*. On a cluster the source line becomes
     ``spark.readStream.format("kafka")...`` with everything downstream
-    unchanged.
+    unchanged. ``derived`` mirrors EpochDriver's derived-state hook:
+    syncables catch up from the table changelog every
+    ``derived_sync_every`` micro-batches (their own cursors make the
+    cadence a freshness knob only — a foreachBatch retry or restart
+    never desynchronizes them).
     """
     sample = spark.read.option("mergeSchema", "true").parquet(str(Path(events_dir)))
     stream = (
@@ -384,6 +390,9 @@ def run_structured(
             lww_strategy=lww_strategy,
             extract=extract,
         )
+        if derived and (int(epoch_id) + 1) % max(derived_sync_every, 1) == 0:
+            for d in derived:
+                d.sync(table)
 
     q = (
         stream.writeStream.foreachBatch(_sink)

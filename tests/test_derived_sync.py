@@ -127,3 +127,34 @@ def test_agg_view_sync_in_driver(spark, tmp_path):
     # re-load from disk: cursor persisted; no-op sync
     view2 = AggViewSync(spark, tmp_path / "view", table, ["lang"])
     assert view2.sync(table)["changed"] == 0
+
+
+def test_run_structured_derived_sync(spark, tmp_path):
+    """The readStream/foreachBatch path shares the derived-state hook:
+    after the availableNow drive plus a final sync, the registered
+    index equals a one-shot rebuild over the final table."""
+    from datax_spark.streaming.driver import run_structured
+
+    spec = EventLogSpec(
+        n_events=800, n_urls=150, n_domains=8, n_epochs=4,
+        evolve_at_epoch=None, dirty_per_epoch=0, seed=3,
+    )
+    generate_event_log(tmp_path / "events", spec)
+    table = IceTable.create(spark, tmp_path / "t", SCHEMA, num_partitions=4)
+    bm25 = Bm25Index.build_from_table(
+        table, tmp_path / "bm25", n_buckets=8, id_col="url"
+    )
+    run_structured(
+        spark, tmp_path / "events", table, tmp_path / "ckpt",
+        derived=[bm25], derived_sync_every=2,
+    )
+    bm25.sync(table)
+    docs = table.read().select("url", "text")
+    want = Bm25Index.build(
+        docs, tmp_path / "want", n_buckets=8, id_col="url"
+    )
+    queries = spark.createDataFrame(
+        [(0, "example heading paragraph")], "query_id long, query string"
+    )
+    assert _probe_rows(bm25, queries) == _probe_rows(want, queries)
+    assert bm25.meta["n_docs"] == docs.count()
