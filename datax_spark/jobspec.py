@@ -1171,6 +1171,7 @@ def _run_batch_job_body(
                 n_buckets=int(writer.get("numBuckets", 64)),
                 id_col=writer.get("idColumn", "doc_id"),
                 text_col=writer.get("textColumn", "text"),
+                where=writer.get("where"),
             )
         elif wtype == "trigram_index":
             from datax_spark.operators.trigram_index import (
@@ -1181,6 +1182,7 @@ def _run_batch_job_body(
                 n_buckets=int(writer.get("numBuckets", 64)),
                 id_col=writer.get("idColumn", "doc_id"),
                 text_col=writer.get("textColumn", "text"),
+                where=writer.get("where"),
             )
         else:
             from datax_spark.operators.ann_index import IvfIndex as IndexCls

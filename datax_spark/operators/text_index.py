@@ -121,9 +121,17 @@ class Bm25Index:
         id_col: str = "doc_id",
         text_col: str = "text",
         source: dict | None = None,
+        where: str | None = None,
     ) -> "Bm25Index":
+        """``where`` scopes the index to a SQL predicate over the doc
+        rows, FROZEN in meta: sync() keeps applying it, so an update
+        that moves a doc across the predicate boundary becomes an
+        index insert or delete (the pre-image is tombstoned either
+        way — tombstoning a never-indexed id is harmless)."""
         root = Path(root)
         spark = docs.sparkSession
+        if where:
+            docs = docs.filter(F.expr(where))
         rows, stats = _postings(docs, id_col, text_col, n_buckets)
         rows = rows.withColumn("seg", F.lit(0))
         rows.write.mode("overwrite").partitionBy("bucket", "seg").parquet(
@@ -143,6 +151,8 @@ class Bm25Index:
             "sum_dl": int(s["sum_dl"] or 0),
             "next_seg": 1,
         }
+        if where:
+            meta["where"] = where
         if source:
             meta["source"] = source
         _write_meta(root, meta)
@@ -155,19 +165,23 @@ class Bm25Index:
         n_buckets: int = 64,
         id_col: str = "doc_id",
         text_col: str = "text",
+        where: str | None = None,
     ) -> "Bm25Index":
         """Build from an IceTable's CURRENT state and remember the
         (path, version) cursor so ``sync`` can maintain the index from
-        the table's changelog instead of rebuilding."""
+        the table's changelog instead of rebuilding. ``where`` may
+        reference ANY table column (e.g. ``lang = 'en'``) — the
+        predicate travels in meta and sync keeps applying it to the
+        changelog post-images."""
         v = table.current_version()
-        docs = table.read(v).select(id_col, text_col)
         return Bm25Index.build(
-            docs,
+            table.read(v),  # full rows: the predicate sees every column
             root,
             n_buckets=n_buckets,
             id_col=id_col,
             text_col=text_col,
             source={"path": str(table.root), "version": v},
+            where=where,
         )
 
     def _commit_meta(self) -> None:
@@ -257,11 +271,24 @@ class Bm25Index:
             raise ValueError(f"cursor at v{frm} is past requested v{to}")
         if to == frm:
             return {"removed": 0, "added": 0, "from": frm, "to": to}
-        ch = table.read_changes(frm, to, pre_images=True).select(
-            "_op", id_col, text_col
+        ch = table.read_changes(frm, to, pre_images=True)
+        removed = ch.filter(F.col("_op").isin("D", "UB")).select(
+            id_col, text_col
         )
-        removed = ch.filter(F.col("_op").isin("D", "UB")).drop("_op")
-        added = ch.filter(F.col("_op").isin("I", "UA")).drop("_op")
+        added = ch.filter(F.col("_op").isin("I", "UA"))
+        where = self.meta.get("where")
+        if where:
+            # predicate-scoped index: only matching post-images enter;
+            # pre-images are tombstoned unconditionally, so an update
+            # crossing the predicate boundary becomes an index
+            # insert/delete. The removal-side stats subtraction must
+            # mirror what was INDEXED, so it applies the predicate to
+            # the pre-image rows.
+            added = added.filter(F.expr(where))
+            removed = ch.filter(F.col("_op").isin("D", "UB")).filter(
+                F.expr(where)
+            ).select(id_col, text_col)
+        added = added.select(id_col, text_col)
         out = self.apply_changes(
             removed, added, meta_extra={"source": {**src, "version": to}}
         )

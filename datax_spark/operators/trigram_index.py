@@ -99,12 +99,15 @@ class TrigramIndex:
         id_col: str = "doc_id",
         text_col: str = "text",
         source: dict | None = None,
+        where: str | None = None,
     ) -> "TrigramIndex":
         from pathlib import Path
 
         from datax_spark.operators.text_index import _write_meta
 
         root = Path(root)
+        if where:
+            docs = docs.filter(F.expr(where))
         rows = trigram_postings(docs, id_col, text_col).withColumn(
             "bucket", F.pmod(F.xxhash64("gram"), F.lit(n_buckets))
         ).withColumn("seg", F.lit(0))
@@ -122,24 +125,28 @@ class TrigramIndex:
         }
         if source:
             meta["source"] = source
+        if where:
+            meta["where"] = where
         _write_meta(root, meta)
         return TrigramIndex(docs.sparkSession, root)
 
     @staticmethod
     def build_from_table(
         table, root, n_buckets: int = 64, id_col: str = "doc_id",
-        text_col: str = "text",
+        text_col: str = "text", where: str | None = None,
     ) -> "TrigramIndex":
         """Build from an IceTable's current state with a version cursor
-        for ``sync`` — the Bm25Index.build_from_table contract."""
+        for ``sync`` — the Bm25Index.build_from_table contract,
+        including the frozen ``where`` predicate scope."""
         v = table.current_version()
         return TrigramIndex.build(
-            table.read(v).select(id_col, text_col),
+            table.read(v),  # full rows: the predicate sees every column
             root,
             n_buckets=n_buckets,
             id_col=id_col,
             text_col=text_col,
             source={"path": str(table.root), "version": v},
+            where=where,
         )
 
     def add(self, new_docs: DataFrame) -> None:
@@ -216,12 +223,18 @@ class TrigramIndex:
             raise ValueError(f"cursor at v{frm} is past requested v{to}")
         if to == frm:
             return {"removed": 0, "added": 0, "from": frm, "to": to}
-        ch = table.read_changes(frm, to, pre_images=True).select(
-            "_op", id_col, text_col
-        )
+        ch = table.read_changes(frm, to, pre_images=True)
+        removed = ch.filter(F.col("_op").isin("D", "UB"))
+        added = ch.filter(F.col("_op").isin("I", "UA"))
+        where = self.meta.get("where")
+        if where:
+            # predicate-scoped: only matching post-images enter; only
+            # pre-images that matched (= were indexed) tombstone
+            removed = removed.filter(F.expr(where))
+            added = added.filter(F.expr(where))
         out = self.apply_changes(
-            ch.filter(F.col("_op").isin("D", "UB")).select(id_col),
-            ch.filter(F.col("_op").isin("I", "UA")).drop("_op"),
+            removed.select(id_col),
+            added.select(id_col, text_col),
             meta_extra={"source": {**src, "version": to}},
         )
         return {**out, "from": frm, "to": to}

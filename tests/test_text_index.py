@@ -369,3 +369,69 @@ def test_sync_equals_one_shot_property(spark, tmp_path_factory, ops, queries):
     assert idx.meta["n_docs"] == want.meta["n_docs"] == len(model)
     assert idx.meta["sum_dl"] == want.meta["sum_dl"]
     assert _rows(idx.probe(queries, k=5)) == _rows(want.probe(queries, k=5))
+
+
+def test_predicate_scoped_sync(spark, tmp_path, queries):
+    """A where-scoped index (lang = 'en' serving shape): updates that
+    move a doc ACROSS the predicate boundary become index inserts/
+    deletes, stats stay exact, and the synced index equals a one-shot
+    rebuild over the filtered corpus."""
+    from pyspark.sql import types as T
+
+    from datax_spark.icetable.table import IceTable
+    from datax_spark.operators.merge import apply_epoch
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    t = IceTable.create(
+        spark, tmp_path / "t", schema, num_partitions=2, key_column="url"
+    )
+    t.bulk_overwrite(
+        spark.createDataFrame(
+            [(f"u{i}", i, txt, "en" if i % 2 == 0 else "de")
+             for i, txt in DOCS],
+            schema,
+        ),
+        epoch=0,
+    )
+    idx = Bm25Index.build_from_table(
+        t, tmp_path / "idx", n_buckets=8, id_col="doc_id",
+        where="lang = 'en'",
+    )
+    assert idx.meta["n_docs"] == 4  # even doc_ids only
+
+    ev = "url string, doc_id long, text string, lang string, op string, lsn long"
+    apply_epoch(
+        t,
+        spark.createDataFrame(
+            [
+                # doc 1 (de) becomes en: index INSERT
+                ("u1", 1, DOCS[1][1], "en", "U", 10),
+                # doc 2 (en) becomes de: index DELETE
+                ("u2", 2, DOCS[2][1], "de", "U", 11),
+                # doc 0 stays en with new text: tombstone + re-add
+                ("u0", 0, "quick red fox revisited", "en", "U", 12),
+                # doc 5 (de) updated within de: index no-op
+                ("u5", 5, "noch ein text", "de", "U", 13),
+            ],
+            ev,
+        ),
+        epoch=1,
+        extract=False,
+    )
+    out = idx.sync(t)
+    assert out["removed"] == 2 and out["added"] == 2  # u2+u0 out, u1+u0 in
+
+    want = Bm25Index.build(
+        t.read().filter("lang = 'en'").select("doc_id", "text"),
+        tmp_path / "want", n_buckets=8,
+    )
+    assert idx.meta["n_docs"] == want.meta["n_docs"] == 4
+    assert idx.meta["sum_dl"] == want.meta["sum_dl"]
+    assert _rows(idx.probe(queries, k=4)) == _rows(want.probe(queries, k=4))
