@@ -145,6 +145,42 @@ def compile_jdbc_reader(reader: dict[str, Any]) -> JdbcReaderPlan:
     )
 
 
+def compile_jdbc_plans(reader: dict[str, Any]) -> list[JdbcReaderPlan]:
+    """DataX's sharded-source config (分库分表, public plugin docs):
+    ``connection`` may be a LIST of entries, each naming one database
+    (``jdbcUrl`` — itself a list in DataX, first entry preferred, rest
+    failover) and a LIST of same-schema tables; the logical source is
+    the union of every (database, table) shard. Each shard compiles to
+    its own JdbcReaderPlan — splitPk range-parallelism applies WITHIN a
+    shard, so total scan parallelism is shards × numPartitions, exactly
+    DataX's channel-per-split fan-out. Per-connection ``querySql``
+    (also a list in DataX) replaces the table list for that database."""
+    conns = reader.get("connection")
+    if not isinstance(conns, list):
+        return [compile_jdbc_reader(reader)]
+    plans: list[JdbcReaderPlan] = []
+    for conn in conns:
+        urls = conn.get("jdbcUrl") or reader.get("jdbcUrl")
+        url = urls[0] if isinstance(urls, (list, tuple)) else urls
+        qsqls = conn.get("querySql")
+        if qsqls:
+            qsqls = qsqls if isinstance(qsqls, (list, tuple)) else [qsqls]
+            for q in qsqls:
+                sub = {**reader, "querySql": q,
+                       "connection": {"jdbcUrl": url}}
+                plans.append(compile_jdbc_reader(sub))
+            continue
+        tables = conn.get("table") or reader.get("table")
+        tables = tables if isinstance(tables, (list, tuple)) else [tables]
+        for tbl in tables:
+            sub = {**reader, "connection": {"jdbcUrl": url, "table": tbl}}
+            sub.pop("querySql", None)
+            plans.append(compile_jdbc_reader(sub))
+    if not plans:
+        raise ValueError("reader.connection lists no (jdbcUrl, table) shard")
+    return plans
+
+
 # DataX column types (public plugin docs) → Spark SQL types
 _DATAX_TYPES = {
     "long": "bigint", "double": "double", "string": "string",
@@ -190,7 +226,10 @@ def compile_reader(spark: SparkSession, reader: dict[str, Any]) -> DataFrame:
     reader = _resolve_catalog_path(spark, reader)
     rtype = reader.get("type", "parquet")
     if rtype == "jdbc":
-        df = compile_jdbc_reader(reader).load(spark)
+        plans = compile_jdbc_plans(reader)
+        df = plans[0].load(spark)
+        for p in plans[1:]:  # sharded source: union of same-schema shards
+            df = df.unionByName(p.load(spark))
     elif reader.get("querySql"):
         return spark.sql(reader["querySql"])
     elif rtype == "parquet":

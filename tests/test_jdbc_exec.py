@@ -131,3 +131,61 @@ def test_jdbc_writer_modes_via_jobspec(spark, tmp_path, db_url):
         spark.read.jdbc(db_url, "sink", properties={"driver": DRIVER}).count()
         == 10
     )
+
+
+def test_sharded_connection_union(spark, tmp_path):
+    """DataX 分库分表: connection as a LIST of databases × table lists —
+    the logical source is the union of every shard, with splitPk range
+    parallelism applying per shard. Runs for real against two embedded
+    Derby databases with two tables each."""
+    from datax_spark.jobspec import compile_jdbc_plans, run_batch_job
+
+    urls = [_url(tmp_path, "shard0"), _url(tmp_path, "shard1")]
+    n = 0
+    for url in urls:
+        for tbl in ("t_a", "t_b"):
+            spark.range(n * 10, n * 10 + 10).selectExpr(
+                "id AS pk", "CAST(id % 3 AS INT) AS grp"
+            ).write.jdbc(url, tbl, properties={"driver": DRIVER})
+            n += 1
+    reader = {
+        "type": "jdbc",
+        "driver": DRIVER,
+        "connection": [
+            {"jdbcUrl": [urls[0]], "table": ["t_a", "t_b"]},
+            {"jdbcUrl": [urls[1]], "table": ["t_a", "t_b"]},
+        ],
+        "splitPk": "pk",
+        "numPartitions": 2,
+    }
+    plans = compile_jdbc_plans(reader)
+    assert len(plans) == 4 and all(p.partition_column == "pk" for p in plans)
+
+    out = run_batch_job(
+        spark,
+        {"reader": reader,
+         "writer": {"type": "parquet", "path": str(tmp_path / "out"),
+                    "mode": "overwrite"}},
+    )
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert got.count() == 40
+    assert sorted(r["pk"] for r in got.collect()) == list(range(40))
+
+    # per-connection querySql replaces that database's table list
+    reader_q = {
+        "type": "jdbc",
+        "driver": DRIVER,
+        "connection": [
+            {"jdbcUrl": urls[0],
+             "querySql": ["SELECT \"pk\" FROM t_a WHERE \"pk\" < 5"]},
+            {"jdbcUrl": urls[1], "table": ["t_a"]},
+        ],
+    }
+    plans = compile_jdbc_plans(reader_q)
+    assert len(plans) == 2
+    rows = plans[0].load(spark).unionByName(
+        plans[1].load(spark).select("pk")
+    )
+    assert sorted(r["pk"] for r in rows.collect()) == [0, 1, 2, 3, 4,
+                                                       20, 21, 22, 23, 24,
+                                                       25, 26, 27, 28, 29]
