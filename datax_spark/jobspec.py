@@ -705,21 +705,49 @@ def _write_batch_output(spark: SparkSession, df: DataFrame, writer: dict[str, An
         writer = _resolve_catalog_path(spark, writer)
         wtype = writer.get("type", "parquet")
         mode = writer.get("mode", "error")
+        def _file_writer():
+            # shared DataX hdfswriter-style knobs for every file format:
+            # hive-style partition dirs (partitionBy), output compression
+            # (compress: gzip/snappy/zstd/... — format-appropriate), and
+            # a per-file record cap (maxRecordsPerFile: bounds single
+            # files on skewed partitions without a repartition)
+            w = df.write.mode(mode)
+            pb = writer.get("partitionBy")
+            if pb:
+                w = w.partitionBy(*([pb] if isinstance(pb, str) else pb))
+            if writer.get("compress"):
+                w = w.option("compression", writer["compress"])
+            if writer.get("maxRecordsPerFile"):
+                w = w.option(
+                    "maxRecordsPerFile", int(writer["maxRecordsPerFile"])
+                )
+            return w
+
         if wtype == "parquet":
-            df.write.mode(mode).parquet(str(writer["path"]))
+            _file_writer().parquet(str(writer["path"]))
         elif wtype == "csv":
-            (
-                df.write.mode(mode)
+            w = (
+                _file_writer()
                 .option("header", str(writer.get("header", True)).lower())
                 .option("sep", writer.get("delimiter", ","))
-                .csv(str(writer["path"]))
             )
+            # DataX txtfilewriter knobs: nullFormat (the string written
+            # for NULL), encoding, date/timestamp rendering
+            if writer.get("nullFormat") is not None:
+                w = w.option("nullValue", writer["nullFormat"])
+            if writer.get("encoding"):
+                w = w.option("encoding", writer["encoding"])
+            if writer.get("dateFormat"):
+                w = w.option("dateFormat", writer["dateFormat"])
+            if writer.get("timestampFormat"):
+                w = w.option("timestampFormat", writer["timestampFormat"])
+            w.csv(str(writer["path"]))
         elif wtype == "orc":
-            df.write.mode(mode).orc(str(writer["path"]))
+            _file_writer().orc(str(writer["path"]))
         elif wtype == "json":
-            df.write.mode(mode).json(str(writer["path"]))
+            _file_writer().json(str(writer["path"]))
         elif wtype == "text":
-            df.write.mode(mode).text(str(writer["path"]))
+            _file_writer().text(str(writer["path"]))
         elif wtype == "debezium":
             # CDC egress in the public wire format: a canonical
             # change-event feed (e.g. reader.type "icetable_changes")

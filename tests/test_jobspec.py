@@ -812,3 +812,38 @@ def test_icetable_join_view_writer(spark, tmp_path):
     }
     # current: no epoch
     assert run_batch_job(spark, spec).collect()[0]["epoch"] is None
+
+
+def test_file_writer_partitioning_and_options(spark, tmp_path):
+    """hdfswriter-style knobs on the file writers: hive-style partition
+    dirs, compression, per-file record caps, csv nullFormat."""
+    df = spark.range(20).selectExpr(
+        "id", "CAST(id % 2 AS STRING) AS part",
+        "CASE WHEN id % 5 = 0 THEN NULL ELSE CONCAT('v', id) END AS val",
+    )
+    from datax_spark.jobspec import _write_batch_output
+
+    _write_batch_output(
+        spark, df,
+        {"type": "parquet", "path": str(tmp_path / "p"),
+         "mode": "overwrite", "partitionBy": ["part"],
+         "compress": "zstd", "maxRecordsPerFile": 4},
+    )
+    import glob
+
+    assert (tmp_path / "p" / "part=0").exists()
+    assert (tmp_path / "p" / "part=1").exists()
+    files = glob.glob(str(tmp_path / "p" / "part=*/*.zstd.parquet"))
+    assert files, "zstd parquet files expected"
+    back = spark.read.parquet(str(tmp_path / "p"))
+    assert back.count() == 20 and set(back.columns) == {"id", "part", "val"}
+
+    _write_batch_output(
+        spark, df.drop("part"),
+        {"type": "csv", "path": str(tmp_path / "c"), "mode": "overwrite",
+         "nullFormat": "\\\\N", "header": False},
+    )
+    text = "".join(
+        open(f).read() for f in glob.glob(str(tmp_path / "c" / "*.csv"))
+    )
+    assert "\\\\N" in text  # NULLs rendered as the DataX nullFormat
