@@ -238,6 +238,17 @@ def compile_reader(spark: SparkSession, reader: dict[str, Any]) -> DataFrame:
         r = spark.read.option(
             "header", str(reader.get("header", True)).lower()
         ).option("sep", reader.get("delimiter", ","))
+        # DataX txtfilereader knobs, mirrored from the writer side
+        if reader.get("nullFormat") is not None:
+            r = r.option("nullValue", reader["nullFormat"])
+        if reader.get("encoding"):
+            r = r.option("encoding", reader["encoding"])
+        if reader.get("dateFormat"):
+            r = r.option("dateFormat", reader["dateFormat"])
+        if reader.get("timestampFormat"):
+            r = r.option("timestampFormat", reader["timestampFormat"])
+        if reader.get("compress"):
+            r = r.option("compression", reader["compress"])
         # explicit schema wins (one pass); otherwise infer (extra pass —
         # fine for DataX-style file sync, not for the CDC hot path)
         r = r.schema(reader["schema"]) if reader.get("schema") else r.option(

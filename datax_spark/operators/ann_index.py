@@ -135,6 +135,7 @@ class IvfIndex:
             "id_col": id_col,
             "vec_col": vec_col,
             "rows": n_rows,
+            "built_rows": n_rows,  # frozen: drift_report's denominator
             "next_seg": 1,
             "pq": None if pq_m is None else {
                 "m": pq_m, "k_codes": pq_codes, "dim": pq_dim,
@@ -291,6 +292,38 @@ class IvfIndex:
             meta_extra={"source": {**src, "version": to}},
         )
         return {**out, "from": frm, "to": to}
+
+    def drift_report(self) -> dict:
+        """Rebuild advisory for the frozen quantizer: live-row growth
+        vs build time and cell-size imbalance. IVF quality degrades
+        when churn reshapes the distribution the centroids were trained
+        on — sync() keeps results CORRECT for what is indexed, but
+        probe recall/cost balance drifts. One cheap aggregate over the
+        live corpus (cells only — vectors unread thanks to column
+        pruning). ``needs_rebuild`` trips when live rows moved >2× from
+        build or the largest cell holds >4× the mean."""
+        built = int(self.meta.get("built_rows", self.meta["rows"]))
+        live = int(self.meta["rows"])
+        sizes = [
+            int(r["n"])
+            for r in self._live_corpus(None)
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ]
+        mean = (sum(sizes) / len(sizes)) if sizes else 0.0
+        imbalance = (max(sizes) / mean) if mean else 0.0
+        growth = (live / built) if built else float("inf")
+        return {
+            "built_rows": built,
+            "live_rows": live,
+            "growth": round(growth, 3),
+            "cells_live": len(sizes),
+            "max_cell_over_mean": round(imbalance, 3),
+            "needs_rebuild": bool(
+                growth > 2.0 or growth < 0.5 or imbalance > 4.0
+            ),
+        }
 
     def compact(self) -> None:
         """Fold tombstones into the cell lists (rewrite live rows only,

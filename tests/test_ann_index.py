@@ -164,3 +164,28 @@ def test_sync_matches_bruteforce_and_compact(spark, tmp_path):
 
     # cursor no-op
     assert idx.sync(t)["added"] == 0
+
+
+def test_drift_report_advisory(spark, tmp_path):
+    """The frozen quantizer's rebuild advisory: fresh index is calm;
+    tripling the corpus through adds trips needs_rebuild on growth."""
+    dim = 4
+    base = spark.createDataFrame(
+        [(i, [float((i * 3 + j) % 7 - 3) for j in range(dim)])
+         for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = IvfIndex.build(base, tmp_path / "idx", n_cells=2, n_iter=2)
+    rep = idx.drift_report()
+    assert rep["built_rows"] == rep["live_rows"] == 10
+    assert not rep["needs_rebuild"]
+
+    more = spark.createDataFrame(
+        [(100 + i, [float((i * 5 + j) % 9 - 4) for j in range(dim)])
+         for i in range(25)],
+        "vec_id long, embedding array<double>",
+    )
+    idx.add(more)
+    rep = idx.drift_report()
+    assert rep["live_rows"] == 35 and rep["growth"] == 3.5
+    assert rep["needs_rebuild"]
