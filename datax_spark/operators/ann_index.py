@@ -293,6 +293,43 @@ class IvfIndex:
         )
         return {**out, "from": frm, "to": to}
 
+    def purge_ids(self, ids) -> dict:
+        """Physical erasure of the ids' vectors and codes (the
+        Bm25Index purge_ids contract): count what is actually live,
+        tombstone, fix the row count, compact immediately."""
+        id_col = self.meta["id_col"]
+        if not isinstance(ids, DataFrame):
+            from pyspark.sql import types as T
+
+            fields = T.StructType.fromJson(
+                json.loads(self.meta["corpus_schema"])
+            )
+            idt = {f.name: f.dataType for f in fields}[id_col]
+            ids = self.spark.createDataFrame(
+                [(i,) for i in ids],
+                T.StructType([T.StructField(id_col, idt)]),
+            )
+        ids = ids.select(id_col)
+        n_rm = (
+            self._live_corpus(None)
+            .join(F.broadcast(ids), id_col, "left_semi")
+            .select(id_col)
+            .distinct()
+            .count()
+        )
+        from datax_spark.operators.text_index import _write_meta
+
+        seg = int(self.meta.get("next_seg", 1))
+        if n_rm:
+            ids.select(
+                F.col(id_col), F.lit(seg).alias("before_seg")
+            ).write.mode("append").parquet(str(self.root / "tombstones"))
+        self.meta["rows"] = int(self.meta["rows"]) - n_rm
+        self.meta["next_seg"] = seg + 1
+        _write_meta(self.root, self.meta)
+        self.compact()
+        return {"purged": n_rm}
+
     def drift_report(self) -> dict:
         """Rebuild advisory for the frozen quantizer: live-row growth
         vs build time and cell-size imbalance. IVF quality degrades

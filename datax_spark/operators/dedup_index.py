@@ -281,6 +281,19 @@ class MinHashIndex:
         self._write_meta()
         return pairs
 
+    def purge_ids(self, ids) -> dict:
+        """Physical erasure of the ids' signatures/membership (the
+        Bm25Index purge_ids contract): remove, then compact — dead
+        signature classes and their bucket rows are rewritten away, so
+        no MinHash fingerprint of the erased documents remains."""
+        if not isinstance(ids, DataFrame):
+            ids = self.spark.createDataFrame(
+                [(i,) for i in ids], [self.meta["id_col"]]
+            )
+        n = self.remove(ids)
+        self.compact()
+        return {"purged": n}
+
     def compact(self) -> dict:
         """Fold the batch chain + tombstones into ONE batch: live
         members only, signature classes with no remaining live member

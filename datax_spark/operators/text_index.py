@@ -294,6 +294,55 @@ class Bm25Index:
         )
         return {**out, "from": frm, "to": to}
 
+    def purge_ids(self, ids) -> dict:
+        """Right-to-be-forgotten for the INDEX artifact: the table's
+        purge_keys erases rows from every retained snapshot, but this
+        index still holds the erased docs' tokens — and the purged
+        history means no changelog pre-image exists to sync from. So
+        the removal stats come from the index's OWN postings (dl is
+        stored per row), the ids are tombstoned, and compact() runs
+        immediately: erasure must be physical, not a masking join.
+        Caveat: a zero-token doc has no postings to find, so its
+        n_docs contribution survives (there is no content to erase);
+        exactness restores at the next rebuild. ``ids`` is a list or a
+        single-column DataFrame named like id_col."""
+        id_col = self.meta["id_col"]
+        if not isinstance(ids, DataFrame):
+            ids = self.spark.createDataFrame(
+                [(i,) for i in ids], self._tombstone_id_schema()
+            )
+        ids = ids.select(id_col)
+        per_doc = (
+            self._live_postings(None)
+            .join(F.broadcast(ids), id_col, "left_semi")
+            .groupBy(id_col)
+            .agg(F.max("dl").alias("dl"))
+        )
+        s = per_doc.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("dl")
+        ).collect()[0]
+        n_rm, dl_rm = int(s["n"]), int(s["dl"] or 0)
+        seg = int(self.meta.get("next_seg", 1))
+        if n_rm:
+            ids.select(
+                F.col(id_col), F.lit(seg).alias("before_seg")
+            ).write.mode("append").parquet(str(self.root / "tombstones"))
+        self.meta["n_docs"] = int(self.meta["n_docs"]) - n_rm
+        self.meta["sum_dl"] = int(self.meta["sum_dl"]) - dl_rm
+        self.meta["next_seg"] = seg + 1
+        self._commit_meta()
+        self.compact()
+        return {"purged": n_rm}
+
+    def _tombstone_id_schema(self):
+        from pyspark.sql import types as T
+
+        fields = T.StructType.fromJson(
+            json.loads(self.meta["postings_schema"])
+        )
+        idt = {f.name: f.dataType for f in fields}[self.meta["id_col"]]
+        return T.StructType([T.StructField(self.meta["id_col"], idt)])
+
     def compact(self) -> dict:
         """Fold tombstones into the postings: rewrite ONLY the live
         rows (original seg values kept — a stale tombstone can never

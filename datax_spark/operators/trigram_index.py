@@ -239,6 +239,28 @@ class TrigramIndex:
         )
         return {**out, "from": frm, "to": to}
 
+    def purge_ids(self, ids) -> dict:
+        """Physical erasure of the ids' gram postings (the Bm25Index
+        purge_ids contract — no stats to adjust here): tombstone, then
+        compact immediately."""
+        import json as _json
+
+        from pyspark.sql import types as T
+
+        id_col = self.meta["id_col"]
+        if not isinstance(ids, DataFrame):
+            fields = T.StructType.fromJson(
+                _json.loads(self.meta["postings_schema"])
+            )
+            idt = {f.name: f.dataType for f in fields}["doc_id"]
+            ids = self.spark.createDataFrame(
+                [(i,) for i in ids],
+                T.StructType([T.StructField(id_col, idt)]),
+            )
+        out = self.apply_changes(ids.select(id_col), None)
+        self.compact()
+        return {"purged": out["removed"]}
+
     def compact(self) -> None:
         """Fold tombstones into the postings (rewrite live rows only,
         original seg values kept) and clear the tombstone log."""

@@ -189,3 +189,19 @@ def test_drift_report_advisory(spark, tmp_path):
     rep = idx.drift_report()
     assert rep["live_rows"] == 35 and rep["growth"] == 3.5
     assert rep["needs_rebuild"]
+
+
+def test_purge_ids_erases_vectors(spark, tmp_path):
+    """After purge_ids, no corpus row (vector or PQ codes) of the id
+    survives on disk and the row count is exact."""
+    dim = 4
+    base = spark.createDataFrame(
+        [(i, [float((i * 3 + j) % 7 - 3) for j in range(dim)])
+         for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = IvfIndex.build(base, tmp_path / "idx", n_cells=2, n_iter=2)
+    assert idx.purge_ids([3, 777]) == {"purged": 1}
+    assert idx.corpus(None).filter(F.col("vec_id") == 3).count() == 0
+    assert idx.meta["rows"] == 9
+    assert not (tmp_path / "idx" / "tombstones").exists()

@@ -238,3 +238,19 @@ def test_compact_folds_batches_and_tombstones(spark, corpus, tmp_path):
     # not the compacted-away doc 0
     got = _pairs(idx.add(corpus.filter(F.col("doc_id") == 5)))
     assert (1, 5) in got and not any(0 in p for p in got)
+
+
+def test_purge_ids_erases_fingerprints(spark, corpus, tmp_path):
+    """After purge_ids, no signature/membership/bucket row of the id
+    survives on disk, and a re-added identical doc pairs only with the
+    remaining copies."""
+    from pyspark.sql import functions as F
+
+    idx = MinHashIndex.create(spark, tmp_path / "idx", k=8, bands=4,
+                              jaccard_threshold=0.5)
+    idx.add(corpus.filter(F.col("doc_id").isin(0, 1, 4)))
+    assert idx.purge_ids([0]) == {"purged": 1}
+    members = idx._read_committed("members")
+    assert members.filter(F.col("doc_id") == 0).count() == 0
+    got = _pairs(idx.add(corpus.filter(F.col("doc_id") == 5)))
+    assert (1, 5) in got and not any(0 in p for p in got)

@@ -435,3 +435,22 @@ def test_predicate_scoped_sync(spark, tmp_path, queries):
     assert idx.meta["n_docs"] == want.meta["n_docs"] == 4
     assert idx.meta["sum_dl"] == want.meta["sum_dl"]
     assert _rows(idx.probe(queries, k=4)) == _rows(want.probe(queries, k=4))
+
+
+def test_purge_ids_physical_erasure(spark, tmp_path, docs, queries):
+    """Index-side right-to-be-forgotten: after purge_ids, NO posting
+    row for the doc survives on disk (physical, not masked), the
+    global stats match a one-shot rebuild without the doc, and probes
+    agree. Works without any changelog pre-image — the table's own
+    purge destroys those."""
+    idx = Bm25Index.build(docs, tmp_path / "idx", n_buckets=8)
+    assert idx.purge_ids([0, 99]) == {"purged": 1}  # 99 never existed
+    assert not (tmp_path / "idx" / "tombstones").exists()
+    # physical: the raw postings dir holds nothing for doc 0
+    assert idx.postings(None).filter(F.col("doc_id") == 0).count() == 0
+    want = Bm25Index.build(
+        docs.filter(F.col("doc_id") != 0), tmp_path / "want", n_buckets=8
+    )
+    assert idx.meta["n_docs"] == want.meta["n_docs"]
+    assert idx.meta["sum_dl"] == want.meta["sum_dl"]
+    assert _rows(idx.probe(queries, k=4)) == _rows(want.probe(queries, k=4))

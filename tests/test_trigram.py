@@ -175,3 +175,17 @@ def test_sync_matches_rebuild_and_compact(spark, tmp_path):
     assert _ids(idx.search(docs, "merge batch")) == before
     # cursor no-op
     assert idx.sync(t)["added"] == 0
+
+
+def test_purge_ids_erases_grams(spark, tmp_path):
+    from datax_spark.operators.trigram_index import TrigramIndex
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark)
+    idx = TrigramIndex.build(docs, tmp_path / "idx", n_buckets=8)
+    assert idx.purge_ids([1]) == {"purged": 1}
+    post = idx._live_postings(None)
+    assert post.filter(F.col("doc_id") == 1).count() == 0
+    assert not (tmp_path / "idx" / "tombstones").exists()
+    # results equal search over the corpus minus the purged doc
+    assert _ids(idx.search(docs, "merge batch")) == [4, 7]
