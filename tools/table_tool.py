@@ -40,6 +40,10 @@ Commands:
     syncindex <kind> <idx_root>  advance a CDC-maintained index
                                  (bm25|trigram|ivf|minhash) from this
                                  table's changelog since its cursor
+    register <kind> <root>       record a derived artifact in table
+                                 properties (purge + syncall reach it)
+    syncall                      advance every registered index
+                                 artifact from the changelog
     syncjoinview <view> <other>  advance the materialized join view at
                                  <view>; this table and <other> are the
                                  two sides
@@ -133,9 +137,27 @@ def main(argv: list[str]) -> int:
         print(json.dumps({"dropped": args[0], "version": v}))
     elif cmd == "purge":
         # hard-delete from RETAINED HISTORY too (vs `delete`, which only
-        # removes from the next snapshot): the erasure-request command
-        res = table.purge_keys(args)
+        # removes from the next snapshot): the erasure-request command.
+        # Registered derived artifacts (indexes, views) are purged in
+        # the same run — partial erasure is a compliance failure, so
+        # reaching everything is the default, not an option.
+        from datax_spark.operators.derived import purge_everywhere, registered
+
+        if registered(table):
+            res = purge_everywhere(spark, table, args)
+        else:
+            res = table.purge_keys(args)
         print(json.dumps(res, sort_keys=True))
+    elif cmd == "register":
+        # record a derived artifact: register <kind> <root>
+        from datax_spark.operators.derived import register, registered
+
+        register(table, args[0], args[1])
+        print(json.dumps(registered(table)))
+    elif cmd == "syncall":
+        from datax_spark.operators.derived import sync_all
+
+        print(json.dumps(sync_all(spark, table), sort_keys=True))
     elif cmd == "clone":
         cloned = table.clone(args[0])
         print(json.dumps({"target": args[0], "version": cloned.current_version()}))
