@@ -83,7 +83,10 @@ _LOADERS = {
 def sync_all(spark, table) -> dict:
     """Advance every registered index artifact from the table
     changelog. Join views are skipped here (their sync needs BOTH
-    source tables — use sync_join_view / the job writer)."""
+    source tables — use sync_join_view / the job writer). Note the
+    MinHash index's sync RETURNS the new near-dup pairs; this
+    maintenance path only counts them — a pipeline that consumes the
+    pairs (dedup decisions) should call its sync directly instead."""
     out = {}
     for e in registered(table):
         if e["kind"] == "icetable_view":

@@ -105,7 +105,11 @@ class EpochDriver:
         # replay, or missed tick never desynchronizes anything, and
         # snapshot expiry is EXTENDED to retain the oldest derived
         # cursor's version (an expired cursor would force a rebuild).
-        self.derived = list(derived or [])
+        # ``derived="auto"`` resolves the table's registered artifacts
+        # (operators/derived.py) at each maintenance tick — a
+        # registration made mid-ingest is picked up live.
+        self._derived_auto = derived == "auto"
+        self.derived = [] if self._derived_auto else list(derived or [])
         self.derived_sync_every = derived_sync_every
         # map the key column through functions/url.canonical_url before
         # every apply: tracking-param/case/port variants of one page
@@ -240,6 +244,14 @@ class EpochDriver:
 
     def _maybe_maintain(self, epoch: int) -> None:
         self._maybe_compact(epoch)
+        if self._derived_auto:
+            from datax_spark.operators.derived import _LOADERS, registered
+
+            self.derived = [
+                _LOADERS[e["kind"]](self.spark, e["root"])
+                for e in registered(self.table)
+                if e["kind"] != "icetable_view"
+            ]
         if self.derived and (epoch + 1) % max(self.derived_sync_every, 1) == 0:
             for d in self.derived:
                 d.sync(self.table)

@@ -158,3 +158,32 @@ def test_run_structured_derived_sync(spark, tmp_path):
     )
     assert _probe_rows(bm25, queries) == _probe_rows(want, queries)
     assert bm25.meta["n_docs"] == docs.count()
+
+
+def test_driver_auto_resolves_registered_artifacts(spark, tmp_path):
+    """derived='auto': the driver resolves the table's REGISTERED
+    artifacts at each maintenance tick — a registration made before
+    ingest is maintained without being passed to the constructor."""
+    from datax_spark.operators import derived
+
+    spec = EventLogSpec(
+        n_events=600, n_urls=120, n_domains=6, n_epochs=3,
+        evolve_at_epoch=None, dirty_per_epoch=0, seed=9,
+    )
+    generate_event_log(tmp_path / "events", spec)
+    table = IceTable.create(spark, tmp_path / "t", SCHEMA, num_partitions=4)
+    Bm25Index.build_from_table(table, tmp_path / "bm25", n_buckets=8,
+                               id_col="url")
+    derived.register(table, "bm25", tmp_path / "bm25")
+    drv = EpochDriver(
+        spark,
+        ChangeTailSource(spark, tmp_path / "events"),
+        table,
+        tmp_path / "ckpt",
+        derived="auto",
+        derived_sync_every=1,
+    )
+    drv.run()
+    idx = Bm25Index(spark, tmp_path / "bm25")
+    assert idx.meta["n_docs"] == table.read().count() > 0
+    assert idx.meta["source"]["version"] == table.current_version()
