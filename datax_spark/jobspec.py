@@ -1617,6 +1617,14 @@ def run_cdc_job(spark: SparkSession, spec: dict[str, Any]):
         # collapse tracking-param/case/port URL variants onto one
         # canonical key before partitioning (functions/url.py spec)
         canonicalize_urls=reader.get("canonicalizeUrl", False),
+        # writer.derived: "auto" maintains the table's REGISTERED
+        # artifacts inside the loop (operators/derived.py) every
+        # derivedSyncEvery epochs
+        derived=writer.get("derived"),
+        derived_sync_every=int(writer.get("derivedSyncEvery", 8)),
+        compact_every=writer.get("compactEvery"),
+        max_files_per_partition=writer.get("maxFilesPerPartition"),
+        expire_keep_last=writer.get("expireKeepLast"),
     )
     driver.run()
     return driver
