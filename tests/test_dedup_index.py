@@ -254,3 +254,102 @@ def test_purge_ids_erases_fingerprints(spark, corpus, tmp_path):
     assert members.filter(F.col("doc_id") == 0).count() == 0
     got = _pairs(idx.add(corpus.filter(F.col("doc_id") == 5)))
     assert (1, 5) in got and not any(0 in p for p in got)
+
+
+# ------ property: sync pairs ≡ one-shot restricted to changed docs ------ #
+
+from hypothesis import HealthCheck, given
+from hypothesis import settings as hsettings
+from hypothesis import strategies as st
+
+_KEYS = ["a", "b", "c", "d"]
+_TEXTS = [BASE, NEAR, OTHER, BASE + " coda"]
+
+_op = st.one_of(
+    st.dictionaries(st.sampled_from(_KEYS), st.integers(0, 3),
+                    min_size=1, max_size=2),   # upserts: key -> text id
+    st.sets(st.sampled_from(_KEYS), min_size=1, max_size=2),  # deletes
+    st.just("C"),                               # index compact
+)
+
+
+@hsettings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_op, min_size=1, max_size=4))
+def test_sync_pairs_equal_one_shot_property(spark, tmp_path_factory, ops):
+    """Differential: after EVERY sync in ANY upsert/delete/compact
+    history, the returned pairs equal the one-shot minhash_lsh_pairs
+    over the LIVE corpus restricted to pairs touching a doc changed in
+    that span. Derandomized; drives the real merge path."""
+    from pyspark.sql import types as T
+
+    from datax_spark.icetable.table import IceTable
+    from datax_spark.operators.merge import apply_epoch
+
+    base = tmp_path_factory.mktemp("mh_prop")
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    t = IceTable.create(spark, base / "t", schema, num_partitions=2,
+                        key_column="url")
+    idx, _ = MinHashIndex.create_from_table(
+        spark, t, base / "idx", k=8, bands=4, jaccard_threshold=0.5
+    )
+    model: dict[str, int] = {}
+    lsn = 0
+    epoch = 0
+    for op in ops:
+        if op == "C":
+            idx.compact()
+            continue
+        if isinstance(op, dict):
+            lsn += 1
+            rows = [
+                (k, _KEYS.index(k), _TEXTS[v],
+                 "U" if k in model else "I", lsn)
+                for k, v in sorted(op.items())
+            ]
+            changed = set(op)
+            model.update(op)
+        else:
+            present = sorted(k for k in op if k in model)
+            if not present:
+                continue
+            lsn += 1
+            rows = [(k, _KEYS.index(k), None, "D", lsn) for k in present]
+            changed = set(present)
+            for k in present:
+                del model[k]
+        apply_epoch(
+            t,
+            spark.createDataFrame(
+                rows,
+                "url string, doc_id long, text string, op string, lsn long",
+            ),
+            epoch=epoch,
+            extract=False,
+        )
+        epoch += 1
+        got = _pairs(idx.sync(t))
+        live = spark.createDataFrame(
+            [(_KEYS.index(k), _TEXTS[v]) for k, v in sorted(model.items())]
+            or [(None, None)],
+            "doc_id long, text string",
+        ).filter("doc_id IS NOT NULL")
+        changed_ids = {_KEYS.index(k) for k in changed}
+        want = {
+            p: j
+            for p, j in _pairs(
+                minhash_lsh_pairs(live, k=8, bands=4, jaccard_threshold=0.5)
+            ).items()
+            if p[0] in changed_ids or p[1] in changed_ids
+        }
+        assert got == want, (ops, model, changed, got, want)
