@@ -1622,6 +1622,7 @@ def run_cdc_job(spark: SparkSession, spec: dict[str, Any]):
         # derivedSyncEvery epochs
         derived=writer.get("derived"),
         derived_sync_every=int(writer.get("derivedSyncEvery", 8)),
+        ttl=writer.get("ttl"),
         compact_every=writer.get("compactEvery"),
         max_files_per_partition=writer.get("maxFilesPerPartition"),
         expire_keep_last=writer.get("expireKeepLast"),

@@ -51,6 +51,7 @@ class EpochDriver:
         fence_owner: str | None = None,
         derived: list | None = None,
         derived_sync_every: int = 8,
+        ttl: dict | None = None,
     ):
         self.spark = spark
         self.source = source
@@ -111,6 +112,21 @@ class EpochDriver:
         self._derived_auto = derived == "auto"
         self.derived = [] if self._derived_auto else list(derived or [])
         self.derived_sync_every = derived_sync_every
+        # data retention (TTL): {"column": "warc_ts", "maxAgeSeconds":
+        # N, "every": K} — rows whose column falls more than maxAge
+        # behind the table's MAXIMUM value of that column are deleted
+        # through the ordinary exactly-once merge (rowlevel
+        # delete_where: real D events, changelog-visible, derived
+        # artifacts follow via their own sync). The cutoff is DATA
+        # time, not wall clock, so replay from any checkpoint re-makes
+        # identical decisions — a wall-clock TTL would break
+        # bit-exact replay. A later CDC insert for an expired key
+        # recreates it (higher LSN), exactly like any delete.
+        if ttl is not None:
+            missing = {"column", "maxAgeSeconds"} - set(ttl)
+            if missing:
+                raise ValueError(f"ttl needs {sorted(missing)}")
+        self.ttl = ttl
         # map the key column through functions/url.canonical_url before
         # every apply: tracking-param/case/port variants of one page
         # collapse onto ONE canonical key (one LSN history, one stored
@@ -244,6 +260,7 @@ class EpochDriver:
 
     def _maybe_maintain(self, epoch: int) -> None:
         self._maybe_compact(epoch)
+        self._maybe_ttl(epoch)
         if self._derived_auto:
             from datax_spark.operators.derived import _LOADERS, registered
 
@@ -267,6 +284,59 @@ class EpochDriver:
                         self.table.current_version() - int(src["version"]) + 1,
                     )
             self.table.expire_snapshots(keep_last=keep)
+
+    def _maybe_ttl(self, epoch: int) -> None:
+        if not self.ttl:
+            return
+        if (epoch + 1) % max(int(self.ttl.get("every", 8)), 1):
+            return
+        import datetime as _dt
+
+        from pyspark.sql import functions as F
+
+        from datax_spark.operators.rowlevel import delete_where
+
+        col = self.ttl["column"]
+        age = int(self.ttl["maxAgeSeconds"])
+        dt = {f.name: f.dataType for f in self.table.schema().fields}[col]
+        is_ts = dt.typeName() == "timestamp"
+        # DRIVER-SIDE tick cost: the per-file column envelopes the
+        # manifests already carry answer both "what is the data
+        # high-water mark" and "does anything fall below the cutoff"
+        # with zero scan jobs (normalized domain: timestamps are epoch
+        # micros). Files without stats force the conservative scan
+        # fallback.
+        entries = self.table.manifest_entries()
+        if not entries:
+            return
+        norms = [
+            (e.get("stats") or {}).get(col) for e in entries
+        ]
+        if all(n is not None for n in norms):
+            hi_n = max(n[1] for n in norms)
+            lo_n = min(n[0] for n in norms)
+            cutoff_n = hi_n - (age * 1_000_000 if is_ts else age)
+            if lo_n >= cutoff_n:
+                return  # nothing can be expired: zero jobs this tick
+            cutoff = (
+                _dt.datetime.utcfromtimestamp(cutoff_n / 1e6)
+                if is_ts
+                else cutoff_n
+            )
+        else:
+            row = self.table.read().agg(
+                F.max(col).alias("hi"), F.min(col).alias("lo")
+            ).first()
+            if row["hi"] is None:
+                return
+            cutoff = (
+                row["hi"] - _dt.timedelta(seconds=age)
+                if is_ts
+                else row["hi"] - age
+            )
+            if not row["lo"] < cutoff:
+                return
+        delete_where(self.table, F.col(col) < F.lit(cutoff))
 
     def _maybe_compact(self, epoch: int) -> None:
         if self.compact_every and (epoch + 1) % self.compact_every == 0:

@@ -187,3 +187,56 @@ def test_driver_auto_resolves_registered_artifacts(spark, tmp_path):
     idx = Bm25Index(spark, tmp_path / "bm25")
     assert idx.meta["n_docs"] == table.read().count() > 0
     assert idx.meta["source"]["version"] == table.current_version()
+
+
+def test_ttl_retention_deletes_expired_rows(spark, tmp_path):
+    """Data-retention TTL: rows older than maxAge behind the table's
+    data high-water mark are deleted through the exactly-once merge —
+    cutoff from DATA time (replay-deterministic), manifest-stats
+    fast path decides "nothing expired" without any scan job, and the
+    deletes are ordinary changelog-visible D events."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    table = IceTable.create(spark, tmp_path / "t", SCHEMA, num_partitions=2)
+    t0 = dt.datetime(2026, 1, 1)
+
+    def _ev(url, ts, lsn):
+        return (url, ts, b"<p>x</p>", None, "en", "I", lsn)
+
+    ev_schema = (
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string, op string, lsn long"
+    )
+    from datax_spark.operators.merge import apply_epoch
+
+    apply_epoch(
+        table,
+        spark.createDataFrame(
+            [_ev("u-old1", t0, 1), _ev("u-old2", t0 + dt.timedelta(days=1), 2),
+             _ev("u-new1", t0 + dt.timedelta(days=40), 3),
+             _ev("u-new2", t0 + dt.timedelta(days=41), 4)],
+            ev_schema,
+        ),
+        epoch=0,
+    )
+    drv = EpochDriver(
+        spark,
+        ChangeTailSource(spark, tmp_path / "events-none"),
+        table,
+        tmp_path / "ckpt",
+        ttl={"column": "warc_ts", "maxAgeSeconds": 30 * 86400, "every": 1},
+    )
+    drv._maybe_ttl(0)
+    left = {r["url"] for r in table.read().collect()}
+    assert left == {"u-new1", "u-new2"}
+    # changelog-visible: the expiry is ordinary D events
+    ch = table.read_changes(table.current_version() - 1)
+    assert {(r["url"], r["_op"]) for r in ch.collect()} == {
+        ("u-old1", "D"), ("u-old2", "D"),
+    }
+    # second tick: manifest stats say nothing expires — version stable
+    v = table.current_version()
+    drv._maybe_ttl(0)
+    assert table.current_version() == v
