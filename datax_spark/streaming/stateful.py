@@ -120,7 +120,7 @@ def minhash_sig_cols(text_col, k: int = 8, hash_fn: str = "xxhash64") -> list:
     ]
 
 
-def _make_neardup_fn(k: int, threshold: float):
+def _make_neardup_fn(k: int, threshold: float, max_state: int | None = None):
     def fn(
         key: tuple[Any, ...],
         batches: Iterator[pd.DataFrame],
@@ -143,6 +143,18 @@ def _make_neardup_fn(k: int, threshold: float):
                         rows.append((bucket, r.doc_id, int(s[0]), est))
                 stored.append([str(r.doc_id)] + sig)
                 entries.append("|".join([str(r.doc_id)] + sig))
+        if max_state is not None and len(entries) > max_state:
+            # bounded-state mode: keep the max_state HIGHEST doc ids —
+            # with monotone-ish CDC ids that is "most recent", and the
+            # keep-set is a pure function of the ids seen, so replay
+            # from any checkpoint evicts identically (a time- or
+            # arrival-based eviction would not)
+            order = sorted(
+                range(len(entries)),
+                key=lambda i: int(stored[i][0]),
+                reverse=True,
+            )[:max_state]
+            entries = [entries[i] for i in sorted(order)]
         state.update((entries,))
         if rows:
             yield pd.DataFrame(rows, columns=["bucket", "doc_id", "matched_id", "est_jaccard"])
@@ -158,6 +170,7 @@ def streaming_near_dup(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_fn: str = "xxhash64",
+    max_state_per_bucket: int | None = None,
 ) -> DataFrame:
     """Cross-batch near-duplicate detection over a streaming DataFrame —
     the streaming twin of operators/dedup_index.MinHashIndex: signatures
@@ -171,7 +184,12 @@ def streaming_near_dup(
 
     State per bucket is O(docs that ever hit the bucket); at web scale
     the band hash spreads buckets uniformly, so state partitions evenly
-    across executors. The per-bucket comparison loop runs in pandas over
+    across executors — but it GROWS FOREVER on an infinite stream.
+    ``max_state_per_bucket`` bounds it: each bucket keeps only the N
+    highest doc ids (= most recent under monotone CDC ids), trading
+    pairs against long-evicted docs for O(N) state — the standard
+    sliding-window near-dup shape. Eviction is a pure function of the
+    ids seen, so checkpoint replay evicts identically. The per-bucket comparison loop runs in pandas over
     the (small) bucket membership — the corpus-side work (hashing,
     banding) stays JVM-side."""
     from pyspark.sql import functions as F
@@ -189,7 +207,7 @@ def streaming_near_dup(
         F.explode(F.array(*band_bucket_exprs(k, bands))).alias("bucket"),
     )
     return bucketed.groupBy("bucket").applyInPandasWithState(
-        _make_neardup_fn(k, jaccard_threshold),
+        _make_neardup_fn(k, jaccard_threshold, max_state_per_bucket),
         outputStructType=NEARDUP_OUTPUT,
         stateStructType=NEARDUP_STATE,
         outputMode="append",

@@ -286,3 +286,61 @@ def test_streaming_bloom_bits_match_batch_operator(spark):
     built = {r["block"]: r["word"]
              for r in build_bloom(df, F.col("text"), 64).collect()}
     assert words == built
+
+
+def test_streaming_near_dup_bounded_state(spark, tmp_path):
+    """max_state_per_bucket bounds the per-bucket membership: the
+    sliding window keeps the HIGHEST ids (most recent under CDC ids),
+    so a twin of a long-evicted doc goes unflagged while a twin of the
+    retained (newer) copy still pairs — the documented bounded-memory
+    trade."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datax_spark.streaming.stateful import streaming_near_dup
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    d = tmp_path / "docs"
+    d.mkdir()
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    pq.write_table(
+        pa.Table.from_pylist([{"doc_id": 0, "text": base}], schema=schema),
+        d / "b0.parquet",
+    )
+    pq.write_table(
+        pa.Table.from_pylist([{"doc_id": 3, "text": base}], schema=schema),
+        d / "b1.parquet",
+    )
+    pq.write_table(
+        pa.Table.from_pylist([{"doc_id": 20, "text": base}], schema=schema),
+        d / "b2.parquet",
+    )
+    # the file source orders micro-batches by modification time; three
+    # fast writes can collide — pin distinct mtimes so b0 < b1 < b2
+    import os
+
+    for i, name in enumerate(["b0.parquet", "b1.parquet", "b2.parquet"]):
+        os.utime(d / name, (1_000_000 + i, 1_000_000 + i))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = streaming_near_dup(
+        stream, jaccard_threshold=0.7, max_state_per_bucket=1
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("near_dup_bounded")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM near_dup_bounded").collect()
+    pairs = {(r["matched_id"], r["doc_id"]) for r in rows}
+    assert (0, 3) in pairs    # flagged before 0 was evicted
+    assert (3, 20) in pairs   # retained newest copy still pairs
+    assert (0, 20) not in pairs  # 0 evicted once the cap hit
