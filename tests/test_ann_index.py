@@ -205,3 +205,110 @@ def test_purge_ids_erases_vectors(spark, tmp_path):
     assert idx.corpus(None).filter(F.col("vec_id") == 3).count() == 0
     assert idx.meta["rows"] == 9
     assert not (tmp_path / "idx" / "tombstones").exists()
+
+
+# ------ property: sync ≡ brute force under ANY I/U/D/compact history ------ #
+
+from hypothesis import HealthCheck, given
+from hypothesis import settings as hsettings
+from hypothesis import strategies as st
+
+_VKEYS = ["a", "b", "c", "d"]
+
+
+def _vec(seed: int) -> list:
+    return [float((seed * 7 + j * 3) % 11 - 5) for j in range(4)]
+
+
+_vop = st.one_of(
+    st.dictionaries(st.sampled_from(_VKEYS), st.integers(0, 6),
+                    min_size=1, max_size=2),  # upserts: key -> vector seed
+    st.sets(st.sampled_from(_VKEYS), min_size=1, max_size=2),  # deletes
+    st.just("C"),                              # index compact
+)
+
+
+@hsettings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_vop, min_size=1, max_size=4))
+def test_ivf_sync_equals_bruteforce_property(spark, tmp_path_factory, ops):
+    """Differential: ANY upsert/delete/compact history through the real
+    merge path keeps the synced IVF index — probed at n_probe=n_cells,
+    so the frozen quantizer cannot mask staleness — equal to exact
+    brute force over the live table, and the row count exact.
+    Derandomized."""
+    from pyspark.sql import types as T
+
+    from datax_spark.icetable.table import IceTable
+    from datax_spark.operators.merge import apply_epoch
+    from datax_spark.operators.similarity import bruteforce_topk
+
+    base = tmp_path_factory.mktemp("ivf_prop")
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    t = IceTable.create(spark, base / "t", schema, num_partitions=2,
+                        key_column="url")
+    # seed corpus so the quantizer has something to train on
+    seeds = [(f"s{i}", 100 + i, _vec(i + 20)) for i in range(6)]
+    t.bulk_overwrite(spark.createDataFrame(seeds, schema), epoch=0)
+    idx = IvfIndex.build_from_table(t, base / "idx", n_cells=2, n_iter=2)
+    model: dict[str, int] = {}
+    lsn = 0
+    epoch = 1
+    for op in ops:
+        if op == "C":
+            idx.compact()
+            continue
+        if isinstance(op, dict):
+            lsn += 1
+            rows = [
+                (k, _VKEYS.index(k), _vec(v),
+                 "U" if k in model else "I", lsn)
+                for k, v in sorted(op.items())
+            ]
+            model.update(op)
+        else:
+            present = sorted(k for k in op if k in model)
+            if not present:
+                continue
+            lsn += 1
+            rows = [(k, _VKEYS.index(k), None, "D", lsn) for k in present]
+            for k in present:
+                del model[k]
+        apply_epoch(
+            t,
+            spark.createDataFrame(
+                rows,
+                "url string, vec_id long, embedding array<double>, "
+                "op string, lsn long",
+            ),
+            epoch=epoch,
+            extract=False,
+        )
+        epoch += 1
+        idx.sync(t)
+
+    assert idx.meta["rows"] == 6 + len(model)
+    queries = spark.createDataFrame(
+        [(1000, [1.0, -1.0, 2.0, 0.5]), (1001, [0.0, 2.0, -1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = sorted(
+        map(tuple, idx.probe(queries, k=4, n_probe=2)
+            .select("query_id", "neighbor_id", "cos_sim", "rank").collect())
+    )
+    want = sorted(
+        map(tuple, bruteforce_topk(
+            t.read().select("vec_id", "embedding"), queries, k=4
+        ).collect())
+    )
+    assert got == want, (ops, model)
