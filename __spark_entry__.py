@@ -3591,6 +3591,23 @@ def q_trigram_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trigram_multi_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pattern substring serving (trigram_index.multi_like_search):
+    N LIKE predicates in ONE pruned pass — all patterns' grams read
+    together, per-(pattern, doc) AND-intersection in one groupBy, one
+    codegen verify — the content-filter / phrase-blocklist shape that
+    would otherwise cost N corpus scans. One sub-3-char pattern rides
+    the documented scan fallback. Oracle: the contains-join."""
+    from datax_spark.operators.trigram_index import (
+        multi_like_search,
+        trigram_postings,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pats = {0: "merge batch", 1: "spark", 2: "zz"}
+    return multi_like_search(docs, pats, postings=trigram_postings(docs))
+
+
 def q_masked_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Policy-masked serving view (functions/mask.py): source
     referentially-stable-hashed (joins still work), text masked to its
@@ -3744,6 +3761,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trigram_like_search": q_trigram_like_search,
     "trigram_index_search": q_trigram_index_search,
     "trigram_index_sync": q_trigram_index_sync,
+    "trigram_multi_search": q_trigram_multi_search,
     "corpus_report": q_corpus_report,
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,
@@ -6595,6 +6613,12 @@ ORACLES["trigram_like_search"] = """
 SELECT doc_id FROM documents WHERE contains(lower(text), 'merge batch')"""
 
 ORACLES["trigram_index_search"] = ORACLES["trigram_like_search"]
+
+ORACLES["trigram_multi_search"] = """
+WITH p(pattern_id, pat) AS (
+  VALUES (CAST(0 AS BIGINT), 'merge batch'), (1, 'spark'), (2, 'zz'))
+SELECT p.pattern_id, d.doc_id
+FROM documents d JOIN p ON contains(lower(d.text), p.pat)"""
 
 ORACLES["trigram_index_sync"] = """
 WITH docs2(doc_id, text) AS (

@@ -358,6 +358,82 @@ class TrigramIndex:
         )
 
 
+def multi_like_search(
+    docs: DataFrame,
+    patterns: dict[int, str],
+    postings: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(pattern_id, doc_id) for EVERY pattern a doc contains — N LIKE
+    predicates served in ONE pruned pass (the content-filter /
+    moderation shape: match a phrase list against the corpus without N
+    scans). All patterns' grams read together; the AND-intersection
+    runs per (pattern, doc) via one groupBy; the mandatory
+    contains-verify is a single codegen pass with one CASE per pattern
+    (patterns are a driver-side list — hundreds, not millions).
+    Patterns shorter than 3 chars take the scan path for just those
+    patterns, loudly in the plan, silently in the result."""
+    spark = docs.sparkSession
+    gram_rows = []
+    short_ids = []
+    for pid, pat in sorted(patterns.items()):
+        grams = pattern_grams(pat)
+        if not grams:
+            short_ids.append(pid)
+            continue
+        for g in grams:
+            gram_rows.append((int(pid), g, len(grams)))
+    out = []
+    if gram_rows:
+        need = spark.createDataFrame(
+            gram_rows, "pattern_id long, gram string, n_grams int"
+        )
+        post = (
+            postings
+            if postings is not None
+            else trigram_postings(docs, id_col, text_col)
+        )
+        cands = (
+            post.join(F.broadcast(need), "gram")
+            .select("pattern_id", "doc_id", "gram", "n_grams")
+            .distinct()
+            .groupBy("pattern_id", "doc_id", "n_grams")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") == F.col("n_grams"))
+            .select("pattern_id", "doc_id")
+        )
+        t = _norm(F.col(text_col))
+        verify = None
+        for pid, pat in sorted(patterns.items()):
+            if pattern_grams(pat):
+                hit = (F.col("pattern_id") == pid) & F.contains(
+                    t, F.lit(pat.lower())
+                )
+                verify = hit if verify is None else verify | hit
+        out.append(
+            docs.join(
+                cands, docs[id_col] == cands["doc_id"], "inner"
+            )
+            .filter(verify)
+            .select(F.col("pattern_id"), cands["doc_id"])
+        )
+    for pid in short_ids:
+        out.append(
+            like_search(docs, patterns[pid], id_col=id_col, text_col=text_col)
+            .select(F.lit(int(pid)).alias("pattern_id"), "doc_id")
+        )
+    if not out:
+        return docs.limit(0).select(
+            F.lit(0).cast("long").alias("pattern_id"),
+            F.col(id_col).alias("doc_id"),
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res
+
+
 def like_search(
     docs: DataFrame,
     pattern: str,

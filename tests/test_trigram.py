@@ -189,3 +189,27 @@ def test_purge_ids_erases_grams(spark, tmp_path):
     assert not (tmp_path / "idx" / "tombstones").exists()
     # results equal search over the corpus minus the purged doc
     assert _ids(idx.search(docs, "merge batch")) == [4, 7]
+
+
+def test_multi_pattern_search_equals_per_pattern_scans(spark):
+    """N patterns in one pruned pass == N honest scans, including a
+    sub-3-char pattern on the fallback path and a pattern matching
+    nothing."""
+    from datax_spark.operators.trigram_index import (
+        multi_like_search,
+        trigram_postings,
+    )
+
+    docs = _docs(spark)
+    pats = {0: "merge batch", 1: "THE", 2: "zzz", 3: "me"}
+    got = {
+        (r["pattern_id"], r["doc_id"])
+        for r in multi_like_search(
+            docs, pats, postings=trigram_postings(docs)
+        ).collect()
+    }
+    want = set()
+    for pid, p in pats.items():
+        for r in like_search(docs, p).collect():
+            want.add((pid, r["doc_id"]))
+    assert got == want and (0, 1) in got and not any(p == 2 for p, _ in got)
