@@ -118,6 +118,8 @@ HEADLINE = [
     "trigram_index_sync",
     "dedup_minhash_sync",
     "join_view_sync",
+    "trigram_multi_search",
+    "point_lookup",
 ]
 
 CDC_EVENTS = int(os.environ.get("DATAX_BENCH_EVENTS", "1000000"))
