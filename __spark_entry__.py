@@ -447,13 +447,14 @@ def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters: connected components over the
-    MinHash pair graph via min-label propagation (4 unrolled rounds in
-    both engines — resolves any component of diameter ≤ 4; the
-    keep-one-per-cluster upgrade over pairwise drops)."""
+    MinHash pair graph via convergence-checked star contraction (no
+    round bound — the TRUE fixpoint on any component shape; the
+    keep-one-per-cluster upgrade over pairwise drops). The oracle is
+    the recursive-CTE reachability closure."""
     pairs = DD.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), k=8, bands=4, jaccard_threshold=0.7
     )
-    return DD.connected_components(pairs, n_iter=4)
+    return DD.connected_components(pairs)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3961,51 +3962,51 @@ changed(id) AS (
        OR c.id_b IN (SELECT id FROM changed))"""
 
 
-def _cc_parts(n_iter: int = 4) -> list[str]:
-    """MinHash pair CTEs + unrolled min-label propagation, as a parts
-    list ending in l{n_iter}(src, label) — shared by the
-    connected-components and cluster-split oracles."""
+def _cc_parts() -> list[str]:
+    """MinHash pair CTEs + recursive-CTE reachability FIXPOINT, as a
+    parts list ending in comp(node, label) — shared by the
+    connected-components and cluster-split oracles. The fixpoint form
+    (not an unrolled round budget) so the oracle catches any engine
+    that under-merges long chains; queries using it must open with
+    WITH RECURSIVE. Fine at board scale; the engine side runs
+    star contraction, which is the 10^9-node form."""
     ctes, pair_select = _minhash_pair_parts()
-    parts = [
+    return [
         ctes,
         f"prs AS ({pair_select})",
         """cnodes AS (
   SELECT DISTINCT id FROM (
     SELECT id_a AS id FROM prs UNION ALL SELECT id_b AS id FROM prs))""",
-        """cedges AS (
+        """cbi AS (
   SELECT id_a AS src, id_b AS dst FROM prs
-  UNION ALL SELECT id_b AS src, id_a AS dst FROM prs
-  UNION ALL SELECT id AS src, id AS dst FROM cnodes)""",
-        "l0 AS (SELECT id AS src, id AS label FROM cnodes)",
+  UNION SELECT id_b AS src, id_a AS dst FROM prs)""",
+        """walk(node, reach) AS (
+  SELECT id, id FROM cnodes
+  UNION
+  SELECT w.node, b.dst FROM walk w JOIN cbi b ON b.src = w.reach)""",
+        """comp AS (
+  SELECT node, min(reach) AS label FROM walk GROUP BY node)""",
     ]
-    for i in range(1, n_iter + 1):
-        parts.append(
-            f"""l{i} AS (
-  SELECT e.src, min(l.label) AS label
-  FROM cedges e JOIN l{i - 1} l ON l.src = e.dst
-  GROUP BY e.src)"""
-        )
-    return parts
 
 
-def _near_dup_clusters_oracle(n_iter: int = 4) -> str:
-    """MinHash pair CTEs + unrolled min-label propagation."""
-    parts = _cc_parts(n_iter)
+def _near_dup_clusters_oracle() -> str:
+    """MinHash pair CTEs + recursive reachability fixpoint."""
+    parts = _cc_parts()
     return (
-        "WITH "
+        "WITH RECURSIVE "
         + ",\n".join(parts)
-        + f"\nSELECT src AS doc_id, label AS cluster_id FROM l{n_iter}"
+        + "\nSELECT node AS doc_id, label AS cluster_id FROM comp"
     )
 
 
-def _cluster_split_oracle(n_iter: int = 4) -> str:
-    """Near-dup clusters (shared parts) → per-cluster md5 gate →
-    train/val/test at (0.8, 0.1, 0.1)."""
-    parts = _cc_parts(n_iter)
+def _cluster_split_oracle() -> str:
+    """Near-dup clusters (shared fixpoint parts) → per-cluster md5 gate
+    → train/val/test at (0.8, 0.1, 0.1)."""
+    parts = _cc_parts()
     parts.append(
-        f"""assigned AS (
+        """assigned AS (
   SELECT d.doc_id, coalesce(l.label, d.doc_id) AS cluster_id
-  FROM documents d LEFT JOIN l{n_iter} l ON l.src = d.doc_id)"""
+  FROM documents d LEFT JOIN comp l ON l.node = d.doc_id)"""
     )
     parts.append(
         """gated AS (
@@ -4015,7 +4016,7 @@ def _cluster_split_oracle(n_iter: int = 4) -> str:
   FROM assigned)"""
     )
     return (
-        "WITH "
+        "WITH RECURSIVE "
         + ",\n".join(parts)
         + """
 SELECT doc_id, cluster_id,

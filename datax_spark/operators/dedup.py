@@ -799,38 +799,35 @@ def intra_doc_line_dedup(
 
 def connected_components(
     pairs: DataFrame,
-    n_iter: int = 4,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    max_rounds: int = 50,
 ) -> DataFrame:
     """Near-dup CLUSTERS from a pair list: (doc_id, cluster_id) where
-    cluster_id = the minimum id reachable through pair edges — so
-    "keep cluster_id, drop the rest" is the transitive-closure version
-    of the pairwise keep-lowest-id rule (pairwise drops under-delete:
-    b dropped for a does not drop c paired only with b).
+    cluster_id = the minimum id reachable through pair edges — the
+    TRUE transitive closure, so "keep cluster_id, drop the rest" is
+    the transitive-closure version of the pairwise keep-lowest-id rule
+    (pairwise drops under-delete: b dropped for a does not drop c
+    paired only with b).
 
-    Min-label propagation: every node starts labeled with itself; each
-    round, a node's label becomes the min over its own and all
-    neighbors' labels — one groupBy per round over the symmetrized edge
-    list. ``n_iter`` rounds resolve any component whose DIAMETER is
-    ≤ n_iter; near-dup graphs are star-ish (template clusters), so the
-    default 4 converges in practice. For adversarial chain-shaped
-    graphs at web scale use more rounds or the large-star/small-star
-    contraction (O(log n) rounds, same per-round shape — this simple
-    form is the SQL-oracle-comparable contract).
+    Delegates to the convergence-checked alternating large-star /
+    small-star contraction in :func:`datax_spark.operators.graph.
+    connected_components` (Kiveris et al. 2014): O(log² n) rounds on
+    ANY topology, two bounded shuffles per round, fixpoint detected by
+    an edge-set checksum. Earlier revisions ran min-label propagation
+    with a FIXED 4-round budget, which silently splits any component
+    whose min-id node is >4 hops from a member (labels travel one hop
+    per round) — an at-scale correctness hazard for chain-shaped
+    near-dup graphs (A~B~…~F redirect/pagination chains), and for
+    leakage-safe splits precisely the failure the operator promises to
+    prevent. Running to convergence removes the bound; near-dup graphs
+    are star-ish so the loop typically exits in 2-3 rounds anyway.
     """
-    a = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    b = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    nodes = a.select("src").union(b.select("src")).distinct()
-    self_loop = nodes.select("src", F.col("src").alias("dst"))
-    edges = a.union(b).union(self_loop)
-    labels = nodes.select("src", F.col("src").alias("label"))
-    for _ in range(n_iter):
-        labels = (
-            edges.join(labels.withColumnRenamed("src", "dst"), "dst")
-            .groupBy("src")
-            .agg(F.min("label").alias("label"))
-        )
+    from datax_spark.operators import graph as G
+
+    labels = G.connected_components(
+        pairs, src=id_a, dst=id_b, max_rounds=max_rounds
+    )
     return labels.select(
-        F.col("src").alias("doc_id"), F.col("label").alias("cluster_id")
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )

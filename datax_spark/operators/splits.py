@@ -44,14 +44,15 @@ def cluster_split(
     fractions: tuple[float, float, float] = (0.8, 0.1, 0.1),
     seed: str = "split",
     id_col: str = "doc_id",
-    n_iter: int = 4,
     broadcast_components: bool = True,
 ) -> DataFrame:
     """(id, cluster_id, split) for every row of ``df``: cluster_id = the
     min id reachable through ``pairs`` edges (docs in no pair are their
     own cluster), split drawn from md5(seed || cluster_id) at the given
     (train, val, test) fractions. All members of a cluster land in the
-    same split by construction.
+    same split by construction — for EVERY component shape: clustering
+    runs the convergence-checked star-contraction CC (no round bound),
+    so a >4-hop near-dup chain can no longer straddle train and test.
 
     ``broadcast_components=False`` falls back to a shuffled join for
     the pathological case where MOST of the corpus sits in near-dup
@@ -59,7 +60,7 @@ def cluster_split(
     normal web corpora keep it broadcastable."""
     if abs(sum(fractions) - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1, got {fractions}")
-    comp = DD.connected_components(pairs, n_iter=n_iter).withColumnRenamed(
+    comp = DD.connected_components(pairs).withColumnRenamed(
         "doc_id", id_col
     )
     if broadcast_components:
@@ -88,7 +89,6 @@ def leakage_safe_split(
     k: int = 8,
     bands: int = 4,
     jaccard_threshold: float = 0.7,
-    n_iter: int = 4,
 ) -> DataFrame:
     """The one-call form: MinHash-LSH near-dup pairs → cluster split.
     Same parameters as ``dedup.minhash_lsh_pairs``; see
@@ -97,4 +97,4 @@ def leakage_safe_split(
         df, k=k, bands=bands, jaccard_threshold=jaccard_threshold,
         id_col=id_col, text_col=text_col,
     )
-    return cluster_split(df, pairs, fractions, seed, id_col, n_iter)
+    return cluster_split(df, pairs, fractions, seed, id_col)

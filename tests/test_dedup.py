@@ -283,8 +283,41 @@ def test_connected_components_transitive_closure(spark):
         "id_a long, id_b long",
     )
     got = {r["doc_id"]: r["cluster_id"] for r in
-           DD.connected_components(pairs, n_iter=4).collect()}
+           DD.connected_components(pairs).collect()}
     assert got == {0: 0, 5: 0, 9: 0, 30: 0, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain(spark):
+    """Regression for the fixed 4-round min-label bound: a 12-hop
+    near-dup chain (11..0 walked high-to-low so labels must travel the
+    full diameter) must collapse into ONE cluster rooted at 0. The old
+    n_iter=4 propagation provably split this into ≥2 clusters."""
+    chain = [(i + 1, i) for i in range(11)]  # 1-0, 2-1, …, 11-10
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    got = {r["doc_id"]: r["cluster_id"] for r in
+           DD.connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(12)}
+
+
+def test_cluster_split_long_chain_no_leakage(spark):
+    """The leakage guarantee on a >4-hop chain: every member of a
+    12-node near-dup chain must land in the SAME split (the old round
+    bound could place chain ends in train and test)."""
+    from datax_spark.operators.splits import cluster_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(15)], "doc_id long, text string"
+    )
+    chain = [(i + 1, i) for i in range(11)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    rows = cluster_split(docs, pairs).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    chain_splits = {by_id[i]["split"] for i in range(12)}
+    chain_clusters = {by_id[i]["cluster_id"] for i in range(12)}
+    assert chain_clusters == {0}
+    assert len(chain_splits) == 1
+    # singletons keep their own id as cluster
+    assert by_id[14]["cluster_id"] == 14
 
 
 def test_connected_components_on_minhash_pairs(docs):
