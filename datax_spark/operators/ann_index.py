@@ -249,7 +249,7 @@ class IvfIndex:
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("cell", "seg")
-                .parquet(str(self.root / "corpus"))
+                .parquet(str(self._data_dir()))
             )
             tagged.unpersist()
         self.meta["rows"] = int(self.meta["rows"]) - n_rm + n_add
@@ -362,24 +362,40 @@ class IvfIndex:
             ),
         }
 
+    def _data_dir(self):
+        """Committed corpus dir — named by meta after a compaction
+        generation ('corpus' is the build-time default)."""
+        return self.root / self.meta.get("data_dir", "corpus")
+
     def compact(self) -> None:
         """Fold tombstones into the cell lists (rewrite live rows only,
         original seg values kept so stale tombstones can never kill a
-        survivor) and clear the tombstone log."""
-        import os
+        survivor) and clear the tombstone log. Crash-safe via the meta
+        commit point: folded rows stage under a generation-named dir
+        published only by the atomic meta rename (the old two-rename
+        swap had a window with no corpus dir at all); unreferenced
+        generations GC after commit."""
         import shutil
-        import uuid
+
+        from datax_spark.operators.text_index import _write_meta
 
         live = self._live_corpus(None)
-        tmp = self.root / f".corpus-{uuid.uuid4().hex}"
+        gen = int(self.meta.get("data_gen", 0)) + 1
+        new_dir = f"corpus-g{gen}"
         live.write.mode("overwrite").partitionBy("cell", "seg").parquet(
-            str(tmp)
+            str(self.root / new_dir)
         )
-        old = self.root / f".corpus-old-{uuid.uuid4().hex}"
-        os.rename(self.root / "corpus", old)
-        os.rename(tmp, self.root / "corpus")
+        self.meta["data_dir"] = new_dir
+        self.meta["data_gen"] = gen
+        _write_meta(self.root, self.meta)
         shutil.rmtree(self.root / "tombstones", ignore_errors=True)
-        shutil.rmtree(old, ignore_errors=True)
+        for p in self.root.iterdir():
+            if p.name == new_dir or not p.is_dir():
+                continue
+            if p.name == "corpus" or p.name.startswith("corpus-g") or (
+                p.name.startswith(".corpus-")
+            ):
+                shutil.rmtree(p, ignore_errors=True)
 
     # ---------------- read side ---------------- #
     def centroids(self) -> DataFrame:
@@ -397,7 +413,7 @@ class IvfIndex:
             from pyspark.sql import types as T
 
             reader = reader.schema(T.StructType.fromJson(json.loads(sj)))
-        df = reader.parquet(str(self.root / "corpus"))
+        df = reader.parquet(str(self._data_dir()))
         if cells is not None:
             # partition filter on the Hive layout: only cell=<c> dirs
             # are listed/scanned

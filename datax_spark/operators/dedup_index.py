@@ -252,11 +252,21 @@ class MinHashIndex:
         to = table.current_version() if to_version is None else int(to_version)
         if to < frm:
             raise ValueError(f"cursor at v{frm} is past requested v{to}")
-        empty = self.spark.createDataFrame(
-            [], "id_a long, id_b long, est_jaccard double"
-        )
         if to == frm:
-            return empty
+            # empty no-op frame with id_a/id_b typed like the CORPUS id
+            # column — a hardcoded long here breaks unionByName/append
+            # downstream when the corpus uses string doc ids
+            from pyspark.sql import types as T
+
+            idt = {f.name: f.dataType for f in table.schema().fields}[id_col]
+            return self.spark.createDataFrame(
+                [],
+                T.StructType([
+                    T.StructField("id_a", idt),
+                    T.StructField("id_b", idt),
+                    T.StructField("est_jaccard", T.DoubleType()),
+                ]),
+            )
         ch = table.read_changes(frm, to, pre_images=True).select(
             "_op", id_col, text_col
         )

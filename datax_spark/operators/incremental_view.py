@@ -289,11 +289,20 @@ class AggViewSync:
     maintain_agg_view delta path behind the ``.sync(table)`` + version
     cursor protocol the EpochDriver's ``derived`` list expects (the
     same contract as the CDC-maintained index artifacts). The view is
-    materialized as parquet at ``root`` (|groups| rows — rewriting it
-    whole per sync is metadata-cheap even on a 100 TB source); the
-    cursor rides in a sidecar json committed by atomic rename AFTER the
-    view lands, so a crash replays the span onto the PREVIOUS view
-    (the old parquet is replaced, never merged — replay-safe)."""
+    materialized as parquet under ``root`` (|groups| rows — rewriting
+    it whole per sync is metadata-cheap even on a 100 TB source).
+
+    Crash atomicity (the meta-as-commit-point pattern shared with the
+    index artifacts): each sync writes the maintained view to a
+    VERSION-NAMED dir ``view-v{to}`` and then atomically renames
+    ``cursor.json`` naming both the source version and that dir — the
+    cursor IS the commit point. A crash before the cursor rename
+    leaves the cursor at the old version pointing at the old dir, so
+    the retry recomputes the same span onto the same still-intact
+    previous view (idempotent — the earlier two-rename swap could
+    advance the view before the cursor landed, and the retry would
+    re-apply the span's deltas onto the already-advanced view,
+    double-counting). Unreferenced dirs are GC'd after commit."""
 
     def __init__(self, spark, root, table, group_cols, sum_cols=()):
         import json
@@ -309,16 +318,22 @@ class AggViewSync:
         else:
             self.meta = {"source": {"path": str(table.root), "version": 0}}
 
+    def _view_path(self):
+        # committed dir named by the cursor; "view" is the pre-r4
+        # layout read for back-compat
+        d = self.meta.get("view_dir")
+        if d is not None:
+            return self.root / d
+        return self.root / "view"
+
     def read(self) -> DataFrame:
-        p = self.root / "view"
+        p = self._view_path()
         if not p.exists():
             raise FileNotFoundError(f"no maintained view at {p} — sync first")
         return self.spark.read.parquet(str(p))
 
     def sync(self, table) -> dict:
-        import os
         import shutil
-        import uuid
 
         src = self.meta["source"]
         if str(table.root) != src["path"]:
@@ -336,7 +351,7 @@ class AggViewSync:
             self.meta["source"] = {**src, "version": to}
             self._commit()
             return {"from": frm, "to": to, "changed": 0}
-        if (self.root / "view").exists():
+        if self._view_path().exists():
             view = self.read()
         else:
             view = agg_view(
@@ -346,15 +361,23 @@ class AggViewSync:
         maintained = maintain_agg_view(
             view, changes, self.group_cols, self.sum_cols
         )
-        tmp = self.root / f".view-{uuid.uuid4().hex}"
-        maintained.write.mode("overwrite").parquet(str(tmp))
-        old = self.root / f".view-old-{uuid.uuid4().hex}"
-        if (self.root / "view").exists():
-            os.rename(self.root / "view", old)
-        os.rename(tmp, self.root / "view")
-        shutil.rmtree(old, ignore_errors=True)
+        # stage under a version name; only the cursor rename publishes
+        # it — a crash anywhere before that leaves the committed view
+        # AND cursor at the previous version (retry is a clean redo of
+        # the same span, never a double-apply)
+        new_dir = f"view-v{to}"
+        maintained.write.mode("overwrite").parquet(str(self.root / new_dir))
         self.meta["source"] = {**src, "version": to}
+        self.meta["view_dir"] = new_dir
         self._commit()
+        # GC every staged/previous dir the cursor no longer references
+        for p in self.root.iterdir():
+            if p.name == new_dir or not p.is_dir():
+                continue
+            if p.name.startswith("view-v") or p.name == "view" or (
+                p.name.startswith(".view-")
+            ):
+                shutil.rmtree(p, ignore_errors=True)
         return {"from": frm, "to": to, "changed": 1}
 
     def _commit(self) -> None:

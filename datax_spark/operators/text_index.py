@@ -57,7 +57,6 @@ import json
 import os
 import shutil
 import tempfile
-import uuid
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -187,6 +186,11 @@ class Bm25Index:
     def _commit_meta(self) -> None:
         _write_meta(self.root, self.meta)
 
+    def _data_dir(self) -> Path:
+        """Committed postings dir — named by meta after a compaction
+        generation ('postings' is the build-time default)."""
+        return self.root / self.meta.get("data_dir", "postings")
+
     def add(self, new_docs: DataFrame) -> int:
         """Append NEW documents' postings (ids must not already be
         indexed — BM25's aggregates are additive, so union-of-adds is
@@ -235,7 +239,7 @@ class Bm25Index:
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("bucket", "seg")
-                .parquet(str(self.root / "postings"))
+                .parquet(str(self._data_dir()))
             )
             s = stats.collect()[0]
             n_add, dl_add = int(s["n_docs"]), int(s["sum_dl"] or 0)
@@ -348,17 +352,32 @@ class Bm25Index:
         rows (original seg values kept — a stale tombstone can never
         kill a survivor, since survivors satisfy seg >= before_seg by
         definition) and clear the tombstone log. Bounds the probe-side
-        anti-work at churn-proportional intervals."""
+        anti-work at churn-proportional intervals.
+
+        Crash-safe via the meta commit point (same pattern as
+        apply_changes and dedup_index.compact): the folded rows are
+        staged under a GENERATION-NAMED dir and published only by the
+        atomic meta rename — the earlier two-rename swap had a window
+        with NO postings dir at all, leaving the index unreadable with
+        its data hidden under a .postings-old-* temp name. Unreferenced
+        generation dirs are GC'd after commit."""
         live = self._live_postings(None)
-        tmp = self.root / f".postings-{uuid.uuid4().hex}"
+        gen = int(self.meta.get("data_gen", 0)) + 1
+        new_dir = f"postings-g{gen}"
         live.select("term", self.meta["id_col"], "tf", "dl", "bucket", "seg") \
             .write.mode("overwrite").partitionBy("bucket", "seg") \
-            .parquet(str(tmp))
-        old = self.root / f".postings-old-{uuid.uuid4().hex}"
-        os.rename(self.root / "postings", old)
-        os.rename(tmp, self.root / "postings")
+            .parquet(str(self.root / new_dir))
+        self.meta["data_dir"] = new_dir
+        self.meta["data_gen"] = gen
+        self._commit_meta()
         shutil.rmtree(self.root / "tombstones", ignore_errors=True)
-        shutil.rmtree(old, ignore_errors=True)
+        for p in self.root.iterdir():
+            if p.name == new_dir or not p.is_dir():
+                continue
+            if p.name == "postings" or p.name.startswith("postings-g") or (
+                p.name.startswith(".postings-")
+            ):
+                shutil.rmtree(p, ignore_errors=True)
         return {"n_docs": self.meta["n_docs"]}
 
     # ---------------- read side ---------------- #
@@ -369,7 +388,7 @@ class Bm25Index:
             from pyspark.sql import types as T
 
             reader = reader.schema(T.StructType.fromJson(json.loads(sj)))
-        df = reader.parquet(str(self.root / "postings"))
+        df = reader.parquet(str(self._data_dir()))
         if buckets is not None:
             df = df.filter(F.col("bucket").isin([int(b) for b in buckets]))
         return df

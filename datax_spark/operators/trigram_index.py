@@ -194,7 +194,7 @@ class TrigramIndex:
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("bucket", "seg")
-                .parquet(str(self.root / "postings"))
+                .parquet(str(self._data_dir()))
             )
             n_add = added_docs.count()
         self.meta["next_seg"] = seg + 1
@@ -257,27 +257,53 @@ class TrigramIndex:
                 [(i,) for i in ids],
                 T.StructType([T.StructField(id_col, idt)]),
             )
-        out = self.apply_changes(ids.select(id_col), None)
+        # report ids actually LIVE in the index (the Bm25Index/IvfIndex
+        # purge contract) — counting the request over-reports erasure
+        # for absent or already-purged ids in the compliance trail
+        live_ids = self._live_postings(None).select("doc_id").distinct()
+        n_live = (
+            ids.select(F.col(id_col).alias("doc_id"))
+            .distinct()
+            .join(live_ids, "doc_id", "left_semi")
+            .count()
+        )
+        self.apply_changes(ids.select(id_col), None)
         self.compact()
-        return {"purged": out["removed"]}
+        return {"purged": n_live}
+
+    def _data_dir(self):
+        """Committed postings dir — named by meta after a compaction
+        generation ('postings' is the build-time default)."""
+        return self.root / self.meta.get("data_dir", "postings")
 
     def compact(self) -> None:
         """Fold tombstones into the postings (rewrite live rows only,
-        original seg values kept) and clear the tombstone log."""
-        import os
+        original seg values kept) and clear the tombstone log.
+        Crash-safe via the meta commit point: folded rows stage under
+        a generation-named dir published only by the atomic meta
+        rename (the old two-rename swap had a window with no postings
+        dir at all); unreferenced generations GC after commit."""
         import shutil
-        import uuid
+
+        from datax_spark.operators.text_index import _write_meta
 
         live = self._live_postings(None)
-        tmp = self.root / f".postings-{uuid.uuid4().hex}"
+        gen = int(self.meta.get("data_gen", 0)) + 1
+        new_dir = f"postings-g{gen}"
         live.select("gram", "doc_id", "bucket", "seg").write.mode(
             "overwrite"
-        ).partitionBy("bucket", "seg").parquet(str(tmp))
-        old = self.root / f".postings-old-{uuid.uuid4().hex}"
-        os.rename(self.root / "postings", old)
-        os.rename(tmp, self.root / "postings")
+        ).partitionBy("bucket", "seg").parquet(str(self.root / new_dir))
+        self.meta["data_dir"] = new_dir
+        self.meta["data_gen"] = gen
+        _write_meta(self.root, self.meta)
         shutil.rmtree(self.root / "tombstones", ignore_errors=True)
-        shutil.rmtree(old, ignore_errors=True)
+        for p in self.root.iterdir():
+            if p.name == new_dir or not p.is_dir():
+                continue
+            if p.name == "postings" or p.name.startswith("postings-g") or (
+                p.name.startswith(".postings-")
+            ):
+                shutil.rmtree(p, ignore_errors=True)
 
     def _tombstones(self) -> DataFrame | None:
         """Aggregated kill map gated on next_seg (committed transactions
@@ -303,7 +329,7 @@ class TrigramIndex:
             from pyspark.sql import types as T
 
             reader = reader.schema(T.StructType.fromJson(json.loads(sj)))
-        df = reader.parquet(str(self.root / "postings")).filter(
+        df = reader.parquet(str(self._data_dir())).filter(
             F.col("seg") < F.lit(int(self.meta.get("next_seg", 1)))
         )
         if buckets is not None:

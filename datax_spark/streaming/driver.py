@@ -300,12 +300,19 @@ class EpochDriver:
         age = int(self.ttl["maxAgeSeconds"])
         dt = {f.name: f.dataType for f in self.table.schema().fields}[col]
         is_ts = dt.typeName() == "timestamp"
+        is_date = dt.typeName() == "date"
+        # DATE columns age in whole days (date arithmetic ignores
+        # sub-day components — Python date±timedelta drops them and the
+        # old code subtracted raw SECONDS from ordinal-day stats, so
+        # the stats path never expired anything and the scan path threw
+        # date - int)
+        age_days = age // 86_400
         # DRIVER-SIDE tick cost: the per-file column envelopes the
         # manifests already carry answer both "what is the data
         # high-water mark" and "does anything fall below the cutoff"
         # with zero scan jobs (normalized domain: timestamps are epoch
-        # micros). Files without stats force the conservative scan
-        # fallback.
+        # micros in session-naive wall time, dates are ordinal days).
+        # Files without stats force the conservative scan fallback.
         entries = self.table.manifest_entries()
         if not entries:
             return
@@ -315,25 +322,40 @@ class EpochDriver:
         if all(n is not None for n in norms):
             hi_n = max(n[1] for n in norms)
             lo_n = min(n[0] for n in norms)
-            cutoff_n = hi_n - (age * 1_000_000 if is_ts else age)
+            if is_ts:
+                step = age * 1_000_000
+            elif is_date:
+                step = age_days
+            else:
+                step = age
+            cutoff_n = hi_n - step
             if lo_n >= cutoff_n:
                 return  # nothing can be expired: zero jobs this tick
-            cutoff = (
-                _dt.datetime.utcfromtimestamp(cutoff_n / 1e6)
-                if is_ts
-                else cutoff_n
-            )
+            if is_ts:
+                # exact inverse of the stats normalization ((v - epoch)
+                # micros over NAIVE session-rendered datetimes), so the
+                # cutoff literal lands in the same wall-time frame the
+                # stats were taken in — no utc/local mismatch for any
+                # session timezone, matching the scan path below
+                cutoff = _dt.datetime(1970, 1, 1) + _dt.timedelta(
+                    microseconds=cutoff_n
+                )
+            elif is_date:
+                cutoff = _dt.date.fromordinal(cutoff_n)
+            else:
+                cutoff = cutoff_n
         else:
             row = self.table.read().agg(
                 F.max(col).alias("hi"), F.min(col).alias("lo")
             ).first()
             if row["hi"] is None:
                 return
-            cutoff = (
-                row["hi"] - _dt.timedelta(seconds=age)
-                if is_ts
-                else row["hi"] - age
-            )
+            if is_ts:
+                cutoff = row["hi"] - _dt.timedelta(seconds=age)
+            elif is_date:
+                cutoff = row["hi"] - _dt.timedelta(days=age_days)
+            else:
+                cutoff = row["hi"] - age
             if not row["lo"] < cutoff:
                 return
         delete_where(self.table, F.col(col) < F.lit(cutoff))

@@ -214,6 +214,35 @@ def test_sync_emits_exactly_the_changed_docs_pairs(spark, tmp_path):
     assert set(got) == {(4, 10), (9, 10)}, got
 
 
+def test_noop_sync_schema_matches_string_ids(spark, tmp_path):
+    """The no-op span's empty frame types id_a/id_b like the CORPUS id
+    column (here string urls) — a hardcoded long schema breaks
+    unionByName/append for consumers accumulating sync outputs."""
+    from pyspark.sql import types as T
+
+    from datax_spark.icetable.table import IceTable
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ])
+    t = IceTable.create(
+        spark, tmp_path / "t", schema, num_partitions=2, key_column="url"
+    )
+    t.bulk_overwrite(
+        spark.createDataFrame([("u0", BASE), ("u1", OTHER)], schema), epoch=0
+    )
+    idx, _ = MinHashIndex.create_from_table(
+        spark, t, tmp_path / "idx", k=8, bands=4, jaccard_threshold=0.5,
+        id_col="url",
+    )
+    noop = idx.sync(t)  # cursor already current → empty frame
+    assert noop.count() == 0
+    types = {f.name: f.dataType for f in noop.schema.fields}
+    assert types["id_a"] == T.StringType()
+    assert types["id_b"] == T.StringType()
+
+
 def test_compact_folds_batches_and_tombstones(spark, corpus, tmp_path):
     """compact() collapses the batch chain to one live batch: dead
     members gone, dead signature CLASSES gone (no residual candidate

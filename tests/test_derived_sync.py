@@ -129,6 +129,65 @@ def test_agg_view_sync_in_driver(spark, tmp_path):
     assert view2.sync(table)["changed"] == 0
 
 
+def test_agg_view_sync_crash_between_view_and_cursor(spark, tmp_path):
+    """Crash window regression: a failure AFTER the new view parquet
+    is staged but BEFORE the cursor commit must leave the artifact at
+    the previous version, and the retry must produce exactly the fresh
+    GROUP BY (the old two-rename swap advanced the view first, so the
+    retry re-applied the span's deltas and double-counted n_rows)."""
+    from datax_spark.operators.incremental_view import AggViewSync, agg_view
+
+    spec = EventLogSpec(
+        n_events=600, n_urls=120, n_domains=6, n_epochs=3,
+        evolve_at_epoch=None, dirty_per_epoch=0, seed=11,
+    )
+    generate_event_log(tmp_path / "events", spec)
+    table = IceTable.create(spark, tmp_path / "t", SCHEMA, num_partitions=4)
+    drv = EpochDriver(
+        spark, ChangeTailSource(spark, tmp_path / "events"), table,
+        tmp_path / "ckpt",
+    )
+    drv.run(max_epochs=1)
+    view = AggViewSync(spark, tmp_path / "view", table, ["lang"])
+    view.sync(table)
+    v1 = view.meta["source"]["version"]
+
+    drv.run()  # remaining epochs → a multi-commit span to sync
+
+    crashing = AggViewSync(spark, tmp_path / "view", table, ["lang"])
+    real_commit = crashing._commit
+
+    def boom():
+        raise RuntimeError("injected crash before cursor commit")
+
+    crashing._commit = boom
+    try:
+        crashing.sync(table)
+    except RuntimeError:
+        pass
+    crashing._commit = real_commit
+
+    # on-disk artifact still reads at the pre-crash version
+    survivor = AggViewSync(spark, tmp_path / "view", table, ["lang"])
+    assert survivor.meta["source"]["version"] == v1
+    pre_crash = sorted(
+        (r["lang"], r["n_rows"]) for r in survivor.read().collect()
+    )
+    assert len(pre_crash) > 0
+
+    # retry: one clean redo of the span — equals the fresh recompute
+    assert survivor.sync(table)["changed"] == 1
+    got = sorted((r["lang"], r["n_rows"]) for r in survivor.read().collect())
+    want = sorted(
+        (r["lang"], r["n_rows"])
+        for r in agg_view(table.read(), ["lang"], []).collect()
+    )
+    assert got == want
+    # staged-but-unpublished dirs were GC'd; only the committed dir stays
+    dirs = [p.name for p in (tmp_path / "view").iterdir() if p.is_dir()]
+    assert dirs == [survivor.meta["view_dir"]]
+
+
 def test_run_structured_derived_sync(spark, tmp_path):
     """The readStream/foreachBatch path shares the derived-state hook:
     after the availableNow drive plus a final sync, the registered
@@ -237,6 +296,56 @@ def test_ttl_retention_deletes_expired_rows(spark, tmp_path):
         ("u-old1", "D"), ("u-old2", "D"),
     }
     # second tick: manifest stats say nothing expires — version stable
+    v = table.current_version()
+    drv._maybe_ttl(0)
+    assert table.current_version() == v
+
+
+def test_ttl_retention_date_column(spark, tmp_path):
+    """TTL over a DATE column: manifest stats are ordinal DAYS, so the
+    age must be applied in days (the old code subtracted raw seconds —
+    the stats path never expired anything and the scan path computed
+    date - int). Both the stats fast path and the no-op tick must work."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from datax_spark.operators.merge import apply_epoch
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("seen_on", T.DateType()),
+    ])
+    table = IceTable.create(spark, tmp_path / "t", schema, num_partitions=2)
+    t0 = dt.datetime(2026, 1, 1)
+    d0 = dt.date(2026, 1, 1)
+    rows = [
+        ("u-old1", t0, d0, "I", 1),
+        ("u-old2", t0, d0 + dt.timedelta(days=1), "I", 2),
+        ("u-new1", t0, d0 + dt.timedelta(days=40), "I", 3),
+        ("u-new2", t0, d0 + dt.timedelta(days=41), "I", 4),
+    ]
+    apply_epoch(
+        table,
+        spark.createDataFrame(
+            rows,
+            "url string, warc_ts timestamp, seen_on date, "
+            "op string, lsn long",
+        ),
+        epoch=0,
+    )
+    drv = EpochDriver(
+        spark,
+        ChangeTailSource(spark, tmp_path / "events-none"),
+        table,
+        tmp_path / "ckpt",
+        ttl={"column": "seen_on", "maxAgeSeconds": 30 * 86400, "every": 1},
+    )
+    drv._maybe_ttl(0)
+    left = {r["url"] for r in table.read().collect()}
+    assert left == {"u-new1", "u-new2"}
+    # second tick: stats fast path says nothing expires — version stable
     v = table.current_version()
     drv._maybe_ttl(0)
     assert table.current_version() == v

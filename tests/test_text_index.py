@@ -240,6 +240,40 @@ def test_compact_folds_tombstones(spark, tmp_path, queries):
     assert _rows(idx.probe(queries, k=4)) == _rows(want.probe(queries, k=4))
 
 
+def test_compact_crash_window_leaves_index_readable(
+    spark, tmp_path, docs, queries
+):
+    """compact() publishes via the meta commit point: a crash after the
+    folded rows are staged but before the meta rename must leave the
+    OLD postings fully readable (the earlier two-rename swap had a
+    window with no postings dir at all). Simulated by dropping an
+    orphan staged generation next to a live index: reopen reads the
+    committed dir, a real compact then publishes a new generation and
+    GCs every unreferenced dir."""
+    idx = Bm25Index.build(docs, tmp_path / "idx", n_buckets=8)
+    before = _rows(idx.probe(queries, k=4))
+    committed = idx._data_dir().name
+
+    # orphan staged dir = what a crash mid-compact leaves behind
+    import shutil
+
+    shutil.copytree(idx._data_dir(), tmp_path / "idx" / "postings-g7")
+
+    re = Bm25Index(spark, tmp_path / "idx")
+    assert re._data_dir().name == committed  # orphan invisible
+    assert _rows(re.probe(queries, k=4)) == before
+
+    re.compact()
+    assert _rows(re.probe(queries, k=4)) == before
+    dirs = {
+        p.name for p in (tmp_path / "idx").iterdir()
+        if p.is_dir() and (
+            p.name == "postings" or p.name.startswith("postings-g")
+        )
+    }
+    assert dirs == {re.meta["data_dir"]}  # orphan + old gen GC'd
+
+
 def test_crashed_transaction_is_invisible_and_retry_converges(
     spark, tmp_path, docs, queries
 ):

@@ -189,6 +189,11 @@ def test_purge_ids_erases_grams(spark, tmp_path):
     assert not (tmp_path / "idx" / "tombstones").exists()
     # results equal search over the corpus minus the purged doc
     assert _ids(idx.search(docs, "merge batch")) == [4, 7]
+    # erasure count reports ids actually LIVE in the index: absent and
+    # already-purged ids contribute 0 (the compliance-trail contract
+    # Bm25Index/IvfIndex follow — the old code counted the request)
+    assert idx.purge_ids([1, 999]) == {"purged": 0}
+    assert idx.purge_ids([2, 999]) == {"purged": 1}
 
 
 def test_multi_pattern_search_equals_per_pattern_scans(spark):
