@@ -154,16 +154,27 @@ def export_incremental(
 
     * upserts (I/U rows) as the same byte-deterministic WebDataset
       shards the full export writes — a consumer merges by key;
-    * ``tombstones.jsonl`` — the deleted keys, so the consumer can
-      drop them (an incremental format without deletes silently
-      resurrects removed training data).
+    * ``tombstones-NNNNN.jsonl`` — the deleted keys, SHARDED by the
+      same ``shard_id`` as the data shards and written executor-side
+      (an earlier revision collected every delete key to the driver —
+      a retention sweep or purge wave makes that set millions of keys,
+      the textbook driver bottleneck at 100×; now only the
+      manifest-row counts reach the driver). A consumer drops every
+      key listed in any tombstone file (an incremental format without
+      deletes silently resurrects removed training data). Each file is
+      byte-deterministic: keys sorted within shard, sort_keys json.
 
-    Returns the shard manifest plus one ``shard = -1`` row counting
-    tombstones. Consumer contract (tested): full_export(v0) + deltas
-    applied in order ≡ full_export(vN), byte-for-byte per document."""
+    Returns the shard manifest plus one ``shard = -(s+1)`` row per
+    tombstone shard (count/bytes/sha256 — same verification contract
+    as the data shards). Consumer contract (tested): full_export(v0)
+    + deltas applied in order ≡ full_export(vN), byte-for-byte per
+    document."""
+    import hashlib
     import json as _json
 
     from pathlib import Path
+
+    import pandas as pd
 
     to_version = table.current_version() if to_version is None else to_version
     key_col = table.key_column
@@ -174,18 +185,36 @@ def export_incremental(
     man = export_webdataset(
         ups, str(dest), key_col, n_shards, text_col=text_col, meta_cols=meta_cols
     )
-    dels = sorted(
-        r[key_col] for r in feed.filter(F.col("_op") == "D").select(key_col).collect()
+    dels = (
+        feed.filter(F.col("_op") == "D")
+        .select(key_col)
+        .withColumn("shard", shard_id(key_col, n_shards))
     )
-    (dest / "tombstones.jsonl").write_text(
-        "".join(_json.dumps({key_col: k}, sort_keys=True) + "\n" for k in dels)
+
+    def _write_tomb(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        shard = int(pdf["shard"].iloc[0])
+        keys = sorted(
+            k.item() if hasattr(k, "item") else k for k in pdf[key_col]
+        )
+        blob = "".join(
+            _json.dumps({key_col: k}, sort_keys=True) + "\n" for k in keys
+        ).encode()
+        tmp = dest / f".tmp-tomb-{shard:05d}.jsonl"
+        tmp.write_bytes(blob)
+        tmp.replace(dest / f"tombstones-{shard:05d}.jsonl")
+        return pd.DataFrame(
+            {
+                "shard": [-(shard + 1)],
+                "n_examples": [len(keys)],
+                "n_bytes": [len(blob)],
+                "sha256": [hashlib.sha256(blob).hexdigest()],
+            }
+        )
+
+    tomb_man = dels.groupBy("shard").applyInPandas(
+        _write_tomb, "shard long, n_examples long, n_bytes long, sha256 string"
     )
-    spark = feed.sparkSession
-    tomb = spark.createDataFrame(
-        [(-1, len(dels), (dest / "tombstones.jsonl").stat().st_size, "tombstones")],
-        "shard long, n_examples long, n_bytes long, sha256 string",
-    )
-    return man.unionByName(tomb)
+    return man.unionByName(tomb_man).orderBy("shard")
 
 
 def manifest(df: DataFrame, key_col: str, n_shards: int) -> DataFrame:

@@ -201,14 +201,31 @@ def test_incremental_export_replays_to_full(spark, tmp_path):
                         out[m.name[:-4]] = tar.extractfile(m).read()
         return out
 
-    export_webdataset(t.read(version=v1), str(tmp_path / "full_v1"), "url", 4)
-    export_webdataset(t.read(), str(tmp_path / "full_v2"), "url", 4)
-    export_incremental(t, str(tmp_path / "inc"), v1, n_shards=4)
+    # the manifest frames are lazy — collecting them IS the export (an
+    # earlier revision of this test dropped them on the floor, so no
+    # shard was ever written and the replay check compared {} == {})
+    export_webdataset(t.read(version=v1), str(tmp_path / "full_v1"), "url", 4).collect()
+    export_webdataset(t.read(), str(tmp_path / "full_v2"), "url", 4).collect()
+    inc_man = export_incremental(t, str(tmp_path / "inc"), v1, n_shards=4).collect()
 
     delta_dir = next((tmp_path / "inc").glob("delta-*"))
+    # manifest carries the tombstone shard rows (shard = -(s+1)) with
+    # real counts — only these counts reach the driver, not the keys
+    assert sum(r["n_examples"] for r in inc_man if r["shard"] < 0) == 1
+    assert sum(r["n_examples"] for r in inc_man if r["shard"] >= 0) == 2
     state = _members(tmp_path / "full_v1")
     state.update(_members(delta_dir))
-    for line in (delta_dir / "tombstones.jsonl").read_text().splitlines():
+    tomb_lines = []
+    for p in sorted(delta_dir.glob("tombstones-*.jsonl")):
+        tomb_lines.extend(p.read_text().splitlines())
+    for line in tomb_lines:
         state.pop(json.loads(line)["url"], None)
     assert state == _members(tmp_path / "full_v2")
-    assert json.loads((delta_dir / "tombstones.jsonl").read_text()) == {"url": "https://d/5"}
+    assert [json.loads(x) for x in tomb_lines] == [{"url": "https://d/5"}]
+    # the delete keys never collect to the driver: they ship as sharded
+    # executor-written files, and re-export is byte-identical
+    b1 = {p.name: p.read_bytes() for p in delta_dir.glob("tombstones-*.jsonl")}
+    export_incremental(t, str(tmp_path / "inc2"), v1, n_shards=4).collect()
+    d2 = next((tmp_path / "inc2").glob("delta-*"))
+    b2 = {p.name: p.read_bytes() for p in d2.glob("tombstones-*.jsonl")}
+    assert b1 == b2
