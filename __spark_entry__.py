@@ -479,19 +479,34 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embeddings_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table plus ONE planted exact duplicate of vec 0
+    (vec_id = -1, same vector and label). The fixture's max pairwise
+    cosine is below the 0.9 production threshold, so without the plant
+    these contract rows matched 0 == 0 — a vacuous check that cannot
+    catch a broken candidate generator. The oracle plants the same row."""
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(-1).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    return emb.unionByName(planted)
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked per label (at scale the
-    block key is an LSH bucket / IVF cell)."""
+    block key is an LSH bucket / IVF cell). Input carries one planted
+    exact duplicate so the contract row is non-vacuous."""
     return DD.embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.9
+        _embeddings_planted(spark, sf_dir), threshold=0.9
     )
 
 
 def q_dedup_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs blocked by the TRAINED k-means
-    cell — the real scale block key; oracle unrolls the same training."""
+    cell — the real scale block key; oracle unrolls the same training
+    (over the same planted corpus, so the row count is nonzero)."""
     return DD.embedding_near_dup_pairs_kmeans(
-        _t(spark, sf_dir, "embeddings"), threshold=0.9, n_cells=8, n_iter=2
+        _embeddings_planted(spark, sf_dir), threshold=0.9, n_cells=8, n_iter=2
     )
 
 
@@ -4133,7 +4148,18 @@ JOIN e eb ON eb.vec_id = c.id_b
 WHERE round({cos}, 4) >= {threshold}"""
 
 
-def _kmeans_ctes(n_cells: int, n_iter: int) -> tuple[list[str], str]:
+#: SQL mirror of _embeddings_planted: one exact duplicate of vec 0 at
+#: vec_id = -1 (column order vec_id, embedding, label)
+_PLANTED_EMB = (
+    "(SELECT * FROM embeddings UNION ALL "
+    "SELECT CAST(-1 AS BIGINT), embedding, label "
+    "FROM embeddings WHERE vec_id = 0)"
+)
+
+
+def _kmeans_ctes(
+    n_cells: int, n_iter: int, base: str = "embeddings"
+) -> tuple[list[str], str]:
     """Mechanical unroll of operators/similarity.train_kmeans_cells:
     init = lowest-id vectors (cells in id order), n_iter rounds of
     (assign via rounded-cosine argmax, recompute member-mean centroids).
@@ -4142,7 +4168,7 @@ def _kmeans_ctes(n_cells: int, n_iter: int) -> tuple[list[str], str]:
     sequence is engine-independent. Returns (CTE parts, name of the
     final assignment relation: (vec_id, v, cell))."""
     parts = [
-        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {base})",
         f"""c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS centroid
   FROM e ORDER BY vec_id LIMIT {n_cells})""",
@@ -4170,8 +4196,9 @@ def _embedding_kmeans_oracle(
 ) -> str:
     """Near-dup pairs blocked by the trained k-means cell: the same
     unrolled training, then a per-cell self-join (thresholded on the
-    4dp-rounded cosine, exactly like the Spark operator)."""
-    parts, last = _kmeans_ctes(n_cells, n_iter)
+    4dp-rounded cosine, exactly like the Spark operator). Trains over
+    the planted corpus so the contract row is non-vacuous."""
+    parts, last = _kmeans_ctes(n_cells, n_iter, base=_PLANTED_EMB)
     return (
         "WITH "
         + ",\n".join(parts)
@@ -4880,8 +4907,8 @@ FROM a2 JOIN b2 USING (url)""",
     "dedup_embedding_lsh_prod": _embedding_lsh_oracle(0.4, 32, 4),
     "dedup_simhash": _simhash_oracle(),
     "dedup_ngram_jaccard": _ngram_oracle(),
-    "dedup_embedding_cosine": """
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    "dedup_embedding_cosine": f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM {_PLANTED_EMB})
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_dot_product(a.v, b.v)
              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)

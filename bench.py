@@ -223,18 +223,33 @@ def main() -> None:
 
     queries = contract.queries()
     timings: dict[str, float] = {}
+    split: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         # time construction + execution: operators that materialize
         # internally (funnel's single-action aggregate, persisted-index
-        # builds) do their real work during construction, and timing
-        # only the noop write would under-report them to near zero
+        # builds, k-means training) do their real work during
+        # construction, and timing only the noop write would
+        # under-report them to near zero. The per-query build_s/exec_s
+        # split (since r04) keeps index-build-heavy entries
+        # attributable: build_s covers the queries() callable
+        # (fixtures, index builds, training), exec_s the noop-sink
+        # execution of the returned frame. r03 reported only the sum;
+        # r01/r02 timed exec only — cross-round per-query deltas
+        # spanning that boundary are apples-to-oranges (see README).
         t0 = time.monotonic()
         df = queries[name](spark, sf_dir)
+        t1 = time.monotonic()
         df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.monotonic() - t0, 3)
+        t2 = time.monotonic()
+        timings[name] = round(t2 - t0, 3)
+        split[name] = {
+            "build_s": round(t1 - t0, 3),
+            "exec_s": round(t2 - t1, 3),
+        }
 
     cdc_wall, n_events = run_cdc(spark, CDC_EVENTS)
     timings["cdc_ingest"] = round(cdc_wall, 3)
+    split["cdc_ingest"] = {"build_s": 0.0, "exec_s": round(cdc_wall, 3)}
 
     total = round(sum(timings.values()), 3)
     print(
@@ -244,6 +259,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_split": split,
+                "timing": "construction+exec",
                 "sf": sf,
                 "cdc_events": n_events,
                 "cdc_events_per_sec": round(n_events / cdc_wall, 1),
