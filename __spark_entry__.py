@@ -2995,6 +2995,62 @@ def q_multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.join(feats, "doc_id")
 
 
+def q_multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode (functions/multimodal.py decode_png — stdlib
+    zlib + the five W3C scanline filters, round 4): synthesize a
+    parametric image per document (dims/channels/pixels are pure
+    functions of doc_id), encode with filter type doc_id % 5 (so all
+    five unfilter paths run), push the bytes through the Arrow-batched
+    decode_meta stage, and re-decode for an arithmetic pixel checksum
+    the oracle recomputes in SQL. Exercises inflate + unfilter +
+    channel expansion end to end — not the fake-decode stub."""
+    import numpy as _np
+    import pandas as _pd
+
+    from datax_spark.functions.multimodal import decode_png, encode_png
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h, ch = d % 5 + 2, d % 7 + 3, d % 4 + 1
+                pix = ((d * 31 + _np.arange(h * w * ch) * 7) % 256).astype(
+                    _np.uint8
+                )
+                arr = pix.reshape(h, w, ch) if ch > 1 else pix.reshape(h, w)
+                ids.append(d)
+                payloads.append(encode_png(arr, filter_type=d % 5))
+            yield _pd.DataFrame(
+                {"doc_id": _pd.Series(ids, dtype="int64"), "payload": payloads}
+            )
+
+    pngs = docs.mapInPandas(encode, "doc_id long, payload binary")
+    meta = decode_meta(pngs).select(
+        "doc_id", "format", "modality", "width", "height", "n_channels",
+        "n_frames",
+    )
+
+    def pixsum(batches):
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"]]
+            sums = [
+                int(decode_png(bytes(p)).astype("int64").sum())
+                for p in pdf["payload"]
+            ]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": _pd.Series(ids, dtype="int64"),
+                    "pix_sum": _pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    sums = pngs.mapInPandas(pixsum, "doc_id long, pix_sum long")
+    return meta.join(sums, "doc_id")
+
+
 # ------------- TPC-H analog completion (Q2/7/8/9/11/12/15/17/20/21) ------- #
 
 def q_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3807,6 +3863,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transformer_chain": q_transformer_chain,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_wav_roundtrip": q_multimodal_wav_roundtrip,
+    "multimodal_png_roundtrip": q_multimodal_png_roundtrip,
     "nation_pair_volume": q_nation_pair_volume,
     "market_share": q_market_share,
     "profit_by_nation_year": q_profit_by_nation_year,
@@ -5463,6 +5520,31 @@ SELECT d.doc_id,
          / (8000 + (d.doc_id % 3) * 4000) AS duration_s,
        p.peak
 FROM documents d JOIN peaks p USING (doc_id)""",
+    # multimodal_png_roundtrip: the PNG payload is a pure function of
+    # doc_id (w = d%5+2, h = d%7+3, ch = d%4+1, pixel k =
+    # (d*31 + k*7) % 256, filter d%5), so the decoded header fields and
+    # the pixel checksum are recomputable arithmetically — the engines
+    # agree only if inflate + unfilter reconstruct every byte
+    "multimodal_png_roundtrip": """
+WITH dims AS (
+  SELECT doc_id,
+         doc_id % 5 + 2 AS w, doc_id % 7 + 3 AS h, doc_id % 4 + 1 AS ch
+  FROM documents),
+idx AS (SELECT i FROM range(216) t(i)),
+sums AS (
+  SELECT d.doc_id,
+         CAST(sum((d.doc_id * 31 + idx.i * 7) % 256) AS BIGINT) AS pix_sum
+  FROM dims d JOIN idx ON idx.i < d.h * d.w * d.ch
+  GROUP BY d.doc_id)
+SELECT d.doc_id,
+       'png' AS format,
+       'image' AS modality,
+       CAST(d.w AS BIGINT) AS width,
+       CAST(d.h AS BIGINT) AS height,
+       CAST(d.ch AS BIGINT) AS n_channels,
+       CAST(1 AS BIGINT) AS n_frames,
+       s.pix_sum
+FROM dims d JOIN sums s USING (doc_id)""",
     # cdc_final_state: SQL fold of the SAME shared event shards the Spark
     # query ingests (dirty rules mirror operators/quarantine.dirty_predicate;
     # LWW = per-url max-lsn; deletes drop). `text` bytes are checked by the

@@ -57,6 +57,7 @@ HEADLINE = [
     "ann_pq_adc_topk",
     "multimodal_meta",
     "multimodal_wav_roundtrip",
+    "multimodal_png_roundtrip",
     "dedup_embedding_lsh_prod",
     "dedup_embedding_lsh_capped",
     "line_dedup_corpus",

@@ -7,12 +7,15 @@ Python.
 
 Decode is REAL for every format the container can express without media
 libraries: WAV (stdlib ``wave``), BMP (24-bit BI_RGB, ``struct``), PPM/PGM
-(binary P6/P5), and YUV4MPEG2 video (text header + raw planar frames) — all
-pure stdlib/numpy, deterministic byte-for-byte. Formats that genuinely need
-a codec library (PNG/JPEG/MP3/MP4 — PIL/librosa/av are not installed here)
-raise ``NotImplementedError`` from ``decode_payload``; ``_fake_decode``
-remains the deterministic stand-in used by the frozen ``multimodal_meta``
-contract query so its DuckDB oracle stays byte-stable.
+(binary P6/P5), PNG (stdlib ``zlib`` + the five W3C scanline filters +
+palette/grayscale/alpha expansion — round 4; non-interlaced ≤8-bit, i.e.
+the dominant real-world corpus), and YUV4MPEG2 video (text header + raw
+planar frames) — all pure stdlib/numpy, deterministic byte-for-byte.
+Formats that genuinely need a codec library (JPEG/MP3/MP4 — PIL/librosa/av
+are not installed here) raise ``NotImplementedError`` from
+``decode_payload``; ``_fake_decode`` remains the deterministic stand-in
+used by the frozen ``multimodal_meta`` contract query so its DuckDB oracle
+stays byte-stable.
 
 Scale notes (100 TB of media):
 * payloads stay columnar (parquet binary → Arrow buffers → pandas bytes
@@ -126,6 +129,198 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     if not top_down:
         rows = rows[::-1]
     return rows[:, :, ::-1].copy()  # BGR on disk → RGB
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the five PNG scanline filters (W3C PNG spec §9) →
+    (h, stride) uint8 of reconstructed bytes. Sub/average/paeth have an
+    intra-row left-neighbor dependency, so those rows walk bytes in
+    python — decode here is a correctness/plumbing path (executor-side,
+    batch-parallel via mapInPandas), not a pixel-throughput codec."""
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = int(rows[y, 0])
+        cur = rows[y, 1:].astype(np.int32)
+        if f == 0:
+            pass
+        elif f == 1:  # sub
+            for i in range(bpp, stride):
+                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+        elif f == 2:  # up
+            cur = (cur + prev) & 0xFF
+        elif f == 3:  # average
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # paeth
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Pure stdlib/numpy PNG decode: zlib inflate + the five scanline
+    filters + palette/grayscale/alpha expansion (the whole W3C spec for
+    the still-overwhelming non-interlaced 8-bit-and-under majority —
+    PNG was the one 'needs a codec library' format that didn't).
+
+    Output: gray → (h, w); gray+alpha → (h, w, 2); RGB / palette →
+    (h, w, 3); RGBA / palette+tRNS → (h, w, 4), all uint8. Sub-byte
+    gray depths scale to full 0..255 range; palette indices don't.
+    Per-chunk CRCs are verified (damage → ValueError → dirty-routed).
+    16-bit channels and Adam7 interlacing raise NotImplementedError —
+    routed like the other codec-less formats, never a task kill."""
+    import zlib
+
+    buf = bytes(payload)
+    if buf[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    ihdr = plte = trns = None
+    idat: list[bytes] = []
+    pos = 8
+    while pos + 12 <= len(buf):
+        (length,) = struct.unpack_from(">I", buf, pos)
+        ctype = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(buf):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", buf, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG {ctype.decode('latin1')} chunk CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"tRNS":
+            trns = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        pos += 12 + length
+        if ctype == b"IEND":
+            break
+    if ihdr is None or len(ihdr) != 13 or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if w == 0 or h == 0 or comp != 0 or filt != 0:
+        raise ValueError("bad PNG IHDR")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG is not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"bad PNG color type {color}")
+    if depth not in ((1, 2, 4, 8) if color in (0, 3) else (8,)):
+        raise NotImplementedError(
+            f"PNG bit depth {depth} for color type {color} is not supported"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    bits_pp = depth * channels
+    stride = (w * bits_pp + 7) // 8
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG pixel data length mismatch")
+    recon = _png_unfilter(raw, h, stride, max(1, bits_pp // 8))
+    if depth == 8:
+        arr = recon[:, : w * channels].reshape(h, w, channels)
+    else:
+        # sub-byte samples pack big-endian within each byte
+        bits = np.unpackbits(recon, axis=1)
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        vals = (
+            bits[:, : (stride * 8 // depth) * depth]
+            .reshape(h, -1, depth)
+            .dot(weights)
+        )
+        arr = vals[:, :w].astype(np.uint8).reshape(h, w, 1)
+    if color == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG missing/bad PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = arr[:, :, 0]
+        if idx.max(initial=0) >= len(pal):
+            raise ValueError("PNG palette index out of range")
+        out = pal[idx]
+        if trns is not None:
+            alpha = np.full(len(pal), 255, dtype=np.uint8)
+            a = np.frombuffer(trns, dtype=np.uint8)
+            alpha[: len(a)] = a
+            out = np.dstack([out, alpha[idx]])
+        return out
+    if color == 0:
+        if depth < 8:
+            arr = (arr * (255 // ((1 << depth) - 1))).astype(np.uint8)
+        return arr.reshape(h, w)
+    return arr
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """uint8 array → deterministic PNG bytes: (h, w) gray, (h, w, 2)
+    gray+alpha, (h, w, 3) RGB, (h, w, 4) RGBA. One fixed
+    ``filter_type`` (0-4, forward-filtered per W3C §9) on every
+    scanline and a fixed zlib level, so re-encodes are byte-identical
+    (the export-determinism contract every encoder here follows).
+    Filter 2 (up) is the cheap-compression default for photographic
+    rows; 0 keeps the stream trivially inspectable."""
+    import zlib
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
+    if color is None:
+        raise ValueError(f"cannot encode {ch}-channel array as PNG")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"bad PNG filter type {filter_type}")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    flat = a.reshape(h, w * ch).astype(np.int32)
+    zeros = np.zeros((h, ch), dtype=np.int32)
+    left = np.concatenate([zeros, flat[:, :-ch]], axis=1)
+    up = np.concatenate([np.zeros((1, w * ch), np.int32), flat[:-1]], axis=0)
+    upleft = np.concatenate([zeros, up[:, :-ch]], axis=1)
+    if filter_type == 0:
+        filt = flat
+    elif filter_type == 1:
+        filt = flat - left
+    elif filter_type == 2:
+        filt = flat - up
+    elif filter_type == 3:
+        filt = flat - ((left + up) >> 1)
+    else:  # paeth predictor, vectorized
+        p = left + up - upleft
+        pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+        pred = np.where(
+            (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+        )
+        filt = flat - pred
+    filt = (filt & 0xFF).astype(np.uint8)
+    scanlines = b"".join(
+        bytes([filter_type]) + filt[y].tobytes() for y in range(h)
+    )
+    idat = zlib.compress(scanlines, 6)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
 
 
 def _pnm_header(buf: bytes) -> tuple[list[int], int]:
@@ -242,13 +437,19 @@ def resize_bilinear(arr: np.ndarray, target_w: int, target_h: int) -> np.ndarray
 def decode_payload(payload: bytes, modality: str | None = None) -> dict:
     """Decode a media payload by sniffed format.
 
-    Real for WAV / BMP / PPM / PGM / YUV4MPEG2 (stdlib + numpy). PNG, JPEG,
-    and compressed audio/video raise ``NotImplementedError`` — those need
-    PIL/librosa/av, which are not installed in this container."""
+    Real for WAV / BMP / PPM / PGM / PNG / YUV4MPEG2 (stdlib + numpy —
+    PNG is zlib + the five scanline filters, no codec library needed).
+    JPEG and compressed audio/video raise ``NotImplementedError`` —
+    those need PIL/librosa/av, which are not installed in this
+    container."""
     fmt = sniff_format(payload)
     if fmt == "wav":
         d = decode_wav(payload)
         return {"format": fmt, "modality": "audio", **d}
+    if fmt == "png":
+        arr = decode_png(payload)
+        return {"format": fmt, "modality": "image", "pixels": arr,
+                "width": arr.shape[1], "height": arr.shape[0]}
     if fmt == "bmp":
         arr = decode_bmp(payload)
         return {"format": fmt, "modality": "image", "pixels": arr,

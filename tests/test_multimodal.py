@@ -228,3 +228,149 @@ def test_audio_features_real(media_payloads):
     assert rows[0]["zero_crossings"] == int(
         np.sum(np.signbit(mono[1:]) != np.signbit(mono[:-1]))
     )
+
+
+# ------------------------------ PNG decode ------------------------------ #
+
+import zlib
+
+from datax_spark.functions.multimodal import decode_png, encode_png
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data)) + ctype + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def make_png(scanlines, w, h, depth=8, color=2, plte=None, trns=None,
+             interlace=0):
+    """Hand-built PNG: ``scanlines`` = list of (filter_type, raw_bytes)
+    per row AS FILTERED ON DISK — exercises the unfilter paths exactly."""
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    body = b"".join(bytes([f]) + bytes(line) for f, line in scanlines)
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _chunk(b"PLTE", plte)
+    if trns is not None:
+        out += _chunk(b"tRNS", trns)
+    return out + _chunk(b"IDAT", zlib.compress(body)) + _chunk(b"IEND", b"")
+
+
+def test_png_all_five_filters_golden():
+    """3x5 RGB image, one row per filter type, unfiltered by hand."""
+    r0 = [10, 20, 30, 40, 50, 60, 70, 80, 90]       # none: literal
+    # sub: raw[i] += recon[i-3]
+    r1_recon = [5, 5, 5, 15, 25, 35, 35, 65, 95]
+    r1_raw = [5, 5, 5, 10, 20, 30, 20, 40, 60]
+    # up: raw[i] += prev[i]  (prev = r1_recon)
+    r2_recon = [(a + b) & 0xFF for a, b in zip([1] * 9, r1_recon)]
+    r2_raw = [1] * 9
+    # average: raw[i] += (left + up) >> 1
+    r3_raw = [7, 9, 11, 2, 4, 6, 8, 10, 12]
+    r3_recon = []
+    for i in range(9):
+        left = r3_recon[i - 3] if i >= 3 else 0
+        r3_recon.append((r3_raw[i] + ((left + r2_recon[i]) >> 1)) & 0xFF)
+    # paeth: raw[i] += paeth(left, up, upleft)
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    r4_raw = [3, 1, 4, 1, 5, 9, 2, 6, 5]
+    r4_recon = []
+    for i in range(9):
+        a = r4_recon[i - 3] if i >= 3 else 0
+        b = r3_recon[i]
+        c = r3_recon[i - 3] if i >= 3 else 0
+        r4_recon.append((r4_raw[i] + paeth(a, b, c)) & 0xFF)
+
+    png = make_png(
+        [(0, r0), (1, r1_raw), (2, r2_raw), (3, r3_raw), (4, r4_raw)],
+        w=3, h=5, color=2,
+    )
+    got = decode_png(png)
+    want = np.array(
+        [r0, r1_recon, r2_recon, r3_recon, r4_recon], dtype=np.uint8
+    ).reshape(5, 3, 3)
+    assert got.dtype == np.uint8 and got.shape == (5, 3, 3)
+    assert (got == want).all()
+
+
+def test_png_palette_and_trns():
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B entries
+    png = make_png([(0, [0, 1]), (0, [2, 0])], w=2, h=2, depth=8, color=3,
+                   plte=plte)
+    got = decode_png(png)
+    assert got.shape == (2, 2, 3)
+    assert got[0, 0].tolist() == [255, 0, 0] and got[1, 0].tolist() == [0, 0, 255]
+    # tRNS: entry 0 transparent -> RGBA output
+    got_a = decode_png(
+        make_png([(0, [0, 1]), (0, [2, 0])], w=2, h=2, depth=8, color=3,
+                 plte=plte, trns=bytes([0]))
+    )
+    assert got_a.shape == (2, 2, 4)
+    assert got_a[0, 0, 3] == 0 and got_a[0, 1, 3] == 255
+
+
+def test_png_subbyte_gray_depths():
+    # depth 1: w=10 pixels pack into 2 bytes/row big-endian
+    row = [0b10110010, 0b01000000]
+    got = decode_png(make_png([(0, row)], w=10, h=1, depth=1, color=0))
+    assert got.shape == (1, 10)
+    assert got[0].tolist() == [255, 0, 255, 255, 0, 0, 255, 0, 0, 255]
+    # depth 4: two pixels per byte, scale 17
+    got4 = decode_png(make_png([(0, [0x5A, 0xF0])], w=3, h=1, depth=4, color=0))
+    assert got4[0].tolist() == [5 * 17, 10 * 17, 15 * 17]
+
+
+def test_png_gray_alpha_and_rgba_roundtrip():
+    rng = np.random.RandomState(7)
+    for shape in ((5, 4), (5, 4, 2), (5, 4, 3), (5, 4, 4)):
+        arr = rng.randint(0, 256, size=shape).astype(np.uint8)
+        out = decode_png(encode_png(arr))
+        assert (out.reshape(arr.shape) == arr).all(), shape
+    # deterministic re-encode: byte-identical
+    arr = rng.randint(0, 256, size=(8, 8, 3)).astype(np.uint8)
+    assert encode_png(arr) == encode_png(arr.copy())
+    # every forward filter type round-trips through its unfilter
+    for ft in range(5):
+        assert (decode_png(encode_png(arr, filter_type=ft)) == arr).all(), ft
+
+
+def test_png_rejections_and_damage():
+    arr = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = encode_png(arr)
+    # flip one IDAT byte -> CRC mismatch -> ValueError (dirty-routable)
+    bad = bytearray(good)
+    bad[len(good) - 20] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_png(bytes(bad))
+    with pytest.raises(NotImplementedError):
+        decode_png(make_png([(0, [0] * 6)], w=2, h=1, color=2, interlace=1))
+    # 16-bit: depth not supported for RGB
+    ihdr16 = make_png([(0, [0] * 12)], w=2, h=1, depth=16, color=2)
+    with pytest.raises(NotImplementedError):
+        decode_png(ihdr16)
+
+
+def test_png_flows_through_pipeline_stages(spark):
+    """decode_meta and resize_images treat PNG as a first-class image
+    format now — and a damaged PNG dirty-routes instead of killing."""
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(6, 4, 3)).astype(np.uint8)
+    good = encode_png(img)
+    bad = bytearray(good)
+    bad[30] ^= 0xFF
+    df = spark.createDataFrame(
+        [(0, bytearray(good)), (1, bytes(bad))], "doc_id long, payload binary"
+    )
+    meta = {r["doc_id"]: r for r in decode_meta(df).collect()}
+    assert meta[0]["format"] == "png" and meta[0]["modality"] == "image"
+    assert (meta[0]["width"], meta[0]["height"], meta[0]["n_channels"]) == (4, 6, 3)
+    assert meta[1]["format"] == "png" and meta[1]["modality"] is None
+    rs = {r["doc_id"]: r for r in resize_images(df, 8, 8).collect()}
+    assert rs[0]["ok"] and decode_pnm(bytes(rs[0]["payload"])).shape == (8, 8, 3)
+    assert not rs[1]["ok"] and rs[1]["payload"] is None
