@@ -232,6 +232,57 @@ def resolve_cluster_batch(
     return resolved
 
 
+def dry_run_cluster_cdc_job(
+    spec: dict[str, Any], event_schema_ddl: str | None = None
+) -> dict[str, Any]:
+    """Spec-validated DRY RUN of the cluster CDC job — no broker, no
+    jars, no SparkSession: compiles both endpoints and returns every
+    artifact the job would hand Spark, so a first cluster user can
+    sanity-check a job.json (and their catalog confs) in seconds
+    before submitting. ``tools/submit_job.py --dry-run job.json``
+    prints this. Raises ValueError on a malformed spec — the same
+    validation the real run applies."""
+    source, sink, checkpoint = compile_cluster_cdc_job(spec)
+    ddl = event_schema_ddl or spec.get("reader", {}).get("eventSchema")
+    cols: list[str] = []
+    if ddl:
+        # name extraction without a SparkContext (fromDDL needs a live
+        # JVM; a dry run must work on a laptop with nothing running):
+        # split on top-level commas, first token per column
+        names, depth, cur = [], 0, []
+        for ch in ddl:
+            if ch in "<(":
+                depth += 1
+            elif ch in ">)":
+                depth -= 1
+            if ch == "," and depth == 0:
+                names.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        names.append("".join(cur))
+        cols = [
+            n.strip().split()[0].strip("`")
+            for n in names
+            if n.strip()
+        ]
+        cols = [c for c in cols if c not in ("op", "lsn")]  # MERGE guard
+    catalog = IcebergCatalogConfig(
+        **spec.get("writer", {}).get("catalog", {})
+    )
+    return {
+        "kafka_stream_options": source.stream_options(),
+        "iceberg_session_confs": catalog.session_confs(),
+        "merge_sql": sink.merge_sql(cols) if cols else None,
+        "checkpoint": checkpoint,
+        "event_columns": cols,
+        "required_packages": [
+            "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>",
+            "org.apache.iceberg:iceberg-spark-runtime-<spark>_2.13:<iceberg-version>",
+        ],
+    }
+
+
 def run_cluster_cdc_job(
     spark: SparkSession,
     spec: dict[str, Any],

@@ -207,3 +207,60 @@ def test_cluster_cdc_end_to_end(spark, tmp_path):
     run_cluster_cdc_job(spark, spec, schema, extract=False, available_now=True)
     got = {r["url"]: r["lsn"] for r in spark.table(table).collect()}
     assert got["https://a/1"] == 2 and got["https://a/2"] == 3
+
+
+def test_dry_run_compiles_without_spark(tmp_path):
+    """The documented first step on a real cluster: --dry-run validates
+    the job.json and prints every artifact the job would hand Spark —
+    no SparkSession, broker, or jars involved."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    from datax_spark.cluster import dry_run_cluster_cdc_job
+
+    spec = {
+        "reader": {
+            "type": "kafka", "bootstrapServers": "broker:9092",
+            "topic": "crawl_cdc",
+            "eventSchema": "lsn long, op string, url string, "
+                           "warc_ts timestamp, html binary, lang string",
+            "speed": {"recordPerEpoch": 500000},
+        },
+        "writer": {
+            "type": "iceberg", "table": "lake.crawl.pages",
+            "catalog": {"name": "lake", "catalog_type": "hadoop",
+                        "warehouse": "s3://bucket/warehouse"},
+        },
+        "checkpoint": "/ckpt/pages",
+    }
+    out = dry_run_cluster_cdc_job(spec)
+    assert out["kafka_stream_options"]["subscribe"] == "crawl_cdc"
+    assert out["kafka_stream_options"]["maxOffsetsPerTrigger"] == "500000"
+    assert out["iceberg_session_confs"][
+        "spark.sql.catalog.lake.warehouse"] == "s3://bucket/warehouse"
+    assert "MERGE INTO lake.crawl.pages" in out["merge_sql"]
+    assert "b.lsn > t._lsn" in out["merge_sql"]
+    # op/lsn never appear as data columns — they ride the MERGE guard
+    assert out["event_columns"] == ["url", "warc_ts", "html", "lang"]
+    assert out["checkpoint"] == "/ckpt/pages"
+    # malformed spec fails validation exactly like the real run
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dry_run_cluster_cdc_job(
+            {"reader": {"type": "change_tail"},
+             "writer": {"type": "iceberg"}, "checkpoint": "/x"}
+        )
+    # the CLI path: submit_job --dry-run prints the same JSON, exit 0
+    p = tmp_path / "job.json"
+    p.write_text(json.dumps(spec))
+    repo = Path(__file__).resolve().parents[1]
+    r = subprocess.run(
+        [sys.executable, str(repo / "tools" / "submit_job.py"),
+         "--dry-run", str(p)],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr
+    assert json.loads(r.stdout)["checkpoint"] == "/ckpt/pages"

@@ -25,10 +25,27 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def main(argv: list[str]) -> int:
-    if len(argv) != 2:
+    args = list(argv[1:])
+    dry_run = "--dry-run" in args
+    if dry_run:
+        args.remove("--dry-run")
+    if len(args) != 1:
         print(__doc__, file=sys.stderr)
         return 2
-    spec = json.loads(Path(argv[1]).read_text())
+    spec = json.loads(Path(args[0]).read_text())
+    if dry_run:
+        # cluster CDC specs validate + print their compiled artifacts
+        # (stream options, catalog confs, MERGE SQL) without a
+        # SparkSession, broker, or jars — the first thing to run on a
+        # new cluster (README "on a real cluster")
+        if (spec.get("writer") or {}).get("type") != "iceberg":
+            print("--dry-run supports cluster CDC specs "
+                  "(writer.type=iceberg)", file=sys.stderr)
+            return 2
+        from datax_spark.cluster import dry_run_cluster_cdc_job
+
+        print(json.dumps(dry_run_cluster_cdc_job(spec), indent=2))
+        return 0
     from pyspark.sql import SparkSession, types as T
 
     from datax_spark.jobspec import run_batch_job, run_cdc_job
