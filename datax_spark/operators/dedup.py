@@ -801,6 +801,7 @@ def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    label_rounds: int = 6,
     max_rounds: int = 50,
 ) -> DataFrame:
     """Near-dup CLUSTERS from a pair list: (doc_id, cluster_id) where
@@ -810,24 +811,85 @@ def connected_components(
     (pairwise drops under-delete: b dropped for a does not drop c
     paired only with b).
 
-    Delegates to the convergence-checked alternating large-star /
-    small-star contraction in :func:`datax_spark.operators.graph.
-    connected_components` (Kiveris et al. 2014): O(log² n) rounds on
-    ANY topology, two bounded shuffles per round, fixpoint detected by
-    an edge-set checksum. Earlier revisions ran min-label propagation
-    with a FIXED 4-round budget, which silently splits any component
-    whose min-id node is >4 hops from a member (labels travel one hop
-    per round) — an at-scale correctness hazard for chain-shaped
-    near-dup graphs (A~B~…~F redirect/pagination chains), and for
-    leakage-safe splits precisely the failure the operator promises to
-    prevent. Running to convergence removes the bound; near-dup graphs
-    are star-ish so the loop typically exits in 2-3 rounds anyway.
+    Hybrid, convergence-checked (round 4 — earlier revisions ran
+    min-label propagation with a FIXED 4-round budget, silently
+    splitting any component whose min-id node is >4 hops from a
+    member: an at-scale correctness hazard for chain-shaped near-dup
+    graphs, and for leakage-safe splits precisely the failure the
+    operator promises to prevent):
+
+    1. Up to ``label_rounds`` rounds of min-label propagation — ONE
+       equi-join + one groupBy per round, fixpoint detected by a
+       (count, Σ xxhash64(node,label)) checksum over the labels frame
+       (labels only decrease, so an unchanged checksum IS the
+       fixpoint). Near-dup graphs are star-ish (template clusters,
+       diameter ≲ 3), so this almost always exits here, cheaper per
+       round than star contraction.
+    2. If still unconverged (adversarial chains), contract every node
+       to its current label and finish with the convergence-checked
+       large-star/small-star contraction (:func:`datax_spark.operators.
+       graph.connected_components`, O(log² n) rounds on any topology)
+       on the QUOTIENT graph — connectivity is preserved under
+       quotient by labels (label(u) is a node of u's component), the
+       quotient is already k-hop-contracted so it is much smaller, and
+       the component minimum survives because the min node labels
+       itself. Composition is one small join.
+
+    ``localCheckpoint`` per round cuts the iterative lineage (the same
+    driver-OOM guard the graph loop uses).
     """
     from datax_spark.operators import graph as G
 
-    labels = G.connected_components(
-        pairs, src=id_a, dst=id_b, max_rounds=max_rounds
-    )
+    a = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    b = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    edges = a.union(b).distinct().localCheckpoint(eager=True)
+    nodes = edges.select("src").distinct()
+    labels = nodes.select("src", F.col("src").alias("label"))
+    self_loop = nodes.select("src", F.col("src").alias("dst"))
+    prop_edges = edges.union(self_loop)
+
+    def _checksum(lbl: DataFrame):
+        row = lbl.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("src", "label").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    prev = _checksum(labels)
+    converged = False
+    for _ in range(max(label_rounds, 0)):
+        labels = (
+            prop_edges.join(labels.withColumnRenamed("src", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cur = _checksum(labels)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        lu = labels.withColumnRenamed("src", "u_src").withColumnRenamed(
+            "label", "u_label"
+        )
+        lv = labels.withColumnRenamed("src", "v_src").withColumnRenamed(
+            "label", "v_label"
+        )
+        quotient = (
+            edges.join(lu, edges["src"] == lu["u_src"])
+            .join(lv, edges["dst"] == lv["v_src"])
+            .select(
+                F.col("u_label").alias("src"), F.col("v_label").alias("dst")
+            )
+            .filter(F.col("src") != F.col("dst"))
+        )
+        comp = G.connected_components(
+            quotient, max_rounds=max_rounds
+        ).withColumnRenamed("node", "label")
+        labels = labels.join(comp, "label", "left").select(
+            "src", F.coalesce("component", "label").alias("label")
+        )
     return labels.select(
-        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+        F.col("src").alias("doc_id"), F.col("label").alias("cluster_id")
     )
