@@ -173,6 +173,26 @@ def read_warc(
     return files.select("path", "content").mapInPandas(explode, WARC_SCHEMA)
 
 
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """Common Crawl WET archives → (warc_file, url, warc_ts, text,
+    warc_error). A WET file is an ordinary WARC whose ``conversion``
+    records carry the page's already-extracted UTF-8 text as the raw
+    payload (no HTTP envelope) — the cheapest Common Crawl asset to
+    bootstrap a text corpus from when re-extraction isn't needed.
+    Shares the binaryFile + Arrow-explode scale path (and the
+    damage → error-row tolerance) with :func:`read_warc`."""
+    from pyspark.sql import functions as F
+
+    df = read_warc(spark, path, record_types=("conversion",))
+    return df.select(
+        "warc_file",
+        "url",
+        "warc_ts",
+        F.decode(F.col("html"), "UTF-8").alias("text"),
+        "warc_error",
+    )
+
+
 # ------------------------------------------------------------------ #
 # writer side (fixtures + export): real bytes, round-tripped in tests
 # ------------------------------------------------------------------ #

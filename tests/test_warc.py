@@ -268,3 +268,33 @@ def test_snapshot_diff_order_col_tie_is_deterministic(spark, tmp_path):
         winners.append(ev)
     assert winners[0] == winners[1]
     assert winners[0]["u2"] == b"solo"
+
+
+def test_read_wet_conversion_records(spark, tmp_path):
+    """WET convenience: conversion records decode straight to text
+    rows; a damaged archive in the same glob becomes one error row."""
+    from datax_spark.sources.warc import build_warc_record, read_wet
+
+    d = tmp_path / "wet"
+    d.mkdir()
+    pages = [
+        ("https://a.example/x", datetime(2026, 1, 2, 3, 4, 5),
+         "Extracted text of page one.\nSecond line."),
+        ("https://b.example/y", datetime(2026, 1, 2, 3, 4, 6),
+         "Unicode: éèê 中文."),
+    ]
+    with open(d / "crawl.warc.wet", "wb") as f:
+        for url, ts, text in pages:
+            f.write(build_warc_record(
+                url, ts, text.encode("utf-8"), record_type="conversion"
+            ))
+    (d / "broken.warc.wet").write_bytes(b"WARC/1.0\r\nContent-Length: trash")
+
+    rows = read_wet(spark, str(d / "*.wet")).collect()
+    good = {r["url"]: r for r in rows if r["warc_error"] is None}
+    assert set(good) == {u for u, _, _ in pages}
+    for url, ts, text in pages:
+        assert good[url]["text"] == text
+        assert good[url]["warc_ts"] == ts
+    errs = [r for r in rows if r["warc_error"] is not None]
+    assert len(errs) == 1 and errs[0]["url"] is None
