@@ -267,15 +267,23 @@ def dry_run_cluster_cdc_job(
             if n.strip()
         ]
         cols = [c for c in cols if c not in ("op", "lsn")]  # MERGE guard
+    # the REAL run merges the resolved batch, which gains the
+    # extract-derived 'text' column when html is present (extract=True
+    # default in run_cluster_cdc_job) — the printed MERGE must be the
+    # statement the job will actually execute
+    merge_cols = list(cols)
+    if "html" in merge_cols and "text" not in merge_cols:
+        merge_cols.append("text")
     catalog = IcebergCatalogConfig(
         **spec.get("writer", {}).get("catalog", {})
     )
     return {
         "kafka_stream_options": source.stream_options(),
         "iceberg_session_confs": catalog.session_confs(),
-        "merge_sql": sink.merge_sql(cols) if cols else None,
+        "merge_sql": sink.merge_sql(merge_cols) if merge_cols else None,
         "checkpoint": checkpoint,
         "event_columns": cols,
+        "merge_columns": merge_cols,
         "required_packages": [
             "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>",
             "org.apache.iceberg:iceberg-spark-runtime-<spark>_2.13:<iceberg-version>",

@@ -224,7 +224,12 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise NotImplementedError(
             f"PNG bit depth {depth} for color type {color} is not supported"
         )
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        # zlib.error is NOT a ValueError — uncaught it would escape the
+        # pipeline stages' dirty-routing and kill the whole scan task
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from e
     bits_pp = depth * channels
     stride = (w * bits_pp + 7) // 8
     if len(raw) != (stride + 1) * h:

@@ -363,39 +363,23 @@ class IvfIndex:
         }
 
     def _data_dir(self):
-        """Committed corpus dir — named by meta after a compaction
-        generation ('corpus' is the build-time default)."""
-        return self.root / self.meta.get("data_dir", "corpus")
+        from datax_spark.operators.text_index import generation_dir
+
+        return generation_dir(self.root, self.meta, "corpus")
 
     def compact(self) -> None:
         """Fold tombstones into the cell lists (rewrite live rows only,
         original seg values kept so stale tombstones can never kill a
-        survivor) and clear the tombstone log. Crash-safe via the meta
-        commit point: folded rows stage under a generation-named dir
-        published only by the atomic meta rename (the old two-rename
-        swap had a window with no corpus dir at all); unreferenced
-        generations GC after commit."""
-        import shutil
-
-        from datax_spark.operators.text_index import _write_meta
+        survivor) and clear the tombstone log — crash-safe via the
+        shared ``text_index.publish_generation`` meta-commit sequence."""
+        from datax_spark.operators.text_index import publish_generation
 
         live = self._live_corpus(None)
-        gen = int(self.meta.get("data_gen", 0)) + 1
-        new_dir = f"corpus-g{gen}"
-        live.write.mode("overwrite").partitionBy("cell", "seg").parquet(
-            str(self.root / new_dir)
+        publish_generation(
+            self.root, self.meta, "corpus",
+            lambda dest: live.write.mode("overwrite")
+            .partitionBy("cell", "seg").parquet(str(dest)),
         )
-        self.meta["data_dir"] = new_dir
-        self.meta["data_gen"] = gen
-        _write_meta(self.root, self.meta)
-        shutil.rmtree(self.root / "tombstones", ignore_errors=True)
-        for p in self.root.iterdir():
-            if p.name == new_dir or not p.is_dir():
-                continue
-            if p.name == "corpus" or p.name.startswith("corpus-g") or (
-                p.name.startswith(".corpus-")
-            ):
-                shutil.rmtree(p, ignore_errors=True)
 
     # ---------------- read side ---------------- #
     def centroids(self) -> DataFrame:

@@ -364,7 +364,10 @@ class AggViewSync:
         # stage under a version name; only the cursor rename publishes
         # it — a crash anywhere before that leaves the committed view
         # AND cursor at the previous version (retry is a clean redo of
-        # the same span, never a double-apply)
+        # the same span, never a double-apply). Same commit-point
+        # discipline as text_index.publish_generation, but the dir is
+        # VERSION-named and the commit rides cursor.json because the
+        # source version must land in the identical atomic write.
         new_dir = f"view-v{to}"
         maintained.write.mode("overwrite").parquet(str(self.root / new_dir))
         self.meta["source"] = {**src, "version": to}

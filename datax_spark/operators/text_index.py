@@ -67,6 +67,44 @@ from datax_spark.operators.retrieval import _tokens
 FORMAT = "bm25-postings-v2"
 
 
+def generation_dir(root: Path, meta: dict, prefix: str) -> Path:
+    """Committed data dir of a generation-published artifact — named by
+    meta after a compaction; ``prefix`` is the build-time default."""
+    return Path(root) / meta.get("data_dir", prefix)
+
+
+def publish_generation(
+    root: Path, meta: dict, prefix: str, write, clear_tombstones: bool = True
+) -> None:
+    """Stage-and-publish a folded data generation via the meta commit
+    point — the ONE implementation of the crash-safe compact sequence
+    shared by Bm25Index / TrigramIndex / IvfIndex (it was previously
+    copy-pasted per index, where a fix to the commit window would have
+    to land three times): ``write(dest)`` stages the folded rows under
+    a generation-named dir, the atomic meta rename publishes it (a
+    crash before that leaves the old generation fully readable and the
+    retry overwrites the orphan), then the tombstone log and every
+    unreferenced generation are GC'd. Leftover tombstones from a crash
+    between commit and GC are harmless: folded rows keep their original
+    seg values, and survivors satisfy seg >= before_seg by definition."""
+    root = Path(root)
+    gen = int(meta.get("data_gen", 0)) + 1
+    new_dir = f"{prefix}-g{gen}"
+    write(root / new_dir)
+    meta["data_dir"] = new_dir
+    meta["data_gen"] = gen
+    _write_meta(root, meta)
+    if clear_tombstones:
+        shutil.rmtree(root / "tombstones", ignore_errors=True)
+    for p in root.iterdir():
+        if p.name == new_dir or not p.is_dir():
+            continue
+        if p.name == prefix or p.name.startswith(f"{prefix}-g") or (
+            p.name.startswith(f".{prefix}-")
+        ):
+            shutil.rmtree(p, ignore_errors=True)
+
+
 def _postings(docs: DataFrame, id_col: str, text_col: str, n_buckets: int):
     """(term, doc_id, tf, dl, bucket) rows plus the (n_docs, sum_dl)
     stats row — one tokenize pass. A null/empty text contributes 0 to
@@ -187,9 +225,7 @@ class Bm25Index:
         _write_meta(self.root, self.meta)
 
     def _data_dir(self) -> Path:
-        """Committed postings dir — named by meta after a compaction
-        generation ('postings' is the build-time default)."""
-        return self.root / self.meta.get("data_dir", "postings")
+        return generation_dir(self.root, self.meta, "postings")
 
     def add(self, new_docs: DataFrame) -> int:
         """Append NEW documents' postings (ids must not already be
@@ -354,30 +390,17 @@ class Bm25Index:
         definition) and clear the tombstone log. Bounds the probe-side
         anti-work at churn-proportional intervals.
 
-        Crash-safe via the meta commit point (same pattern as
-        apply_changes and dedup_index.compact): the folded rows are
-        staged under a GENERATION-NAMED dir and published only by the
-        atomic meta rename — the earlier two-rename swap had a window
-        with NO postings dir at all, leaving the index unreadable with
-        its data hidden under a .postings-old-* temp name. Unreferenced
-        generation dirs are GC'd after commit."""
+        Crash-safe via the shared ``publish_generation`` meta-commit
+        sequence (the earlier two-rename swap had a window with NO
+        postings dir at all, leaving the index unreadable with its data
+        hidden under a .postings-old-* temp name)."""
         live = self._live_postings(None)
-        gen = int(self.meta.get("data_gen", 0)) + 1
-        new_dir = f"postings-g{gen}"
-        live.select("term", self.meta["id_col"], "tf", "dl", "bucket", "seg") \
-            .write.mode("overwrite").partitionBy("bucket", "seg") \
-            .parquet(str(self.root / new_dir))
-        self.meta["data_dir"] = new_dir
-        self.meta["data_gen"] = gen
-        self._commit_meta()
-        shutil.rmtree(self.root / "tombstones", ignore_errors=True)
-        for p in self.root.iterdir():
-            if p.name == new_dir or not p.is_dir():
-                continue
-            if p.name == "postings" or p.name.startswith("postings-g") or (
-                p.name.startswith(".postings-")
-            ):
-                shutil.rmtree(p, ignore_errors=True)
+        cols = ["term", self.meta["id_col"], "tf", "dl", "bucket", "seg"]
+        publish_generation(
+            self.root, self.meta, "postings",
+            lambda dest: live.select(*cols).write.mode("overwrite")
+            .partitionBy("bucket", "seg").parquet(str(dest)),
+        )
         return {"n_docs": self.meta["n_docs"]}
 
     # ---------------- read side ---------------- #

@@ -272,38 +272,24 @@ class TrigramIndex:
         return {"purged": n_live}
 
     def _data_dir(self):
-        """Committed postings dir — named by meta after a compaction
-        generation ('postings' is the build-time default)."""
-        return self.root / self.meta.get("data_dir", "postings")
+        from datax_spark.operators.text_index import generation_dir
+
+        return generation_dir(self.root, self.meta, "postings")
 
     def compact(self) -> None:
         """Fold tombstones into the postings (rewrite live rows only,
-        original seg values kept) and clear the tombstone log.
-        Crash-safe via the meta commit point: folded rows stage under
-        a generation-named dir published only by the atomic meta
-        rename (the old two-rename swap had a window with no postings
-        dir at all); unreferenced generations GC after commit."""
-        import shutil
-
-        from datax_spark.operators.text_index import _write_meta
+        original seg values kept) and clear the tombstone log —
+        crash-safe via the shared ``text_index.publish_generation``
+        meta-commit sequence."""
+        from datax_spark.operators.text_index import publish_generation
 
         live = self._live_postings(None)
-        gen = int(self.meta.get("data_gen", 0)) + 1
-        new_dir = f"postings-g{gen}"
-        live.select("gram", "doc_id", "bucket", "seg").write.mode(
-            "overwrite"
-        ).partitionBy("bucket", "seg").parquet(str(self.root / new_dir))
-        self.meta["data_dir"] = new_dir
-        self.meta["data_gen"] = gen
-        _write_meta(self.root, self.meta)
-        shutil.rmtree(self.root / "tombstones", ignore_errors=True)
-        for p in self.root.iterdir():
-            if p.name == new_dir or not p.is_dir():
-                continue
-            if p.name == "postings" or p.name.startswith("postings-g") or (
-                p.name.startswith(".postings-")
-            ):
-                shutil.rmtree(p, ignore_errors=True)
+        publish_generation(
+            self.root, self.meta, "postings",
+            lambda dest: live.select("gram", "doc_id", "bucket", "seg")
+            .write.mode("overwrite").partitionBy("bucket", "seg")
+            .parquet(str(dest)),
+        )
 
     def _tombstones(self) -> DataFrame | None:
         """Aggregated kill map gated on next_seg (committed transactions

@@ -305,8 +305,11 @@ class EpochDriver:
         # sub-day components — Python date±timedelta drops them and the
         # old code subtracted raw SECONDS from ordinal-day stats, so
         # the stats path never expired anything and the scan path threw
-        # date - int)
-        age_days = age // 86_400
+        # date - int). CEIL, never floor: retention may keep data
+        # longer than asked but must never delete younger than asked
+        # (a floored 12h TTL would expire everything but the newest
+        # date, including rows minutes old)
+        age_days = -(-age // 86_400)
         # DRIVER-SIDE tick cost: the per-file column envelopes the
         # manifests already carry answer both "what is the data
         # high-water mark" and "does anything fall below the cutoff"

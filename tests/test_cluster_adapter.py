@@ -244,6 +244,10 @@ def test_dry_run_compiles_without_spark(tmp_path):
     assert "b.lsn > t._lsn" in out["merge_sql"]
     # op/lsn never appear as data columns — they ride the MERGE guard
     assert out["event_columns"] == ["url", "warc_ts", "html", "lang"]
+    # the printed MERGE is the statement the job EXECUTES: the resolved
+    # batch gains the extract-derived text column when html is present
+    assert out["merge_columns"] == ["url", "warc_ts", "html", "lang", "text"]
+    assert "t.text = b.text" in out["merge_sql"]
     assert out["checkpoint"] == "/ckpt/pages"
     # malformed spec fails validation exactly like the real run
     import pytest as _pytest

@@ -349,3 +349,19 @@ def test_ttl_retention_date_column(spark, tmp_path):
     v = table.current_version()
     drv._maybe_ttl(0)
     assert table.current_version() == v
+
+    # sub-day TTL on a DATE column must CEIL to a whole day, never
+    # floor: a floored 12h age would delete every row not bearing the
+    # newest date — including rows minutes old. Retention may keep
+    # longer than asked, never shorter.
+    drv_subday = EpochDriver(
+        spark,
+        ChangeTailSource(spark, tmp_path / "events-none2"),
+        table,
+        tmp_path / "ckpt2",
+        ttl={"column": "seen_on", "maxAgeSeconds": 12 * 3600, "every": 1},
+    )
+    v = table.current_version()
+    drv_subday._maybe_ttl(0)
+    assert table.current_version() == v  # hi-1day >= cutoff: kept
+    assert {r["url"] for r in table.read().collect()} == {"u-new1", "u-new2"}

@@ -348,6 +348,18 @@ def test_png_rejections_and_damage():
     bad[len(good) - 20] ^= 0xFF
     with pytest.raises(ValueError):
         decode_png(bytes(bad))
+    # truncated-but-CRC-consistent deflate stream: zlib.error must NOT
+    # escape (it is not a ValueError subclass — uncaught it would kill
+    # the whole mapInPandas task instead of dirty-routing)
+    full = zlib.compress(b"\x00" + bytes(6) + b"\x00" + bytes(6))
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    trunc_png = (
+        b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", full[:-4])  # valid chunk CRC over bad stream
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="inflate"):
+        decode_png(trunc_png)
     with pytest.raises(NotImplementedError):
         decode_png(make_png([(0, [0] * 6)], w=2, h=1, color=2, interlace=1))
     # 16-bit: depth not supported for RGB
