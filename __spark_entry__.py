@@ -447,10 +447,11 @@ def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters: connected components over the
-    MinHash pair graph via convergence-checked star contraction (no
-    round bound — the TRUE fixpoint on any component shape; the
-    keep-one-per-cluster upgrade over pairwise drops). The oracle is
-    the recursive-CTE reachability closure."""
+    MinHash pair graph via the hybrid convergence-checked CC
+    (checksum-fixpoint min-label rounds, star-contraction fallback on
+    the label quotient — no round bound, the TRUE fixpoint on any
+    component shape; the keep-one-per-cluster upgrade over pairwise
+    drops). The oracle is the recursive-CTE reachability closure."""
     pairs = DD.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), k=8, bands=4, jaccard_threshold=0.7
     )
