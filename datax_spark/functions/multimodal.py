@@ -179,9 +179,14 @@ def decode_png(payload: bytes) -> np.ndarray:
     Output: gray → (h, w); gray+alpha → (h, w, 2); RGB / palette →
     (h, w, 3); RGBA / palette+tRNS → (h, w, 4), all uint8. Sub-byte
     gray depths scale to full 0..255 range; palette indices don't.
-    Per-chunk CRCs are verified (damage → ValueError → dirty-routed).
-    16-bit channels and Adam7 interlacing raise NotImplementedError —
-    routed like the other codec-less formats, never a task kill."""
+    16-bit channels decode with the standard high-byte reduction to
+    uint8 (the tRNS color key still compares against the FULL 16-bit
+    samples before reduction). A tRNS color key on gray/RGB images
+    adds an alpha channel (key pixels → 0), compared in the raw sample
+    domain per the spec. Per-chunk CRCs are verified (damage →
+    ValueError → dirty-routed). Adam7 interlacing raises
+    NotImplementedError — routed like the remaining codec-library
+    formats, never a task kill."""
     import zlib
 
     buf = bytes(payload)
@@ -220,9 +225,10 @@ def decode_png(payload: bytes) -> np.ndarray:
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise ValueError(f"bad PNG color type {color}")
-    if depth not in ((1, 2, 4, 8) if color in (0, 3) else (8,)):
-        raise NotImplementedError(
-            f"PNG bit depth {depth} for color type {color} is not supported"
+    ok_depths = {0: (1, 2, 4, 8, 16), 3: (1, 2, 4, 8)}.get(color, (8, 16))
+    if depth not in ok_depths:
+        raise ValueError(
+            f"invalid PNG bit depth {depth} for color type {color}"
         )
     try:
         raw = zlib.decompress(b"".join(idat))
@@ -235,8 +241,21 @@ def decode_png(payload: bytes) -> np.ndarray:
     if len(raw) != (stride + 1) * h:
         raise ValueError("PNG pixel data length mismatch")
     recon = _png_unfilter(raw, h, stride, max(1, bits_pp // 8))
+    # `raw_samples` keeps the spec's original sample domain (uint16):
+    # the tRNS color key compares there, BEFORE any scaling/reduction
     if depth == 8:
-        arr = recon[:, : w * channels].reshape(h, w, channels)
+        raw_samples = (
+            recon[:, : w * channels].reshape(h, w, channels).astype(np.uint16)
+        )
+        arr = raw_samples.astype(np.uint8)
+    elif depth == 16:
+        hi_lo = (
+            recon[:, : w * channels * 2]
+            .reshape(h, w, channels, 2)
+            .astype(np.uint16)
+        )
+        raw_samples = (hi_lo[..., 0] << 8) | hi_lo[..., 1]
+        arr = hi_lo[..., 0].astype(np.uint8)  # standard 16→8 reduction
     else:
         # sub-byte samples pack big-endian within each byte
         bits = np.unpackbits(recon, axis=1)
@@ -246,7 +265,8 @@ def decode_png(payload: bytes) -> np.ndarray:
             .reshape(h, -1, depth)
             .dot(weights)
         )
-        arr = vals[:, :w].astype(np.uint8).reshape(h, w, 1)
+        raw_samples = vals[:, :w].astype(np.uint16).reshape(h, w, 1)
+        arr = raw_samples.astype(np.uint8)
     if color == 3:
         if plte is None or len(plte) % 3:
             raise ValueError("palette PNG missing/bad PLTE")
@@ -264,7 +284,22 @@ def decode_png(payload: bytes) -> np.ndarray:
     if color == 0:
         if depth < 8:
             arr = (arr * (255 // ((1 << depth) - 1))).astype(np.uint8)
-        return arr.reshape(h, w)
+        gray = arr.reshape(h, w)
+        if trns is not None and len(trns) >= 2:
+            key = int.from_bytes(trns[:2], "big")
+            alpha = np.where(
+                raw_samples[:, :, 0] == key, 0, 255
+            ).astype(np.uint8)
+            return np.dstack([gray, alpha])
+        return gray
+    if color == 2 and trns is not None and len(trns) >= 6:
+        keys = struct.unpack(">HHH", trns[:6])
+        mask = (
+            (raw_samples[:, :, 0] == keys[0])
+            & (raw_samples[:, :, 1] == keys[1])
+            & (raw_samples[:, :, 2] == keys[2])
+        )
+        return np.dstack([arr, np.where(mask, 0, 255).astype(np.uint8)])
     return arr
 
 

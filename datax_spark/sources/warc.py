@@ -193,6 +193,27 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_wat(spark: SparkSession, path: str) -> DataFrame:
+    """Common Crawl WAT archives → (warc_file, url, warc_ts, metadata,
+    warc_error). A WAT file is a WARC of ``metadata`` records whose
+    payload is a JSON envelope describing the corresponding response
+    (headers, extracted links, …); ``metadata`` comes back as the raw
+    JSON string — feed it to ``from_json``/``get_json_object`` with
+    whatever subset of the (large, crawl-versioned) envelope schema
+    the query needs, so the scan itself stays schema-agnostic. Same
+    scale path and damage tolerance as :func:`read_warc`/:func:`read_wet`."""
+    from pyspark.sql import functions as F
+
+    df = read_warc(spark, path, record_types=("metadata",))
+    return df.select(
+        "warc_file",
+        "url",
+        "warc_ts",
+        F.decode(F.col("html"), "UTF-8").alias("metadata"),
+        "warc_error",
+    )
+
+
 # ------------------------------------------------------------------ #
 # writer side (fixtures + export): real bytes, round-tripped in tests
 # ------------------------------------------------------------------ #

@@ -362,10 +362,41 @@ def test_png_rejections_and_damage():
         decode_png(trunc_png)
     with pytest.raises(NotImplementedError):
         decode_png(make_png([(0, [0] * 6)], w=2, h=1, color=2, interlace=1))
-    # 16-bit: depth not supported for RGB
-    ihdr16 = make_png([(0, [0] * 12)], w=2, h=1, depth=16, color=2)
-    with pytest.raises(NotImplementedError):
-        decode_png(ihdr16)
+    # spec-invalid depth/color combination -> ValueError
+    with pytest.raises(ValueError):
+        decode_png(make_png([(0, [0] * 3)], w=2, h=1, depth=4, color=2))
+
+
+def test_png_16bit_and_color_key():
+    # 16-bit RGB: standard high-byte reduction; 0x1234 -> 0x12
+    row = [0x12, 0x34, 0xAB, 0xCD, 0x00, 0xFF,   # pixel (0x12,0xAB,0x00)
+           0xFF, 0x00, 0x01, 0x02, 0x80, 0x7F]   # pixel (0xFF,0x01,0x80)
+    got = decode_png(make_png([(0, row)], w=2, h=1, depth=16, color=2))
+    assert got.shape == (1, 2, 3)
+    assert got[0, 0].tolist() == [0x12, 0xAB, 0x00]
+    assert got[0, 1].tolist() == [0xFF, 0x01, 0x80]
+    # 16-bit gray
+    g16 = decode_png(make_png([(0, [0xBE, 0xEF])], w=1, h=1, depth=16, color=0))
+    assert g16.shape == (1, 1) and g16[0, 0] == 0xBE
+    # gray color key (8-bit): pixel == key -> alpha 0, output (h,w,2)
+    keyed = decode_png(make_png(
+        [(0, [7, 9])], w=2, h=1, depth=8, color=0,
+        trns=struct.pack(">H", 7),
+    ))
+    assert keyed.shape == (1, 2, 2)
+    assert keyed[0, 0].tolist() == [7, 0] and keyed[0, 1].tolist() == [9, 255]
+    # RGB color key: full 16-bit compare BEFORE reduction — a pixel
+    # whose high bytes match but low bytes differ stays opaque
+    key = struct.pack(">HHH", 0x1234, 0xABCD, 0x00FF)
+    rgb_keyed = decode_png(make_png([(0, row)], w=2, h=1, depth=16, color=2,
+                                    trns=key))
+    assert rgb_keyed.shape == (1, 2, 4)
+    assert rgb_keyed[0, 0, 3] == 0 and rgb_keyed[0, 1, 3] == 255
+    near_miss = list(row)
+    near_miss[1] = 0x35  # 0x1235 != 0x1234, same high byte
+    nm = decode_png(make_png([(0, near_miss)], w=2, h=1, depth=16, color=2,
+                             trns=key))
+    assert nm[0, 0, 3] == 255
 
 
 def test_png_flows_through_pipeline_stages(spark):

@@ -298,3 +298,41 @@ def test_read_wet_conversion_records(spark, tmp_path):
         assert good[url]["warc_ts"] == ts
     errs = [r for r in rows if r["warc_error"] is not None]
     assert len(errs) == 1 and errs[0]["url"] is None
+
+
+def test_read_wat_metadata_records(spark, tmp_path):
+    """WAT convenience: metadata records surface their JSON envelope as
+    a string column queryable with get_json_object."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from datax_spark.sources.warc import build_warc_record, read_wat
+
+    d = tmp_path / "wat"
+    d.mkdir()
+    envelope = {"Envelope": {"WARC-Header-Metadata": {
+        "WARC-Target-URI": "https://a.example/x"},
+        "Payload-Metadata": {"HTTP-Response-Metadata": {
+            "HTML-Metadata": {"Links": [
+                {"url": "https://b.example/1"}, {"url": "https://c.example/2"},
+            ]}}}}}
+    with open(d / "crawl.warc.wat", "wb") as f:
+        f.write(build_warc_record(
+            "https://a.example/x", datetime(2026, 1, 2, 3, 4, 5),
+            json.dumps(envelope, sort_keys=True).encode(),
+            record_type="metadata",
+        ))
+    rows = read_wat(spark, str(d / "*.wat")).collect()
+    assert len(rows) == 1 and rows[0]["url"] == "https://a.example/x"
+    assert json.loads(rows[0]["metadata"]) == envelope
+    # the string column is directly queryable JSON
+    first_link = (
+        read_wat(spark, str(d / "*.wat"))
+        .select(F.get_json_object(
+            "metadata",
+            "$.Envelope.Payload-Metadata.HTTP-Response-Metadata"
+            ".HTML-Metadata.Links[0].url").alias("u"))
+        .first()["u"]
+    )
+    assert first_link == "https://b.example/1"
