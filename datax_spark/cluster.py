@@ -261,11 +261,32 @@ def dry_run_cluster_cdc_job(
             else:
                 cur.append(ch)
         names.append("".join(cur))
-        cols = [
-            n.strip().split()[0].strip("`")
-            for n in names
-            if n.strip()
-        ]
+
+        def _field_name(field: str) -> str:
+            # StructType.fromDDL accepts both 'name TYPE' and
+            # 'name:type', and backquoted names may contain spaces or
+            # colons ('`a b`:int'); `` inside backquotes escapes one
+            # backquote. The dry run must name the same columns the
+            # real run's fromDDL resolves.
+            field = field.strip()
+            if field.startswith("`"):
+                i, out = 1, []
+                while i < len(field):
+                    if field[i] == "`":
+                        if i + 1 < len(field) and field[i + 1] == "`":
+                            out.append("`")
+                            i += 2
+                            continue
+                        break
+                    out.append(field[i])
+                    i += 1
+                return "".join(out)
+            for j, ch in enumerate(field):
+                if ch in " \t:":
+                    return field[:j]
+            return field
+
+        cols = [_field_name(n) for n in names if n.strip()]
         cols = [c for c in cols if c not in ("op", "lsn")]  # MERGE guard
     # the REAL run merges the resolved batch, which gains the
     # extract-derived 'text' column when html is present (extract=True

@@ -211,6 +211,32 @@ def full_prep(
     return kept.select(*cols)
 
 
+def _stage_rows(agg_df: DataFrame, names: list[str]) -> DataFrame:
+    """Lazy wide→long pivot of the one-row conditional aggregate into
+    (stage_idx, stage, n_docs, n_tokens) rows — posexplode inside the
+    returned plan, no driver action. Keeping the pivot lazy means the
+    funnel's whole cost is charged where it runs: an earlier revision
+    ``.first()``-ed the aggregate at construction time, so a caller
+    (and the bench's build/exec split) saw ~20 s of corpus work billed
+    as plan CONSTRUCTION and a free-looking execution."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(names[s]).alias("stage"),
+                F.col(f"d{s}").cast("long").alias("n_docs"),
+                F.col(f"t{s}").cast("long").alias("n_tokens"),
+            )
+            for s in range(len(names))
+        ]
+    )
+    return agg_df.select(F.posexplode(entries).alias("_i", "_e")).select(
+        F.col("_i").cast("int").alias("stage_idx"),
+        F.col("_e.stage").alias("stage"),
+        F.col("_e.n_docs").alias("n_docs"),
+        F.col("_e.n_tokens").alias("n_tokens"),
+    )
+
+
 def full_prep_funnel(
     df: DataFrame,
     benchmark: DataFrame | None = None,
@@ -324,14 +350,8 @@ def full_prep_funnel(
             ).alias(f"t{s}")
             for s in range(n_stages)
         ],
-    ).first()
-    rows = [
-        (s, names[s], int(agg[f"d{s}"]), int(agg[f"t{s}"]))
-        for s in range(n_stages)
-    ]
-    return df.sparkSession.createDataFrame(
-        rows, "stage_idx int, stage string, n_docs long, n_tokens long"
     )
+    return _stage_rows(agg, names)
 
 
 def incremental_prep(
@@ -537,11 +557,5 @@ def funnel(
             ).alias(f"t{s}")
             for s in range(4)
         ],
-    ).first()
-    names = ["raw", "lang_quality", "exact_dedup", "near_dup"]
-    rows = [
-        (s, names[s], int(agg[f"d{s}"]), int(agg[f"t{s}"])) for s in range(4)
-    ]
-    return df.sparkSession.createDataFrame(
-        rows, "stage_idx int, stage string, n_docs long, n_tokens long"
     )
+    return _stage_rows(agg, ["raw", "lang_quality", "exact_dedup", "near_dup"])

@@ -19,6 +19,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _attempt_token() -> str:
+    """Unique-per-task-attempt suffix for staged tmp files. A retried
+    or speculative attempt for the same shard must never share a tmp
+    path with a concurrent attempt: two writers interleaving on one
+    path can publish a corrupt file through the atomic rename even
+    though each attempt's CONTENT is byte-deterministic. Called inside
+    the executor function so the token reflects the running attempt."""
+    try:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        if ctx is not None:
+            return f"a{ctx.taskAttemptId()}"
+    except Exception:
+        pass
+    import uuid
+
+    return uuid.uuid4().hex[:12]
+
+
 def shard_id(key_col, n_shards: int):
     """Stable shard: first 8 md5 hex chars of the key, mod n. Pure
     function of the key — identical in any engine (the SQL form is
@@ -114,7 +134,7 @@ def export_webdataset(
                 n += 1
         blob = buf.getvalue()
         dest = out_dir / f"shard-{shard:05d}.tar"
-        tmp = out_dir / f".tmp-{shard:05d}.tar"
+        tmp = out_dir / f".tmp-{shard:05d}-{_attempt_token()}.tar"
         tmp.write_bytes(blob)
         tmp.replace(dest)
         return pd.DataFrame(
@@ -168,7 +188,15 @@ def export_incremental(
     tombstone shard (count/bytes/sha256 — same verification contract
     as the data shards). Consumer contract (tested): full_export(v0)
     + deltas applied in order ≡ full_export(vN), byte-for-byte per
-    document."""
+    document.
+
+    LAZINESS CONTRACT: collecting the returned manifest IS the export.
+    Both the data shards (export_webdataset) and the tombstone files
+    are written executor-side as a side effect of evaluating the
+    manifest DataFrame — a caller that drops the return value writes
+    nothing, and re-materializing the manifest rewrites the files
+    (harmless: content is byte-deterministic and each attempt stages
+    to an attempt-unique tmp before the atomic rename)."""
     import hashlib
     import json as _json
 
@@ -199,7 +227,7 @@ def export_incremental(
         blob = "".join(
             _json.dumps({key_col: k}, sort_keys=True) + "\n" for k in keys
         ).encode()
-        tmp = dest / f".tmp-tomb-{shard:05d}.jsonl"
+        tmp = dest / f".tmp-tomb-{shard:05d}-{_attempt_token()}.jsonl"
         tmp.write_bytes(blob)
         tmp.replace(dest / f"tombstones-{shard:05d}.jsonl")
         return pd.DataFrame(

@@ -268,3 +268,51 @@ def test_dry_run_compiles_without_spark(tmp_path):
     )
     assert r.returncode == 0, r.stderr
     assert json.loads(r.stdout)["checkpoint"] == "/ckpt/pages"
+
+
+def test_dry_run_ddl_colon_and_backquoted_forms(spark):
+    """StructType.fromDDL accepts 'name:type' as well as 'name TYPE',
+    and backquoted names may contain spaces or colons — the dry run's
+    SparkSession-free name extractor must resolve the same columns the
+    real run's fromDDL does, or the printed MERGE diverges from what
+    the job executes."""
+    from datax_spark.cluster import dry_run_cluster_cdc_job
+
+    base = {
+        "reader": {"type": "kafka", "bootstrapServers": "b:9092",
+                   "topic": "t"},
+        "writer": {"type": "iceberg", "table": "lake.db.t",
+                   "catalog": {"name": "lake", "catalog_type": "hadoop",
+                               "warehouse": "/tmp/w"}},
+        "checkpoint": "/ckpt/x",
+    }
+    # colon form, with a nested type containing top-level-looking chars
+    base["reader"]["eventSchema"] = (
+        "lsn:long, op:string, url:string, tags:array<string>, "
+        "meta:struct<a:int,b:string>"
+    )
+    out = dry_run_cluster_cdc_job(base)
+    assert out["event_columns"] == ["url", "tags", "meta"]
+    # backquoted names containing a space and a colon; `` escapes one `
+    base["reader"]["eventSchema"] = (
+        "lsn long, op string, `page url` string, `a:b` int, "
+        "`odd``name` string"
+    )
+    out = dry_run_cluster_cdc_job(base)
+    assert out["event_columns"] == ["page url", "a:b", "odd`name"]
+    # cross-check against the real parser: fromDDL names must agree
+    # (fromDDL needs a live SparkContext, hence the fixture — the
+    # dry-run path itself never touches one)
+    from pyspark.sql.types import StructType
+
+    for ddl in (
+        "lsn:long, op:string, url:string, tags:array<string>, "
+        "meta:struct<a:int,b:string>",
+        "lsn long, op string, `page url` string, `a:b` int, "
+        "`odd``name` string",
+    ):
+        base["reader"]["eventSchema"] = ddl
+        out = dry_run_cluster_cdc_job(base)
+        real = [f.name for f in StructType.fromDDL(ddl).fields
+                if f.name not in ("op", "lsn")]
+        assert out["event_columns"] == real
