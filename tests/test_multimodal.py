@@ -360,8 +360,13 @@ def test_png_rejections_and_damage():
     )
     with pytest.raises(ValueError, match="inflate"):
         decode_png(trunc_png)
-    with pytest.raises(NotImplementedError):
+    # interlaced is supported now — but a stream with the WRONG byte
+    # count for its pass structure must still dirty-route, and an
+    # undefined interlace method is rejected
+    with pytest.raises(ValueError, match="length mismatch"):
         decode_png(make_png([(0, [0] * 6)], w=2, h=1, color=2, interlace=1))
+    with pytest.raises(ValueError, match="interlace"):
+        decode_png(make_png([(0, [0] * 6)], w=2, h=1, color=2, interlace=2))
     # spec-invalid depth/color combination -> ValueError
     with pytest.raises(ValueError):
         decode_png(make_png([(0, [0] * 3)], w=2, h=1, depth=4, color=2))
