@@ -468,6 +468,11 @@ def run_structured(
     extract: bool = True,
     derived: list | None = None,
     derived_sync_every: int = 8,
+    compact_every: int | None = None,
+    max_delete_debt: float | None = None,
+    max_files_per_partition: int | None = None,
+    expire_keep_last: int | None = None,
+    ttl: dict | None = None,
 ) -> None:
     """Drive the same sink through real Structured Streaming.
 
@@ -476,17 +481,35 @@ def run_structured(
     null); the native EpochDriver is the canonical path for mid-stream
     column *appearance*. On a cluster the source line becomes
     ``spark.readStream.format("kafka")...`` with everything downstream
-    unchanged. ``derived`` mirrors EpochDriver's derived-state hook:
-    syncables catch up from the table changelog every
-    ``derived_sync_every`` micro-batches (their own cursors make the
-    cadence a freshness knob only — a foreachBatch retry or restart
-    never desynchronizes them).
-    """
+    unchanged.
+
+    Maintenance is the SAME code the native driver runs: a source-less
+    EpochDriver carries the knobs and its ``_maybe_maintain`` ticks
+    after every micro-batch — staggered file-count/delete-debt
+    compaction, snapshot expiry (derived-cursor aware), TTL deletes,
+    and the derived-state sync every ``derived_sync_every`` batches
+    (each syncable owns its cursor, so a foreachBatch retry or restart
+    never desynchronizes anything). Defaults keep all maintenance off,
+    matching the pre-round-5 behavior; the 60-epoch maintained
+    endurance drive (tools/endurance_structured.py) runs it on."""
     sample = spark.read.option("mergeSchema", "true").parquet(str(Path(events_dir)))
     stream = (
         spark.readStream.schema(sample.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(str(Path(events_dir)))
+    )
+    maint = EpochDriver(
+        spark,
+        None,  # maintenance only — never reads a source or runs epochs
+        table,
+        Path(str(checkpoint_dir) + "-maint"),
+        derived=derived,
+        derived_sync_every=derived_sync_every,
+        compact_every=compact_every,
+        max_delete_debt=max_delete_debt,
+        max_files_per_partition=max_files_per_partition,
+        expire_keep_last=expire_keep_last,
+        ttl=ttl,
     )
 
     def _sink(batch_df, epoch_id: int) -> None:
@@ -497,9 +520,7 @@ def run_structured(
             lww_strategy=lww_strategy,
             extract=extract,
         )
-        if derived and (int(epoch_id) + 1) % max(derived_sync_every, 1) == 0:
-            for d in derived:
-                d.sync(table)
+        maint._maybe_maintain(int(epoch_id))
 
     q = (
         stream.writeStream.foreachBatch(_sink)

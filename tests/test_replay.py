@@ -153,3 +153,48 @@ def test_structured_streaming_runner(spark, log_dir, reference_run):
     run_structured(spark, base / "events", table, base / "ss" / "ckpt")
     assert table.current_version() == v_before
     assert _state(table) == got
+
+
+def test_structured_crash_after_table_commit(
+    spark, log_dir, reference_run, monkeypatch
+):
+    """Crash in the WORST foreachBatch window: apply_epoch has
+    committed the batch to the table, Structured Streaming has NOT
+    recorded the batch commit. On restart SS re-delivers the batch
+    under the same id and the table's idempotence ledger must fold it
+    to a no-op — final state identical to an uninterrupted run. Same
+    injection shape as tools/endurance_structured.py, pytest scale."""
+    from datax_spark.streaming import driver as drv_mod
+
+    base = log_dir
+    table = IceTable.create(
+        spark, base / "sscrash" / "table",
+        T.StructType(PAGE_SCHEMA.fields + [T.StructField("title", T.StringType())]),
+        num_partitions=4,
+    )
+    real_apply = drv_mod.apply_epoch
+    fired = {"done": False}
+
+    def crashing(tbl, batch_df, epoch, **kw):
+        stats = real_apply(tbl, batch_df, epoch, **kw)
+        if int(epoch) == 2 and not fired["done"]:
+            fired["done"] = True
+            raise RuntimeError("injected crash after epoch 2")
+        return stats
+
+    monkeypatch.setattr(drv_mod, "apply_epoch", crashing)
+    with pytest.raises(Exception, match="injected crash"):
+        run_structured(spark, base / "events", table,
+                       base / "sscrash" / "ckpt")
+    assert fired["done"]
+    run_structured(spark, base / "events", table, base / "sscrash" / "ckpt")
+
+    # uninterrupted twin for comparison
+    clean = IceTable.create(
+        spark, base / "ssclean" / "table",
+        T.StructType(PAGE_SCHEMA.fields + [T.StructField("title", T.StringType())]),
+        num_partitions=4,
+    )
+    monkeypatch.setattr(drv_mod, "apply_epoch", real_apply)
+    run_structured(spark, base / "events", clean, base / "ssclean" / "ckpt")
+    assert _state(table) == _state(clean)
