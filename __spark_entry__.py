@@ -4036,30 +4036,63 @@ changed(id) AS (
 
 
 def _cc_parts() -> list[str]:
-    """MinHash pair CTEs + recursive-CTE reachability FIXPOINT, as a
-    parts list ending in comp(node, label) — shared by the
-    connected-components and cluster-split oracles. The fixpoint form
-    (not an unrolled round budget) so the oracle catches any engine
-    that under-merges long chains; queries using it must open with
-    WITH RECURSIVE. Fine at board scale; the engine side runs
-    star contraction, which is the 10^9-node form."""
+    """MinHash pair CTEs + exact connected components, as a parts list
+    ending in comp(node, label) — shared by the connected-components
+    and cluster-split oracles; queries using it must open with WITH
+    RECURSIVE.
+
+    Form: four UNROLLED min-label rounds (plain CTEs — linear work per
+    round) collapse the dense near-dup components, then a recursive
+    reachability FIXPOINT runs on the QUOTIENT graph (edges between
+    surviving round-4 labels). The composition is exact on ANY
+    topology — contraction by label-merging rounds preserves
+    components, and the closure on the quotient finishes whatever the
+    rounds didn't (a >16-hop chain still merges there), so the oracle
+    keeps catching an engine that under-merges long chains. The
+    earlier pure-closure form (walk from EVERY node) was exact too but
+    blew up combinatorially on dense components: at sf0.1 the LSH
+    graph has 5.6M pairs with near-clique components, and closure from
+    all n clique members is Θ(n³) join rows per iteration — the
+    sf0.1 board sweep found it 30+ GB deep and still iterating after
+    35 minutes. Dense parts now collapse in the linear rounds and the
+    quotient closure touches only cluster-representative labels."""
     ctes, pair_select = _minhash_pair_parts()
-    return [
+    parts = [
         ctes,
-        f"prs AS ({pair_select})",
-        """cnodes AS (
+        f"prs AS MATERIALIZED ({pair_select})",
+        """cnodes AS MATERIALIZED (
   SELECT DISTINCT id FROM (
     SELECT id_a AS id FROM prs UNION ALL SELECT id_b AS id FROM prs))""",
-        """cbi AS (
+        """cbi AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM prs
   UNION SELECT id_b AS src, id_a AS dst FROM prs)""",
-        """walk(node, reach) AS (
-  SELECT id, id FROM cnodes
-  UNION
-  SELECT w.node, b.dst FROM walk w JOIN cbi b ON b.src = w.reach)""",
-        """comp AS (
-  SELECT node, min(reach) AS label FROM walk GROUP BY node)""",
+        "lab0 AS MATERIALIZED (SELECT id AS node, id AS label FROM cnodes)",
     ]
+    for k in range(1, 5):
+        parts.append(f"""lab{k} AS MATERIALIZED (
+  SELECT n.node, least(n.label, coalesce(m.minlab, n.label)) AS label
+  FROM lab{k - 1} n LEFT JOIN (
+    SELECT b.dst AS node, min(l.label) AS minlab
+    FROM lab{k - 1} l JOIN cbi b ON b.src = l.node
+    GROUP BY b.dst) m ON m.node = n.node)""")
+    parts += [
+        """qnodes AS MATERIALIZED (SELECT DISTINCT label AS id FROM lab4)""",
+        """qedges AS MATERIALIZED (
+  SELECT DISTINCT la.label AS src, lb.label AS dst
+  FROM cbi b
+  JOIN lab4 la ON la.node = b.src
+  JOIN lab4 lb ON lb.node = b.dst
+  WHERE la.label <> lb.label)""",
+        """walk(node, reach) AS (
+  SELECT id, id FROM qnodes
+  UNION
+  SELECT w.node, q.dst FROM walk w JOIN qedges q ON q.src = w.reach)""",
+        """qcomp AS (
+  SELECT node, min(reach) AS label FROM walk GROUP BY node)""",
+        """comp AS (
+  SELECT l.node, q.label FROM lab4 l JOIN qcomp q ON q.node = l.label)""",
+    ]
+    return parts
 
 
 def _near_dup_clusters_oracle() -> str:
