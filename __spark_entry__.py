@@ -6828,5 +6828,53 @@ FROM j, tot
 ORDER BY category"""
 
 
+def _materialize_repeated_ctes(sql: str) -> str:
+    """Mark every CTE referenced 2+ times ``AS MATERIALIZED``.
+
+    DuckDB 1.0 INLINES repeated CTE references (one subplan copy per
+    reference), so a chain of multiply-referenced CTEs re-executes its
+    upstream pipeline exponentially — the sf0.1 board sweep caught the
+    CC oracle 30+ GB / 35-minutes deep on what is a ~30 s query when
+    each CTE runs once. Applied uniformly here rather than hand-marked
+    per oracle: results are identical (materialization is plan-only),
+    and every oracle table in this suite is small enough that blocking
+    filter-pushdown into a materialized CTE is noise next to the
+    exponential re-execution it prevents. Recursive (self-referencing)
+    CTEs are skipped — DuckDB rejects MATERIALIZED on them."""
+    import re as _re
+
+    defs = []
+    for m in _re.finditer(r"(?<![\w.])([A-Za-z_]\w*)(\s*\([^()]*\))?\s+AS\s+\(", sql):
+        if sql[m.start() - 13 : m.start() - 1].upper().endswith("MATERIALIZED"):
+            continue
+        # find the definition body by matching parens from the "AS ("
+        open_paren = m.end() - 1
+        depth, i = 0, open_paren
+        while i < len(sql):
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            i += 1
+        defs.append((m.group(1), m.start(), m.end(), open_paren, i))
+    out = sql
+    # apply replacements right-to-left so earlier offsets stay valid
+    for name, start, end, body_a, body_b in reversed(defs):
+        body = sql[body_a : body_b + 1]
+        refs = len(_re.findall(
+            r"\b(?:FROM|JOIN)\s+" + name + r"\b", sql, _re.I
+        ))
+        self_ref = bool(_re.search(
+            r"\b(?:FROM|JOIN)\s+" + name + r"\b", body, _re.I
+        ))
+        if refs >= 2 and not self_ref:
+            # rewrite "<name> [cols] AS (" -> "... AS MATERIALIZED ("
+            head = out[start:end]
+            out = out[:start] + head[:-1].rstrip()[:-2] + "AS MATERIALIZED (" + out[end:]
+    return out
+
+
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    return {k: _materialize_repeated_ctes(v) for k, v in ORACLES.items()}
