@@ -3204,7 +3204,14 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey",
             "s_suppkey",
             "s_name",
-            F.round("unit_cost", 4).alias("unit_cost"),
+            # RAW division, no display rounding: the sf0.1 board sweep
+            # caught round(x, 4) diverging on a knife-edge double
+            # (9007.15/40 = 225.17874999999998 — Spark's BigDecimal
+            # half-up on the exact double gives ...1787, DuckDB's
+            # float-space round gives ...1788). The single IEEE
+            # division of identical operands IS cross-engine
+            # bit-identical; any decimal rounding of it is not.
+            F.col("unit_cost"),
         )
     )
 
@@ -6511,7 +6518,7 @@ offers AS (
   FROM lineitem
   JOIN part ON l_partkey = p_partkey AND p_size = 25
   JOIN eu_s ON l_suppkey = s_suppkey)
-SELECT p_partkey, s_suppkey, s_name, round(unit_cost, 4) AS unit_cost
+SELECT p_partkey, s_suppkey, s_name, unit_cost
 FROM offers WHERE rn = 1"""
 
 ORACLES["important_parts"] = """
