@@ -6867,12 +6867,17 @@ def _materialize_repeated_ctes(sql: str) -> str:
             i += 1
         defs.append((m.group(1), m.start(), m.end(), open_paren, i))
     out = sql
+    # Reference pattern includes ",\s*name" so comma-style FROM lists
+    # ("FROM nodes, nn") are counted — they are how pagerank's nn is
+    # referenced 7×. This OVERCOUNTS (a select-list ", name" matches
+    # too), which is safe: materializing a once-referenced CTE is
+    # plan-only and results-identical, while UNDERCOUNTING silently
+    # re-opens the exponential-inlining hole this guard closes.
+    ref_pat = r"(?:\bFROM\s+|\bJOIN\s+|,\s*)"
     # apply replacements right-to-left so earlier offsets stay valid
     for name, start, end, body_a, body_b in reversed(defs):
         body = sql[body_a : body_b + 1]
-        refs = len(_re.findall(
-            r"\b(?:FROM|JOIN)\s+" + name + r"\b", sql, _re.I
-        ))
+        refs = len(_re.findall(ref_pat + name + r"\b", sql, _re.I))
         self_ref = bool(_re.search(
             r"\b(?:FROM|JOIN)\s+" + name + r"\b", body, _re.I
         ))

@@ -248,18 +248,32 @@ def dry_run_cluster_cdc_job(
     if ddl:
         # name extraction without a SparkContext (fromDDL needs a live
         # JVM; a dry run must work on a laptop with nothing running):
-        # split on top-level commas, first token per column
-        names, depth, cur = [], 0, []
-        for ch in ddl:
-            if ch in "<(":
-                depth += 1
-            elif ch in ">)":
-                depth -= 1
-            if ch == "," and depth == 0:
-                names.append("".join(cur))
-                cur = []
-            else:
-                cur.append(ch)
+        # split on top-level commas, first token per column. The
+        # splitter is backquote-aware — characters inside `...` (with
+        # `` escaping one backquote) never count as delimiters or
+        # depth changes, matching fromDDL's treatment of quoted
+        # identifiers containing , < > ( ).
+        names, depth, cur, in_bq, i = [], 0, [], False, 0
+        while i < len(ddl):
+            ch = ddl[i]
+            if ch == "`":
+                if in_bq and i + 1 < len(ddl) and ddl[i + 1] == "`":
+                    cur.append("``")
+                    i += 2
+                    continue
+                in_bq = not in_bq
+            elif not in_bq:
+                if ch in "<(":
+                    depth += 1
+                elif ch in ">)":
+                    depth -= 1
+                if ch == "," and depth == 0:
+                    names.append("".join(cur))
+                    cur = []
+                    i += 1
+                    continue
+            cur.append(ch)
+            i += 1
         names.append("".join(cur))
 
         def _field_name(field: str) -> str:
@@ -282,8 +296,8 @@ def dry_run_cluster_cdc_job(
                     i += 1
                 return "".join(out)
             for j, ch in enumerate(field):
-                if ch in " \t:":
-                    return field[:j]
+                if ch.isspace() or ch == ":":  # fromDDL accepts ANY
+                    return field[:j]           # whitespace delimiter
             return field
 
         cols = [_field_name(n) for n in names if n.strip()]

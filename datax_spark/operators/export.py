@@ -99,6 +99,13 @@ def export_webdataset(
 
     out_dir = Path(path)
     out_dir.mkdir(parents=True, exist_ok=True)
+    # sweep stale staged files from prior runs' dead attempts: the
+    # attempt-unique tmp names can't self-heal by overwrite the way the
+    # old fixed names did, so a re-export over the same directory
+    # clears orphans here. (Concurrent exports into ONE directory are
+    # unsupported either way — they'd race on the final names too.)
+    for stale in out_dir.glob(".tmp-*"):
+        stale.unlink(missing_ok=True)
     meta_cols = list(meta_cols or [])
     cols = [key_col, text_col, *meta_cols]
 
@@ -208,6 +215,8 @@ def export_incremental(
     key_col = table.key_column
     dest = Path(out_dir) / f"delta-v{from_version}-v{to_version}"
     dest.mkdir(parents=True, exist_ok=True)
+    for stale in dest.glob(".tmp-*"):  # orphans of prior dead attempts
+        stale.unlink(missing_ok=True)
     feed = table.read_changes(from_version, to_version)
     ups = feed.filter(F.col("_op").isin("I", "U"))
     man = export_webdataset(

@@ -310,6 +310,11 @@ def test_dry_run_ddl_colon_and_backquoted_forms(spark):
         "meta:struct<a:int,b:string>",
         "lsn long, op string, `page url` string, `a:b` int, "
         "`odd``name` string",
+        # backquoted names containing top-level-looking delimiters —
+        # the splitter must not split/track depth inside quotes
+        "lsn long, op string, `a,b` int, `a<b` int, c int",
+        # fromDDL accepts ANY whitespace between name and type
+        "lsn long, op string, a\nint, b\tint",
     ):
         base["reader"]["eventSchema"] = ddl
         out = dry_run_cluster_cdc_job(base)
