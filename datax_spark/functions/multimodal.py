@@ -78,13 +78,22 @@ def sniff_format(payload: bytes) -> str | None:
 
 def decode_wav(payload: bytes) -> dict:
     """PCM WAV via stdlib ``wave``: header fields + int16 samples as a
-    (n_samples, n_channels) numpy array (8-bit widened, 32-bit narrowed)."""
-    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
-        n_channels = w.getnchannels()
-        sample_rate = w.getframerate()
-        n_frames = w.getnframes()
-        width = w.getsampwidth()
-        raw = w.readframes(n_frames)
+    (n_samples, n_channels) numpy array (8-bit widened, 32-bit narrowed).
+
+    Malformed headers surface as ValueError: the stdlib wave module can
+    raise struct.error on truncation and bare RuntimeError on some
+    corrupt fmt chunks (mutation fuzz found both) — neither is in the
+    pipeline stages' dirty-route catch list, so uncaught they'd kill a
+    whole scan task for one bad object."""
+    try:
+        with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+            n_channels = w.getnchannels()
+            sample_rate = w.getframerate()
+            n_frames = w.getnframes()
+            width = w.getsampwidth()
+            raw = w.readframes(n_frames)
+    except (struct.error, RuntimeError) as e:
+        raise ValueError(f"malformed WAV payload: {e}") from e
     if width == 2:
         pcm = np.frombuffer(raw, dtype="<i2")
     elif width == 1:  # unsigned 8-bit per the WAV spec
@@ -111,10 +120,15 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     buf = bytes(payload)
     if buf[:2] != b"BM":
         raise ValueError("not a BMP payload")
-    (data_offset,) = struct.unpack_from("<I", buf, 10)
-    (hdr_size, w, h) = struct.unpack_from("<Iii", buf, 14)
-    (planes, bpp) = struct.unpack_from("<HH", buf, 26)
-    (compression,) = struct.unpack_from("<I", buf, 30)
+    try:
+        (data_offset,) = struct.unpack_from("<I", buf, 10)
+        (hdr_size, w, h) = struct.unpack_from("<Iii", buf, 14)
+        (planes, bpp) = struct.unpack_from("<HH", buf, 26)
+        (compression,) = struct.unpack_from("<I", buf, 30)
+    except struct.error as e:
+        # struct.error is not a ValueError — uncaught it would escape
+        # the dirty-routing and kill the scan task (fuzz-found)
+        raise ValueError(f"truncated BMP header: {e}") from e
     if bpp != 24 or compression != 0:
         raise NotImplementedError(
             f"only uncompressed 24-bit BMP is supported (bpp={bpp}, "

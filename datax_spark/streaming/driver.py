@@ -540,6 +540,10 @@ def run_structured_wire(
     lww_strategy: str = "auto",
     extract: bool = True,
     max_files_per_trigger: int = 1,
+    compact_every: int | None = None,
+    max_delete_debt: float | None = None,
+    max_files_per_partition: int | None = None,
+    expire_keep_last: int | None = None,
 ) -> None:
     """Structured Streaming over the PUBLIC wire format: a growing
     directory of Debezium envelope JSON-line files (what a Kafka
@@ -549,7 +553,8 @@ def run_structured_wire(
     ``readStream.format("kafka")`` + ``col("value").cast("string")``
     with everything downstream unchanged — this is that path, minus
     the broker. Dirty envelopes quarantine per batch instead of
-    killing the query."""
+    killing the query. Maintenance knobs mirror ``run_structured``
+    (same source-less-EpochDriver tick; defaults keep it all off)."""
     from datax_spark.sources.debezium import parse_debezium
 
     stream = (
@@ -557,6 +562,16 @@ def run_structured_wire(
         .text(str(Path(wire_dir)))
     )
     events = parse_debezium(stream, row_schema)
+    maint = EpochDriver(
+        spark,
+        None,
+        table,
+        Path(str(checkpoint_dir) + "-maint"),
+        compact_every=compact_every,
+        max_delete_debt=max_delete_debt,
+        max_files_per_partition=max_files_per_partition,
+        expire_keep_last=expire_keep_last,
+    )
 
     def _sink(batch_df, epoch_id: int) -> None:
         apply_epoch(
@@ -566,6 +581,7 @@ def run_structured_wire(
             lww_strategy=lww_strategy,
             extract=extract,
         )
+        maint._maybe_maintain(int(epoch_id))
 
     q = (
         events.writeStream.foreachBatch(_sink)
