@@ -78,7 +78,8 @@ def sniff_format(payload: bytes) -> str | None:
 
 def decode_wav(payload: bytes) -> dict:
     """PCM WAV via stdlib ``wave``: header fields + int16 samples as a
-    (n_samples, n_channels) numpy array (8-bit widened, 32-bit narrowed).
+    (n_samples, n_channels) numpy array (8-bit widened, 24/32-bit
+    narrowed to the high 16 bits).
 
     Malformed headers surface as ValueError: the stdlib wave module can
     raise struct.error on truncation and bare RuntimeError on some
@@ -98,6 +99,12 @@ def decode_wav(payload: bytes) -> dict:
         pcm = np.frombuffer(raw, dtype="<i2")
     elif width == 1:  # unsigned 8-bit per the WAV spec
         pcm = (np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128) << 8
+    elif width == 3:  # 24-bit little-endian signed → high 16 bits
+        b = np.frombuffer(raw, dtype=np.uint8)
+        b = b[: (len(b) // 3) * 3].reshape(-1, 3).astype(np.int32)
+        full = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        full = (full ^ 0x800000) - 0x800000  # sign-extend bit 23
+        pcm = (full >> 8).astype(np.int16)
     elif width == 4:
         pcm = (np.frombuffer(raw, dtype="<i4") >> 16).astype(np.int16)
     else:

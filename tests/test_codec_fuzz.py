@@ -68,6 +68,30 @@ def test_fuzz_wav_roundtrip(n, ch, seed):
     assert (d["pcm"] == pcm).all()
 
 
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 100), st.integers(1, 2), st.integers(0, 2**31 - 1))
+def test_fuzz_wav_24bit(n, ch, seed):
+    """24-bit PCM narrows to the high 16 bits, sign preserved. The
+    wire bytes are built independently (int16 << 8, 3-byte LE)."""
+    rng = np.random.default_rng(seed)
+    want = rng.integers(-(1 << 15), 1 << 15, size=(n, ch)).astype(np.int16)
+    full = want.astype(np.int32) << 8  # bit-23-signed samples
+    le = np.zeros((n * ch, 3), dtype=np.uint8)
+    flat = full.reshape(-1) & 0xFFFFFF
+    le[:, 0] = flat & 0xFF
+    le[:, 1] = (flat >> 8) & 0xFF
+    le[:, 2] = (flat >> 16) & 0xFF
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(ch)
+        w.setsampwidth(3)
+        w.setframerate(44100)
+        w.writeframes(le.tobytes())
+    d = M.decode_wav(buf.getvalue())
+    assert d["n_channels"] == ch and d["n_samples"] == n
+    assert (d["pcm"] == want).all()
+
+
 @settings(max_examples=40, deadline=None)
 @given(st.integers(1, 24), st.integers(1, 24), st.booleans(),
        st.integers(0, 2**31 - 1))
